@@ -1,0 +1,58 @@
+"""Configuration for the rectified block-sparse attention pipeline."""
+
+from __future__ import annotations
+
+import dataclasses
+
+
+@dataclasses.dataclass(frozen=True)
+class SparseConfig:
+    """Static (trace-time) description of one sparse-attention site.
+
+    Mirrors the knobs of the reference per-model processors
+    (reference: rectified_spaattn/rectified_hunyuan_attn.py:419-427,
+    rectified_wan21_attn.py:389-397) but centralised, per SURVEY §5's
+    config-consolidation note.
+
+    Attributes:
+      block_m / block_n: query / key block sizes (128 matches the MXU tile).
+      p_remain: top-p cumulative-probability threshold for block selection
+        (reference CLI --p_remain_rates, default 0.3).
+      top_k_floor: minimum number of blocks kept per (head, q-block) —
+        ``select_block_num = (1 - sa_drop_rate) * num_visual_blocks``.
+      layout: "joint"  = text tokens appended after visual tokens; visual
+                          queries sparse, text queries dense, IPAR active
+                          (Hunyuan / Flux / CogVideoX);
+              "visual" = self-attention over visual tokens only, text in a
+                          separate cross-attention (Wan 2.1 / 2.2).
+      text_len: padded length of the text tail (joint layout only).
+      first_frame_blocks: number of leading curve blocks force-included for
+        every query in that range (Wan first-frame retention,
+        reference: rectified_wan21_attn.py:270-271).
+    """
+
+    top_k_floor: int
+    p_remain: float = 0.3
+    block_m: int = 128
+    block_n: int = 128
+    layout: str = "joint"
+    text_len: int = 0
+    first_frame_blocks: int = 0
+
+    def __post_init__(self):
+        if self.layout not in ("joint", "visual"):
+            raise ValueError(f"layout must be 'joint' or 'visual', got {self.layout!r}")
+        if self.layout == "joint" and self.text_len % self.block_n != 0:
+            raise ValueError("text_len must be padded to a multiple of block_n")
+        if self.block_m != self.block_n:
+            raise ValueError("block_m != block_n is not supported")
+
+    @property
+    def text_blocks(self) -> int:
+        return self.text_len // self.block_n
+
+
+def select_block_num(sa_drop_rate: float, num_visual_blocks: int) -> int:
+    """Floor on kept blocks from a drop rate
+    (reference: scripts/main_hunyuan.py:249-254)."""
+    return int((1.0 - sa_drop_rate) * num_visual_blocks)

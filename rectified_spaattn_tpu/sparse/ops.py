@@ -1,0 +1,164 @@
+"""Core array math for the sparse-mask pipeline.
+
+Everything here is pure jnp on static shapes — it jits into a handful of
+fused GEMM/softmax/sort/scan ops with no host synchronisation, replacing the
+reference's torch pipeline (rectified_hunyuan_attn.py:171-280) 1:1 in
+semantics but not in structure.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def block_pool(x: jax.Array, block: int) -> jax.Array:
+    """Mean-pool [..., S, D] into [..., S//block, D] blocks (fp32 accum)."""
+    s, d = x.shape[-2], x.shape[-1]
+    assert s % block == 0, (s, block)
+    xb = x.reshape(*x.shape[:-2], s // block, block, d)
+    return jnp.mean(xb.astype(jnp.float32), axis=-2)
+
+
+def pooled_scores(q_pool: jax.Array, k_pool: jax.Array) -> jax.Array:
+    """Unscaled pooled attention scores [B,H,NQ,NK] in fp32.
+
+    (reference: rectified_hunyuan_attn.py:196-205 — `attention_scores_flat`;
+    the sm-scale is applied by callers where the reference applies it.)
+    """
+    return jnp.einsum("bhqd,bhkd->bhqk", q_pool, k_pool,
+                      preferred_element_type=jnp.float32)
+
+
+def estimate_pr_gain(q_blocks: jax.Array, k_blocks: jax.Array,
+                     q_pools: jax.Array, k_pools: jax.Array,
+                     scores_unscaled: jax.Array) -> jax.Array:
+    """GAPR — gain-aware pooling rectification mask.
+
+    Decides per (head, q-block, k-block) whether the pooled-probability
+    correction for a non-selected block is trustworthy: the estimated
+    pooling error (first-order |Δq·k̄| + |q̄·Δk| terms) must not exceed the
+    attention gain IQ·JK·|score| (reference: rectified_spaattn/gapr_mask.py:4-42).
+
+    Args:
+      q_blocks: [B,H,NQ,IQ,D] raw per-block queries.
+      k_blocks: [B,H,NK,JK,D] raw per-block keys (visual only).
+      q_pools:  [B,H,NQ,D] block means of q_blocks.
+      k_pools:  [B,H,NK,D] block means of k_blocks.
+      scores_unscaled: [B,H,NQ,NK] pooled q·k scores WITHOUT sm_scale.
+
+    Returns:
+      bool [B,H,NQ,NK] — True where the pooled correction is NOT
+      trustworthy (the reference's `nogapr_mask`); such blocks are folded
+      into the critical set for rectification purposes.
+    """
+    iq = q_blocks.shape[-2]
+    jk = k_blocks.shape[-2]
+    q_pools = q_pools.astype(jnp.float32)
+    k_pools = k_pools.astype(jnp.float32)
+
+    dq = jnp.mean(jnp.abs(q_blocks.astype(jnp.float32) - q_pools[..., None, :]),
+                  axis=-2)                                     # [B,H,NQ,D]
+    dk = jnp.mean(jnp.abs(k_blocks.astype(jnp.float32) - k_pools[..., None, :]),
+                  axis=-2)                                     # [B,H,NK,D]
+
+    err_q = jnp.abs(jnp.einsum("bhqd,bhkd->bhqk", dq, k_pools)) * (iq * jk)
+    err_k = jnp.abs(jnp.einsum("bhqd,bhkd->bhqk", q_pools, dk)) * (iq * jk)
+    gain = (iq * jk) * jnp.abs(scores_unscaled)
+    return ~(gain > (err_q + err_k))
+
+
+def ipar_reallocate(probs: jax.Array, num_visual: int, block_n: int) -> jax.Array:
+    """IPAR — implicit full-attention reallocation (joint layout).
+
+    The pooled softmax treats a 128-token visual block and a single text
+    token as equal mass; token-level full attention would weight a visual
+    block ~block_n× higher.  Renormalise so the probabilities estimate what
+    full attention would actually allocate, aggregating text into one tail
+    column (reference: rectified_hunyuan_attn.py:216-223).
+
+    probs: [B,H,NQ,NK] pooled softmax with NK = num_visual + text tokens.
+    Returns [B,H,NQ,num_visual+1].
+    """
+    visual = probs[..., :num_visual]
+    visual_sum = jnp.sum(visual, axis=-1, keepdims=True)
+    text_sum = jnp.sum(probs[..., num_visual:], axis=-1, keepdims=True)
+    denom = visual_sum * block_n + text_sum
+    return jnp.concatenate(
+        [visual * block_n / denom, text_sum / denom], axis=-1)
+
+
+def topp_topk_counts(probs: jax.Array, p_remain: float, top_k_floor: int):
+    """Per-row block budget: blocks sorted by probability are kept until the
+    cumulative mass passes ``p_remain``, with a floor of ``top_k_floor``
+    (reference: rectified_hunyuan_attn.py:226-235).
+
+    Returns (counts [..., ] int32, order [..., NK] int32 descending-prob
+    column indices).
+    """
+    neg = -probs
+    order = jnp.argsort(neg, axis=-1)                      # descending probs
+    sorted_probs = jnp.take_along_axis(probs, order, axis=-1)
+    csum = jnp.cumsum(sorted_probs, axis=-1)
+    counts = jnp.sum(csum <= p_remain, axis=-1).astype(jnp.int32) + 1
+    counts = jnp.maximum(counts, jnp.int32(top_k_floor))
+    return counts, order
+
+
+def counts_to_onehot(counts: jax.Array, order: jax.Array) -> jax.Array:
+    """Scatter the first ``counts`` columns of each row's descending order
+    into a boolean mask — the static-shape equivalent of the reference's
+    advanced-indexing scatter (rectified_hunyuan_attn.py:237-262).
+
+    Implemented scatter-free: a column is selected iff its rank in the
+    descending sort is below the row's count.
+    """
+    rank = jnp.argsort(order, axis=-1)                     # inverse permutation
+    return rank < counts[..., None].astype(rank.dtype)
+
+
+def mask_to_indices(mask: jax.Array):
+    """Compact a [..., NB] boolean mask into (indices [..., NB] int32,
+    counts [...] int32): the first ``counts`` entries of ``indices`` are the
+    True columns in ascending order; the rest repeat the LAST valid index so
+    a kernel reading past ``counts`` revisits an already-resident block
+    (keeps the Pallas pipeline from issuing fresh DMAs for dead slots).
+    """
+    nb = mask.shape[-1]
+    counts = jnp.sum(mask, axis=-1).astype(jnp.int32)
+    col = jnp.arange(nb, dtype=jnp.int32)
+    # stable sort: valid columns first, each group in ascending column order
+    key = jnp.where(mask, col, col + nb)
+    indices = jnp.sort(key, axis=-1).astype(jnp.int32)
+    last_valid = jnp.take_along_axis(
+        indices, jnp.maximum(counts - 1, 0)[..., None].astype(jnp.int32), axis=-1)
+    slot = col[(None,) * (mask.ndim - 1)]
+    indices = jnp.where(slot < counts[..., None], indices, last_valid)
+    return indices, counts
+
+
+def rectification(probs: jax.Array, partial_mask: jax.Array,
+                  value_pool: jax.Array):
+    """Rectification factors for the sparse output.
+
+    R (critical mass): total implicit-full-attention probability captured by
+    the partial set (selected ∪ GAPR-untrusted); the sparse kernel's
+    normalised output is scaled by R.  Non-critical compensation: pooled
+    probability of trusted-but-unselected blocks times their pooled value
+    (reference: rectified_hunyuan_attn.py:347-357).
+
+    Args:
+      probs: [B,H,NQ,NP] implicit-full-attention probabilities.
+      partial_mask: [B,H,NQ,NP] bool.
+      value_pool: [B,H,NP,D] pooled values (fp32).
+
+    Returns (R [B,H,NQ] fp32, comp [B,H,NQ,D] fp32) at BLOCK granularity;
+    callers broadcast to tokens (the reference repeat_interleaves here —
+    we defer that to keep the arrays 128× smaller).
+    """
+    kept = jnp.where(partial_mask, probs, 0.0)
+    r = jnp.sum(kept, axis=-1)
+    dropped = jnp.where(partial_mask, 0.0, probs)
+    comp = jnp.einsum("bhqk,bhkd->bhqd", dropped, value_pool,
+                      preferred_element_type=jnp.float32)
+    return r, comp

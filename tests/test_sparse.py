@@ -1,0 +1,244 @@
+"""Unit tests for the sparse-mask pipeline vs an independent NumPy oracle
+(SURVEY §4 implication (a): IPAR/GAPR math vs NumPy transliteration)."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from rectified_spaattn_tpu.sparse import (
+    SparseConfig, build_sparse_plan, ops)
+
+BM = 16  # small block size for tests (the math is block-size agnostic)
+
+
+def rng(seed=0):
+    return np.random.default_rng(seed)
+
+
+# ---------------------------------------------------------------- oracle ----
+
+def np_pool(x, block):
+    b, h, s, d = x.shape
+    return x.reshape(b, h, s // block, block, d).mean(axis=-2)
+
+
+def np_gapr(q, k, block):
+    """NumPy oracle of the GAPR mask (first-order pooling-error estimate)."""
+    qb = q.reshape(*q.shape[:2], -1, block, q.shape[-1])
+    kb = k.reshape(*k.shape[:2], -1, block, k.shape[-1])
+    qp, kp = qb.mean(-2), kb.mean(-2)
+    iq, jk = block, block
+    dq = np.abs(qb - qp[..., None, :]).mean(-2)
+    dk = np.abs(kb - kp[..., None, :]).mean(-2)
+    err = (np.abs(np.einsum("bhqd,bhkd->bhqk", dq, kp)) * iq * jk
+           + np.abs(np.einsum("bhqd,bhkd->bhqk", qp, dk)) * iq * jk)
+    scores = np.einsum("bhqd,bhkd->bhqk", qp, kp)
+    gain = iq * jk * np.abs(scores)
+    return ~(gain > err)
+
+
+def np_topp_onehot(probs, p_remain, floor):
+    """Row-loop oracle of top-p selection with a top-k floor."""
+    out = np.zeros(probs.shape, dtype=bool)
+    counts = np.zeros(probs.shape[:-1], dtype=np.int32)
+    flat = probs.reshape(-1, probs.shape[-1])
+    oflat = out.reshape(-1, probs.shape[-1])
+    cflat = counts.reshape(-1)
+    for i, row in enumerate(flat):
+        order = np.argsort(-row, kind="stable")
+        csum = np.cumsum(row[order])
+        n = int((csum <= p_remain).sum()) + 1
+        n = max(n, floor)
+        cflat[i] = n
+        oflat[i, order[:n]] = True
+    return out, counts
+
+
+# ----------------------------------------------------------------- units ----
+
+def test_block_pool_matches_numpy():
+    x = rng(1).normal(size=(2, 3, 64, 8)).astype(np.float32)
+    got = np.asarray(ops.block_pool(jnp.asarray(x), 16))
+    np.testing.assert_allclose(got, np_pool(x, 16), rtol=1e-5, atol=1e-6)
+
+
+def test_gapr_matches_numpy():
+    q = rng(2).normal(size=(1, 2, 64, 8)).astype(np.float32)
+    k = rng(3).normal(size=(1, 2, 80, 8)).astype(np.float32)
+    qb = jnp.asarray(q).reshape(1, 2, 4, 16, 8)
+    kb = jnp.asarray(k).reshape(1, 2, 5, 16, 8)
+    qp, kp = jnp.mean(qb, -2), jnp.mean(kb, -2)
+    scores = ops.pooled_scores(qp, kp)
+    got = np.asarray(ops.estimate_pr_gain(qb, kb, qp, kp, scores))
+    np.testing.assert_array_equal(got, np_gapr(q, k, 16))
+
+
+def test_ipar_matches_formula():
+    probs = rng(4).uniform(size=(1, 2, 4, 10)).astype(np.float32)
+    probs /= probs.sum(-1, keepdims=True)
+    nv, bn = 6, 16
+    got = np.asarray(ops.ipar_reallocate(jnp.asarray(probs), nv, bn))
+    vis, txt = probs[..., :nv], probs[..., nv:].sum(-1, keepdims=True)
+    denom = vis.sum(-1, keepdims=True) * bn + txt
+    want = np.concatenate([vis * bn / denom, txt / denom], -1)
+    np.testing.assert_allclose(got, want, rtol=1e-5)
+    # text + visual mass still sums to 1 under the token-level measure:
+    np.testing.assert_allclose(
+        (got[..., :nv].sum(-1) / bn * bn + got[..., nv]),
+        (vis * bn / denom).sum(-1) + (txt / denom)[..., 0], rtol=1e-5)
+
+
+@pytest.mark.parametrize("p_remain,floor", [(0.3, 2), (0.7, 1), (0.0, 3)])
+def test_topp_selection_matches_oracle(p_remain, floor):
+    probs = rng(5).uniform(size=(2, 3, 6, 12)).astype(np.float32)
+    probs /= probs.sum(-1, keepdims=True)
+    counts, order = ops.topp_topk_counts(jnp.asarray(probs), p_remain, floor)
+    onehot = ops.counts_to_onehot(counts, order)
+    want_onehot, want_counts = np_topp_onehot(probs, p_remain, floor)
+    np.testing.assert_array_equal(np.asarray(counts), want_counts)
+    np.testing.assert_array_equal(np.asarray(onehot), want_onehot)
+
+
+def test_mask_to_indices_roundtrip():
+    mask = rng(6).uniform(size=(2, 2, 5, 9)) < 0.4
+    mask[..., 0, :] = False
+    mask[0, 0, 0, 3] = True  # ensure at least one row with exactly one True
+    idx, counts = ops.mask_to_indices(jnp.asarray(mask))
+    idx, counts = np.asarray(idx), np.asarray(counts)
+    for b in range(2):
+        for h in range(2):
+            for q in range(5):
+                true_cols = np.where(mask[b, h, q])[0]
+                n = counts[b, h, q]
+                assert n == len(true_cols)
+                np.testing.assert_array_equal(idx[b, h, q, :n], true_cols)
+                if n:  # tail repeats the last valid index (DMA-elision trick)
+                    assert (idx[b, h, q, n:] == true_cols[-1]).all()
+
+
+# ------------------------------------------------------------- end-to-end ----
+
+def make_joint_inputs(seed=7, b=1, h=2, nq=6, text_blocks=1, d=8):
+    g = rng(seed)
+    sv = nq * BM
+    st = text_blocks * BM
+    q = g.normal(size=(b, h, sv, d)).astype(np.float32)
+    k = g.normal(size=(b, h, sv + st, d)).astype(np.float32)
+    v = g.normal(size=(b, h, sv + st, d)).astype(np.float32)
+    return q, k, v, sv, st
+
+
+def np_joint_plan(q, k, v, cfg, neighbors, text_valid):
+    """Full NumPy oracle of the joint-layout plan (reference semantics:
+    rectified_hunyuan_attn.py:171-280 + 347-357, with static-shape text
+    validity masking)."""
+    b, h, sv, d = q.shape
+    nq = sv // cfg.block_m
+    st = cfg.text_len
+    sm = d ** -0.5
+    qp = np_pool(q, cfg.block_m)
+    kvis = k[:, :, :nq * cfg.block_n]
+    kp = np_pool(kvis, cfg.block_n)
+    ktext = k[:, :, nq * cfg.block_n: nq * cfg.block_n + st]
+    cols = np.concatenate([kp, ktext], axis=2)
+    scores_u = np.einsum("bhqd,bhkd->bhqk", qp, cols)
+    scores = scores_u * sm
+    if text_valid is not None:
+        inv = ~text_valid
+        scores[..., nq:][np.broadcast_to(inv[:, None, None, :],
+                                         scores[..., nq:].shape)] = -1e30
+    e = np.exp(scores - scores.max(-1, keepdims=True))
+    probs_tok = e / e.sum(-1, keepdims=True)
+    nogapr = np_gapr(q, kvis, cfg.block_m)
+    vis = probs_tok[..., :nq]
+    txt = probs_tok[..., nq:].sum(-1, keepdims=True)
+    denom = vis.sum(-1, keepdims=True) * cfg.block_n + txt
+    probs = np.concatenate([vis * cfg.block_n / denom, txt / denom], -1)
+    onehot, _ = np_topp_onehot(probs, cfg.p_remain, cfg.top_k_floor)
+    vis_sel = onehot[..., :nq] | neighbors[None, None, :nq, :nq]
+    mask = np.concatenate(
+        [vis_sel, np.ones((b, h, nq, st // cfg.block_n), bool)], -1)
+    partial = np.concatenate(
+        [vis_sel | nogapr, np.ones((b, h, nq, 1), bool)], -1)
+    vp = np_pool(v, cfg.block_n)[:, :, :nq + 1]
+    r = np.where(partial, probs, 0).sum(-1)
+    comp = np.einsum("bhqk,bhkd->bhqd", np.where(partial, 0, probs), vp)
+    return mask, r, comp
+
+
+def test_joint_plan_matches_oracle():
+    q, k, v, sv, st = make_joint_inputs()
+    nq = sv // BM
+    cfg = SparseConfig(top_k_floor=2, p_remain=0.4, block_m=BM, block_n=BM,
+                       layout="joint", text_len=st)
+    g = rng(8)
+    neighbors = np.eye(nq, dtype=bool) | (g.uniform(size=(nq, nq)) < 0.1)
+    neighbors |= neighbors.T
+    text_valid = np.ones((1, st), bool)
+    text_valid[:, st - 5:] = False
+    kz = k.copy()
+    kz[:, :, sv + st - 5:] = 0.0  # caller zeroes invalid K/V
+    vz = v.copy()
+    vz[:, :, sv + st - 5:] = 0.0
+
+    plan = build_sparse_plan(
+        jnp.asarray(q), jnp.asarray(kz), jnp.asarray(vz), cfg,
+        neighbor_mask=jnp.asarray(neighbors),
+        text_valid=jnp.asarray(text_valid))
+    mask, r, comp = np_joint_plan(q, kz, vz, cfg, neighbors, text_valid)
+    np.testing.assert_array_equal(np.asarray(plan.block_mask), mask)
+    np.testing.assert_allclose(np.asarray(plan.r_factor), r, rtol=1e-3, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(plan.comp), comp, rtol=1e-3,
+                               atol=5e-4)
+    # indices/counts consistent with the mask
+    assert (np.asarray(plan.counts) == mask.sum(-1)).all()
+
+
+def np_visual_plan(q, k, v, cfg, neighbors):
+    b, h, sv, d = q.shape
+    nq = sv // cfg.block_m
+    sm = d ** -0.5
+    qp, kp = np_pool(q, cfg.block_m), np_pool(k, cfg.block_n)
+    scores_u = np.einsum("bhqd,bhkd->bhqk", qp, kp)
+    e = np.exp(scores_u * sm - (scores_u * sm).max(-1, keepdims=True))
+    probs = e / e.sum(-1, keepdims=True)
+    nogapr = np_gapr(q, k, cfg.block_m)
+    onehot, _ = np_topp_onehot(probs, cfg.p_remain, cfg.top_k_floor)
+    mask = onehot | neighbors[None, None, :nq, :nq]
+    if cfg.first_frame_blocks:
+        f = cfg.first_frame_blocks
+        mask[..., :f, :f] = True
+    partial = mask | nogapr
+    vp = np_pool(v, cfg.block_n)
+    r = np.where(partial, probs, 0).sum(-1)
+    comp = np.einsum("bhqk,bhkd->bhqd", np.where(partial, 0, probs), vp)
+    return mask, r, comp
+
+
+def test_visual_plan_matches_oracle():
+    g = rng(9)
+    b, h, nq, d = 1, 2, 8, 8
+    sv = nq * BM
+    q = g.normal(size=(b, h, sv, d)).astype(np.float32)
+    k = g.normal(size=(b, h, sv, d)).astype(np.float32)
+    v = g.normal(size=(b, h, sv, d)).astype(np.float32)
+    cfg = SparseConfig(top_k_floor=2, p_remain=0.35, block_m=BM, block_n=BM,
+                       layout="visual", first_frame_blocks=2)
+    neighbors = np.eye(nq, dtype=bool)
+    plan = build_sparse_plan(jnp.asarray(q), jnp.asarray(k), jnp.asarray(v),
+                             cfg, neighbor_mask=jnp.asarray(neighbors))
+    mask, r, comp = np_visual_plan(q, k, v, cfg, neighbors)
+    np.testing.assert_array_equal(np.asarray(plan.block_mask), mask)
+    np.testing.assert_allclose(np.asarray(plan.r_factor), r, rtol=1e-3, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(plan.comp), comp, rtol=1e-3,
+                               atol=5e-4)
+
+
+def test_plan_jits_without_host_sync():
+    import jax
+    q, k, v, sv, st = make_joint_inputs(seed=11)
+    cfg = SparseConfig(top_k_floor=1, p_remain=0.3, block_m=BM, block_n=BM,
+                       layout="joint", text_len=st)
+    f = jax.jit(lambda q, k, v: build_sparse_plan(q, k, v, cfg))
+    plan = f(jnp.asarray(q), jnp.asarray(k), jnp.asarray(v))
+    assert plan.block_mask.shape[-1] == (sv + st) // BM
