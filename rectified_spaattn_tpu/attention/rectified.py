@@ -1,0 +1,102 @@
+"""Rectified block-sparse attention — the public attention entry point.
+
+Combines the jitted mask pipeline (sparse/), the Pallas gather kernel
+(kernels/block_sparse.py) and the rectification math into the equivalent of
+the reference's ``rectified_block_sparse_attention`` /
+``block_sparse_attention_combined``
+(reference: rectified_hunyuan_attn.py:283-417 for the joint flavor,
+rectified_wan21_attn.py:276-386 for the visual-only flavor):
+
+  1. visual-query rows run the dynamic block-sparse kernel and are
+     rectified:  out = sparse_out * R + comp
+  2. text-query rows (joint layout) get exact dense attention over all keys
+  3. key/value positions outside the valid windows are zeroed before any
+     pooling so pooled statistics match the reference's masked_fill
+     (rectified_hunyuan_attn.py:306-308)
+
+All shapes are static; per-prompt text length enters as a traced [B] int32.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..sparse import SparseConfig, build_sparse_plan
+from ..kernels import block_sparse_flash_attention, dense_attention
+
+
+def kv_validity(batch: int, seq_len: int, visual_len: int,
+                text_start: Optional[int], text_len_rt: Optional[jax.Array],
+                text_len_max: int = 0) -> jax.Array:
+    """[B, S] bool — True at attendable key positions for the padded
+    [visual | visual-pad | text | text-pad] layout."""
+    pos = jnp.arange(seq_len)[None, :]
+    valid = pos < visual_len
+    if text_start is not None:
+        if text_len_rt is None:
+            text_len_rt = jnp.full((batch,), text_len_max, jnp.int32)
+        valid = valid | ((pos >= text_start) &
+                         (pos < text_start + text_len_rt[:, None]))
+    return jnp.broadcast_to(valid, (batch, seq_len))
+
+
+def rectified_sparse_attention(
+    q: jax.Array,                       # [B, H, S, D] (visual[+text], padded)
+    k: jax.Array,
+    v: jax.Array,
+    cfg: SparseConfig,
+    neighbor_mask: Optional[jax.Array] = None,   # [NB, NB] bool
+    *,
+    visual_len: int,                    # static true visual token count
+    text_len_rt: Optional[jax.Array] = None,     # [B] int32 (joint layout)
+    interpret: bool = False,
+) -> jax.Array:
+    """Returns [B, H, S, D] attention output in q.dtype (padded rows are
+    garbage and must be dropped by the caller, as in the reference)."""
+    b, h, s, d = q.shape
+    bm = cfg.block_m
+    if cfg.layout == "joint":
+        sv_pad = s - cfg.text_len
+        text_start = sv_pad
+    else:
+        sv_pad = s
+        text_start = None
+    assert sv_pad % bm == 0, (sv_pad, bm)
+    nq = sv_pad // bm
+
+    if text_len_rt is None and cfg.layout == "joint":
+        text_len_rt = jnp.full((b,), cfg.text_len, jnp.int32)
+    tlen = (text_len_rt.astype(jnp.int32) if text_len_rt is not None
+            else jnp.zeros((b,), jnp.int32))
+
+    # Zero K/V outside the valid windows (feeds pooled stats + kernel).
+    valid = kv_validity(b, s, visual_len, text_start, tlen)
+    k = jnp.where(valid[:, None, :, None], k, 0)
+    v = jnp.where(valid[:, None, :, None], v, 0)
+
+    text_valid = None
+    if cfg.layout == "joint":
+        text_valid = (jnp.arange(cfg.text_len)[None, :] < tlen[:, None])
+
+    q_vis = q[:, :, :sv_pad, :]
+    plan = build_sparse_plan(q_vis, k, v, cfg, neighbor_mask=neighbor_mask,
+                             text_valid=text_valid)
+
+    sparse_out = block_sparse_flash_attention(
+        q_vis, k, v, plan.indices, plan.counts, tlen,
+        visual_len=visual_len, text_start=text_start,
+        block_m=bm, block_n=cfg.block_n, interpret=interpret)
+
+    r_tok = jnp.repeat(plan.r_factor, bm, axis=-1)          # [B,H,Sv]
+    comp_tok = jnp.repeat(plan.comp, bm, axis=-2)           # [B,H,Sv,D]
+    out_vis = (sparse_out.astype(jnp.float32) * r_tok[..., None]
+               + comp_tok).astype(q.dtype)
+
+    if cfg.layout == "joint":
+        out_text = dense_attention(q[:, :, sv_pad:, :], k, v, valid,
+                                   mode="vanilla" if interpret else "flash")
+        return jnp.concatenate([out_vis, out_text.astype(q.dtype)], axis=2)
+    return out_vis

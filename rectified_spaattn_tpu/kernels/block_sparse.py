@@ -1,0 +1,260 @@
+"""Pallas TPU block-sparse flash attention (the framework's hot kernel).
+
+TPU-native replacement for the reference Triton kernel
+``_triton_block_sparse_attn_fwd_kernel_onehot``
+(reference: rectified_hunyuan_attn.py:15-168).  Same contract — each
+(batch·head, query-block) attends to a dynamic, data-dependent set of
+128-token key/value blocks with an online softmax — but a different
+machine mapping tuned for TPU cost structure:
+
+  * The mask is pre-compacted to per-row index lists
+    (sparse/ops.py:mask_to_indices); the kernel gathers exactly the
+    selected KV tiles from HBM (the paged-attention pattern), so compute
+    AND HBM traffic scale with the kept-block count — unlike the Triton
+    kernel, which streams every block and branches (:67-70).
+  * Selected blocks are processed in chunks of ``chunk_blocks`` (default 8):
+    one online-softmax update and one pair of MXU matmuls per chunk instead
+    of per block.  A 128×128 tile-pair is only ~43 ns of MXU work, so
+    per-block loop/DMA/softmax overhead would dominate at chunk size 1
+    (measured: ~10× overhead, no win over dense flash).
+  * K and V are packed token-interleaved ([S, 2, D]) so each block is ONE
+    contiguous DMA instead of two — descriptor issue overhead halves.
+  * Chunk buffers are double-buffered: chunk c+1's DMAs are issued before
+    waiting on chunk c.
+  * Softmax statistics are carried as fori_loop values (m, l, acc in fp32);
+    every grid cell is independent ("parallel"-safe).
+  * Key validity is evaluated in-kernel from a static visual prefix plus a
+    runtime text window, replacing the reference's seqlen prefix test
+    (:86-87) which cannot express a padded [visual | pad | text | pad]
+    layout.
+
+Block size 128×128 matches both the algorithm's mask granularity and the
+MXU systolic array.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+MASK_VALUE = -0.7 * float(jnp.finfo(jnp.float32).max)
+
+
+def _sparse_attn_kernel(
+    # SMEM inputs (trailing block dims equal the array dims — required by
+    # the Pallas TPU lowering for sub-(8,128) blocks)
+    counts_ref,      # [1, 1, 1, 1]  int32  — kept blocks for this (bh, q)
+    tlen_ref,        # [1, 1, 1]     int32  — runtime effective text length
+    idx_ref,         # [1, 1, 1, NB] int32  — compacted key-block indices
+    # VMEM / HBM inputs
+    q_ref,           # [1, bm, D]    VMEM
+    kv_hbm,          # [BH, S, 2, D] ANY — packed K/V, manually DMA'd
+    # outputs
+    o_ref,           # [1, bm, D]    VMEM
+    # scratch
+    kv_buf,          # [2, G, bn, 2, D] VMEM — double-buffered chunk gather
+    sems,            # DMA sems (2, G)
+    *,
+    block_n: int,
+    chunk_blocks: int,
+    sm_scale: float,
+    visual_len: int,     # static: tokens < visual_len are valid
+    text_start: int | None,  # static: text region offset (None = no text)
+    num_heads: int,
+):
+    del num_heads
+    bh = pl.program_id(0)
+    count = counts_ref[0, 0, 0, 0]
+    tlen = tlen_ref[0, 0, 0]
+    bm = q_ref.shape[1]
+    d = q_ref.shape[2]
+    g = chunk_blocks
+    nb = idx_ref.shape[-1]
+    num_chunks = (count + g - 1) // g
+
+    def block_dma(buf_slot, lane, block_idx):
+        return pltpu.make_async_copy(
+            kv_hbm.at[bh, pl.ds(block_idx * block_n, block_n)],
+            kv_buf.at[buf_slot, lane],
+            sems.at[buf_slot, lane])
+
+    def start_chunk(buf_slot, chunk_idx):
+        base = chunk_idx * g
+        for lane in range(g):
+            # clamp: the index tail repeats the last valid block, but the
+            # final chunk may reach past NB itself
+            pos = jnp.minimum(base + lane, nb - 1)
+            block_dma(buf_slot, lane, idx_ref[0, 0, 0, pos]).start()
+
+    start_chunk(0, 0)
+
+    q = q_ref[0].astype(jnp.float32) * sm_scale
+    q = q.astype(kv_buf.dtype)
+
+    init = (
+        jnp.full((bm, 1), -jnp.inf, jnp.float32),       # running max m
+        jnp.zeros((bm, 1), jnp.float32),                # running sum l
+        jnp.zeros((bm, d), jnp.float32),                # output accumulator
+    )
+
+    def body(c, carry):
+        m_prev, l_prev, acc = carry
+        buf_slot = jax.lax.rem(c, 2)
+        base = c * g
+
+        @pl.when(c + 1 < num_chunks)
+        def _():
+            start_chunk(1 - buf_slot, c + 1)
+
+        # Column coordinates of every gathered key, per lane (static unroll).
+        lane_cols = []
+        for lane in range(g):
+            pos = jnp.minimum(base + lane, nb - 1)
+            idx = idx_ref[0, 0, 0, pos]
+            lane_cols.append(idx * block_n + jax.lax.broadcasted_iota(
+                jnp.int32, (1, block_n), 1))
+            block_dma(buf_slot, lane, idx).wait()
+        cols = jnp.concatenate(lane_cols, axis=1)        # [1, g*bn]
+
+        kv = kv_buf[buf_slot]                            # [g, bn, 2, D]
+        k = kv[:, :, 0, :].reshape(g * block_n, d)
+        v = kv[:, :, 1, :].reshape(g * block_n, d)
+
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)          # [bm, g*bn]
+
+        # Validity: real slot (not chunk padding) ∧ token-level key window.
+        slot_ids = base + jax.lax.broadcasted_iota(
+            jnp.int32, (1, g * block_n), 1) // block_n
+        valid = slot_ids < count
+        valid &= cols < visual_len if text_start is None else (
+            (cols < visual_len) |
+            ((cols >= text_start) & (cols < text_start + tlen)))
+        s = jnp.where(valid, s, MASK_VALUE)
+
+        m_cur = jnp.max(s, axis=1, keepdims=True)
+        m_next = jnp.maximum(m_prev, m_cur)
+        alpha = jnp.exp(m_prev - m_next)
+        p = jnp.exp(s - m_next)
+        l_next = alpha * l_prev + jnp.sum(p, axis=1, keepdims=True)
+        acc = acc * alpha + jax.lax.dot(
+            p.astype(v.dtype), v, preferred_element_type=jnp.float32)
+        return m_next, l_next, acc
+
+    _, l, acc = jax.lax.fori_loop(0, num_chunks, body, init)
+    l_inv = jnp.where(l == 0.0, 1.0, 1.0 / l)
+    o_ref[0] = (acc * l_inv).astype(o_ref.dtype)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("block_m", "block_n", "sm_scale", "visual_len",
+                     "text_start", "chunk_blocks", "interpret"))
+def block_sparse_flash_attention(
+    q: jax.Array,          # [B, H, Sq, D]   (Sq % block_m == 0)
+    k: jax.Array,          # [B, H, S,  D]
+    v: jax.Array,          # [B, H, S,  D]
+    indices: jax.Array,    # [B, H, NQ, NB] int32 compacted block ids
+    counts: jax.Array,     # [B, H, NQ]     int32
+    text_len: jax.Array,   # [B]            int32 runtime effective text len
+    *,
+    visual_len: int,             # static true visual token count
+    text_start: int | None,      # static text-region offset (None = no text)
+    block_m: int = 128,
+    block_n: int = 128,
+    chunk_blocks: int = 8,
+    sm_scale: float | None = None,
+    interpret: bool = False,
+) -> jax.Array:
+    """Run masked flash attention over the selected key blocks.
+
+    Returns [B, H, Sq, D] in q.dtype — the softmax-normalised sparse
+    output (rectification is applied by the caller, attention/rectified.py).
+    """
+    b, h, sq, d = q.shape
+    s = k.shape[2]
+    nq = sq // block_m
+    nb = indices.shape[-1]
+    assert s % block_n == 0 and sq % block_m == 0
+    if sm_scale is None:
+        sm_scale = 1.0 / math.sqrt(d)
+
+    bh = b * h
+    qf = q.reshape(bh, sq, d)
+    kv = jnp.stack([k.reshape(bh, s, d), v.reshape(bh, s, d)], axis=2)
+    idx_f = indices.reshape(bh, nq, 1, nb)
+    counts_f = counts.reshape(bh, nq, 1, 1)
+    tlen_f = jnp.repeat(text_len.astype(jnp.int32), h).reshape(bh, 1, 1)
+
+    kernel = functools.partial(
+        _sparse_attn_kernel,
+        block_n=block_n,
+        chunk_blocks=chunk_blocks,
+        sm_scale=sm_scale,
+        visual_len=visual_len,
+        text_start=text_start,
+        num_heads=h,
+    )
+
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((bh, sq, d), q.dtype),
+        grid=(bh, nq),
+        in_specs=[
+            pl.BlockSpec((1, 1, 1, 1), lambda i, j: (i, j, 0, 0),
+                         memory_space=pltpu.SMEM),            # counts
+            pl.BlockSpec((1, 1, 1), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.SMEM),            # text_len
+            pl.BlockSpec((1, 1, 1, nb), lambda i, j: (i, j, 0, 0),
+                         memory_space=pltpu.SMEM),            # indices
+            pl.BlockSpec((1, block_m, d), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),            # q
+            pl.BlockSpec(memory_space=pl.ANY),                # packed KV
+        ],
+        out_specs=pl.BlockSpec((1, block_m, d), lambda i, j: (i, j, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((2, chunk_blocks, block_n, 2, d), k.dtype),
+            pltpu.SemaphoreType.DMA((2, chunk_blocks)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(counts_f, tlen_f, idx_f, qf, kv)
+    return out.reshape(b, h, sq, d)
+
+
+def block_sparse_attention_reference(
+    q: jax.Array,          # [B, H, Sq, D]
+    k: jax.Array,          # [B, H, S,  D]
+    v: jax.Array,          # [B, H, S,  D]
+    block_mask: jax.Array, # [B, H, NQ, NB] bool
+    kv_valid: jax.Array,   # [B, S] bool token-level key validity
+    *,
+    block_m: int = 128,
+    block_n: int = 128,
+    sm_scale: float | None = None,
+) -> jax.Array:
+    """O(S²) jnp oracle with identical semantics (materialises scores;
+    small shapes / tests only — the reference's "vanilla" mode analogue,
+    reference: attn.py:121-149)."""
+    b, h, sq, d = q.shape
+    s = k.shape[2]
+    if sm_scale is None:
+        sm_scale = 1.0 / math.sqrt(d)
+    scores = jnp.einsum("bhqd,bhkd->bhqk", q.astype(jnp.float32),
+                        k.astype(jnp.float32)) * sm_scale
+    tok_mask = jnp.repeat(jnp.repeat(block_mask, block_m, axis=2),
+                          block_n, axis=3)
+    tok_mask = tok_mask & kv_valid[:, None, None, :]
+    scores = jnp.where(tok_mask, scores, MASK_VALUE)
+    p = jax.nn.softmax(scores, axis=-1)
+    out = jnp.einsum("bhqk,bhkd->bhqd", p, v.astype(jnp.float32))
+    return out.astype(q.dtype)

@@ -12,3 +12,6 @@ if "xla_force_host_platform_device_count" not in flags:
 import jax  # noqa: E402
 
 jax.config.update("jax_enable_x64", False)
+# XLA CPU downgrades fp32 matmuls by default; tests compare against fp32
+# NumPy oracles, so force full precision.
+jax.config.update("jax_default_matmul_precision", "highest")

@@ -1,0 +1,116 @@
+"""Integration tests for rectified sparse attention: kernel + plan +
+rectification assembled, vs a from-scratch oracle (SURVEY §4 (c) analogue:
+sparse output = masked-dense * R + comp; text rows exact)."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from rectified_spaattn_tpu.sparse import SparseConfig, build_sparse_plan
+from rectified_spaattn_tpu.kernels import block_sparse_attention_reference
+from rectified_spaattn_tpu.attention import (
+    rectified_sparse_attention, attention, kv_validity)
+
+BM = 128
+
+
+def make(seed, b, h, s, d):
+    g = np.random.default_rng(seed)
+    return [g.normal(size=(b, h, s, d)).astype(np.float32) for _ in range(3)]
+
+
+def oracle(q, k, v, cfg, neighbors, visual_len, tlen):
+    """Assemble the expected output from already-tested pieces."""
+    b, h, s, d = q.shape
+    sv_pad = s - cfg.text_len if cfg.layout == "joint" else s
+    valid = np.asarray(kv_validity(
+        b, s, visual_len, sv_pad if cfg.layout == "joint" else None,
+        jnp.asarray(tlen, jnp.int32) if tlen is not None else None,
+        cfg.text_len))
+    kz = np.where(valid[:, None, :, None], k, 0)
+    vz = np.where(valid[:, None, :, None], v, 0)
+    text_valid = None
+    if cfg.layout == "joint":
+        text_valid = (np.arange(cfg.text_len)[None, :] < np.asarray(tlen)[:, None])
+    plan = build_sparse_plan(
+        jnp.asarray(q[:, :, :sv_pad]), jnp.asarray(kz), jnp.asarray(vz), cfg,
+        neighbor_mask=jnp.asarray(neighbors) if neighbors is not None else None,
+        text_valid=jnp.asarray(text_valid) if text_valid is not None else None)
+    sparse = np.asarray(block_sparse_attention_reference(
+        jnp.asarray(q[:, :, :sv_pad]), jnp.asarray(kz), jnp.asarray(vz),
+        plan.block_mask, jnp.asarray(valid), block_m=cfg.block_m,
+        block_n=cfg.block_n))
+    r = np.repeat(np.asarray(plan.r_factor), cfg.block_m, axis=-1)
+    comp = np.repeat(np.asarray(plan.comp), cfg.block_m, axis=-2)
+    out_vis = sparse * r[..., None] + comp
+    if cfg.layout == "joint":
+        # text rows: exact attention over all valid keys
+        from rectified_spaattn_tpu.kernels import dense_attention
+        out_text = np.asarray(dense_attention(
+            jnp.asarray(q[:, :, sv_pad:]), jnp.asarray(kz), jnp.asarray(vz),
+            jnp.asarray(valid), mode="vanilla"))
+        return np.concatenate([out_vis, out_text], axis=2)
+    return out_vis
+
+
+def test_joint_layout_end_to_end():
+    b, h, d = 1, 2, 64
+    nq, text_blocks = 3, 1
+    cfg = SparseConfig(top_k_floor=1, p_remain=0.3, layout="joint",
+                       text_len=text_blocks * BM)
+    s = nq * BM + cfg.text_len
+    q, k, v = make(0, b, h, s, d)
+    neighbors = np.eye(nq, dtype=bool)
+    visual_len = nq * BM
+    tlen = np.array([100], np.int64)
+
+    got = np.asarray(rectified_sparse_attention(
+        jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), cfg,
+        jnp.asarray(neighbors), visual_len=visual_len,
+        text_len_rt=jnp.asarray(tlen, jnp.int32), interpret=True))
+    want = oracle(q, k, v, cfg, neighbors, visual_len, tlen)
+    np.testing.assert_allclose(got, want, rtol=2e-3, atol=2e-3)
+
+
+def test_visual_layout_end_to_end():
+    b, h, d = 1, 2, 64
+    nq = 4
+    cfg = SparseConfig(top_k_floor=1, p_remain=0.3, layout="visual",
+                       first_frame_blocks=1)
+    s = nq * BM
+    q, k, v = make(1, b, h, s, d)
+    neighbors = np.eye(nq, dtype=bool)
+    visual_len = s - 40   # padded visual tail
+
+    got = np.asarray(rectified_sparse_attention(
+        jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), cfg,
+        jnp.asarray(neighbors), visual_len=visual_len, interpret=True))
+    want = oracle(q, k, v, cfg, None if False else neighbors, visual_len, None)
+    np.testing.assert_allclose(got, want, rtol=2e-3, atol=2e-3)
+
+
+def test_dense_modes_dispatch():
+    b, h, s, d = 1, 2, 256, 64
+    q, k, v = make(2, b, h, s, d)
+    out_f = np.asarray(attention(jnp.asarray(q), jnp.asarray(k),
+                                 jnp.asarray(v), mode="flash",
+                                 visual_len=s, interpret=True))
+    out_v = np.asarray(attention(jnp.asarray(q), jnp.asarray(k),
+                                 jnp.asarray(v), mode="vanilla",
+                                 visual_len=s))
+    np.testing.assert_allclose(out_f, out_v, rtol=1e-4, atol=1e-5)
+
+
+def test_sparse_at_full_density_approaches_dense():
+    """With p_remain=1.0 every block is selected: R≈1, comp≈0 and the
+    sparse path must reproduce dense attention (reference A/B property)."""
+    b, h, d = 1, 1, 64
+    nq = 3
+    cfg = SparseConfig(top_k_floor=nq, p_remain=1.0, layout="visual")
+    s = nq * BM
+    q, k, v = make(3, b, h, s, d)
+    got = np.asarray(rectified_sparse_attention(
+        jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), cfg, None,
+        visual_len=s, interpret=True))
+    want = np.asarray(attention(jnp.asarray(q), jnp.asarray(k),
+                                jnp.asarray(v), mode="vanilla", visual_len=s))
+    np.testing.assert_allclose(got, want, rtol=2e-3, atol=2e-3)

@@ -1,0 +1,134 @@
+"""Kernel tests (SURVEY §4 implication (b)): Pallas block-sparse output vs
+dense softmax oracle — exact with a full mask, masked-dense with random
+masks — run in interpreter mode on CPU."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from rectified_spaattn_tpu.kernels import (
+    block_sparse_flash_attention,
+    block_sparse_attention_reference,
+    dense_attention,
+)
+from rectified_spaattn_tpu.sparse.ops import mask_to_indices
+
+BM = BN = 128
+
+
+def make_inputs(seed, b, h, nq, nb, d, dtype=np.float32):
+    g = np.random.default_rng(seed)
+    q = g.normal(size=(b, h, nq * BM, d)).astype(dtype)
+    k = g.normal(size=(b, h, nb * BN, d)).astype(dtype)
+    v = g.normal(size=(b, h, nb * BN, d)).astype(dtype)
+    return q, k, v
+
+
+def run_sparse(q, k, v, mask, text_len_rt, visual_len, text_start):
+    idx, counts = mask_to_indices(jnp.asarray(mask))
+    return np.asarray(block_sparse_flash_attention(
+        jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), idx, counts,
+        jnp.asarray(text_len_rt, dtype=jnp.int32),
+        visual_len=visual_len, text_start=text_start, block_m=BM, block_n=BN,
+        interpret=True))
+
+
+def test_full_mask_equals_dense():
+    b, h, nq, nb, d = 1, 2, 2, 3, 64
+    q, k, v = make_inputs(0, b, h, nq, nb, d)
+    mask = np.ones((b, h, nq, nb), bool)
+    out = run_sparse(q, k, v, mask, np.zeros(b), visual_len=nb * BN,
+                     text_start=None)
+    want = np.asarray(dense_attention(
+        jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), mode="vanilla"))
+    np.testing.assert_allclose(out, want, rtol=2e-4, atol=2e-5)
+
+
+def test_random_mask_matches_reference():
+    b, h, nq, nb, d = 2, 2, 3, 5, 64
+    q, k, v = make_inputs(1, b, h, nq, nb, d)
+    g = np.random.default_rng(2)
+    mask = g.uniform(size=(b, h, nq, nb)) < 0.5
+    mask[..., 0] = True  # ensure >= 1 block per row
+    out = run_sparse(q, k, v, mask, np.zeros(b), visual_len=nb * BN,
+                     text_start=None)
+    kv_valid = jnp.ones((b, nb * BN), bool)
+    want = np.asarray(block_sparse_attention_reference(
+        jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), jnp.asarray(mask),
+        kv_valid, block_m=BM, block_n=BN))
+    np.testing.assert_allclose(out, want, rtol=2e-4, atol=2e-5)
+
+
+def test_validity_visual_prefix_and_text_window():
+    # Layout: [3 visual blocks (last 40 tokens padding) | 1 text block
+    # (only 100 tokens valid)]
+    b, h, nq, d = 1, 2, 3, 64
+    nb_vis, text_blocks = 3, 1
+    nb = nb_vis + text_blocks
+    visual_len = nb_vis * BN - 40
+    text_start = nb_vis * BN
+    tlen = np.array([100])
+    q, k, v = make_inputs(3, b, h, nq, nb, d)
+    g = np.random.default_rng(4)
+    mask = g.uniform(size=(b, h, nq, nb)) < 0.6
+    mask[..., -1] = True  # text block forced, as the pipeline does
+
+    out = run_sparse(q, k, v, mask, tlen, visual_len=visual_len,
+                     text_start=text_start)
+
+    kv_valid = np.zeros((b, nb * BN), bool)
+    kv_valid[:, :visual_len] = True
+    kv_valid[:, text_start:text_start + tlen[0]] = True
+    want = np.asarray(block_sparse_attention_reference(
+        jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), jnp.asarray(mask),
+        jnp.asarray(kv_valid), block_m=BM, block_n=BN))
+    np.testing.assert_allclose(out, want, rtol=2e-4, atol=2e-5)
+
+
+def test_bf16_close_to_fp32_oracle():
+    b, h, nq, nb, d = 1, 1, 2, 3, 64
+    q, k, v = make_inputs(5, b, h, nq, nb, d)
+    mask = np.random.default_rng(6).uniform(size=(b, h, nq, nb)) < 0.7
+    mask[..., 0] = True
+    out_bf16 = run_sparse(q.astype(jnp.bfloat16), k.astype(jnp.bfloat16),
+                          v.astype(jnp.bfloat16), mask, np.zeros(b),
+                          visual_len=nb * BN, text_start=None)
+    kv_valid = jnp.ones((b, nb * BN), bool)
+    want = np.asarray(block_sparse_attention_reference(
+        jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), jnp.asarray(mask),
+        kv_valid, block_m=BM, block_n=BN))
+    np.testing.assert_allclose(out_bf16.astype(np.float32), want,
+                               rtol=2e-2, atol=2e-2)
+
+
+def test_single_block_rows():
+    # counts == 1 everywhere: kernel degenerates to one-tile softmax.
+    b, h, nq, nb, d = 1, 1, 2, 4, 64
+    q, k, v = make_inputs(7, b, h, nq, nb, d)
+    mask = np.zeros((b, h, nq, nb), bool)
+    mask[..., 0, 2] = True
+    mask[..., 1, 0] = True
+    out = run_sparse(q, k, v, mask, np.zeros(b), visual_len=nb * BN,
+                     text_start=None)
+    want = np.asarray(block_sparse_attention_reference(
+        jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), jnp.asarray(mask),
+        jnp.ones((b, nb * BN), bool), block_m=BM, block_n=BN))
+    np.testing.assert_allclose(out, want, rtol=2e-4, atol=2e-5)
+
+
+def test_dense_attention_vanilla_masks_invalid_keys():
+    b, h, s, d = 1, 2, 256, 64
+    g = np.random.default_rng(8)
+    q = g.normal(size=(b, h, s, d)).astype(np.float32)
+    k = g.normal(size=(b, h, s, d)).astype(np.float32)
+    v = g.normal(size=(b, h, s, d)).astype(np.float32)
+    kv_valid = np.ones((b, s), bool)
+    kv_valid[:, 200:] = False
+    got = np.asarray(dense_attention(
+        jnp.asarray(q), jnp.asarray(k), jnp.asarray(v),
+        jnp.asarray(kv_valid), mode="vanilla"))
+    # oracle: drop the invalid keys entirely
+    want = np.asarray(dense_attention(
+        jnp.asarray(q), jnp.asarray(k[:, :, :200]), jnp.asarray(v[:, :, :200]),
+        mode="vanilla"))
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-5)
