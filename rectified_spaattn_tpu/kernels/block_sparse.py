@@ -12,13 +12,16 @@ machine mapping tuned for TPU cost structure:
     selected KV tiles from HBM (the paged-attention pattern), so compute
     AND HBM traffic scale with the kept-block count — unlike the Triton
     kernel, which streams every block and branches (:67-70).
-  * Selected blocks are processed in chunks of ``chunk_blocks`` (default 8):
+  * Selected blocks are processed in chunks of ``chunk_blocks`` (default 16):
     one online-softmax update and one pair of MXU matmuls per chunk instead
     of per block.  A 128×128 tile-pair is only ~43 ns of MXU work, so
     per-block loop/DMA/softmax overhead would dominate at chunk size 1
     (measured: ~10× overhead, no win over dense flash).
-  * K and V are packed token-interleaved ([S, 2, D]) so each block is ONE
-    contiguous DMA instead of two — descriptor issue overhead halves.
+  * K and V are packed along the lane dimension ([S, 2·D] with K in lanes
+    [:D] and V in lanes [D:]) so each block is ONE contiguous DMA instead
+    of two — descriptor issue overhead halves — and the in-VMEM split is a
+    free tile-aligned slice (a per-token interleave would force a stride-2
+    sublane gather, measured 5× slower than unchunked).
   * Chunk buffers are double-buffered: chunk c+1's DMAs are issued before
     waiting on chunk c.
   * Softmax statistics are carried as fori_loop values (m, l, acc in fp32);
@@ -53,11 +56,11 @@ def _sparse_attn_kernel(
     idx_ref,         # [1, 1, 1, NB] int32  — compacted key-block indices
     # VMEM / HBM inputs
     q_ref,           # [1, bm, D]    VMEM
-    kv_hbm,          # [BH, S, 2, D] ANY — packed K/V, manually DMA'd
+    kv_hbm,          # [BH, S, 2*D]  ANY — lane-packed K/V, manually DMA'd
     # outputs
     o_ref,           # [1, bm, D]    VMEM
     # scratch
-    kv_buf,          # [2, G, bn, 2, D] VMEM — double-buffered chunk gather
+    kv_buf,          # [2, G, bn, 2*D] VMEM — double-buffered chunk gather
     sems,            # DMA sems (2, G)
     *,
     block_n: int,
@@ -121,9 +124,9 @@ def _sparse_attn_kernel(
             block_dma(buf_slot, lane, idx).wait()
         cols = jnp.concatenate(lane_cols, axis=1)        # [1, g*bn]
 
-        kv = kv_buf[buf_slot]                            # [g, bn, 2, D]
-        k = kv[:, :, 0, :].reshape(g * block_n, d)
-        v = kv[:, :, 1, :].reshape(g * block_n, d)
+        kv = kv_buf[buf_slot]                            # [g, bn, 2*D]
+        k = kv[:, :, :d].reshape(g * block_n, d)
+        v = kv[:, :, d:].reshape(g * block_n, d)
 
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())),
@@ -168,7 +171,7 @@ def block_sparse_flash_attention(
     text_start: int | None,      # static text-region offset (None = no text)
     block_m: int = 128,
     block_n: int = 128,
-    chunk_blocks: int = 8,
+    chunk_blocks: int = 16,
     sm_scale: float | None = None,
     interpret: bool = False,
 ) -> jax.Array:
@@ -187,7 +190,7 @@ def block_sparse_flash_attention(
 
     bh = b * h
     qf = q.reshape(bh, sq, d)
-    kv = jnp.stack([k.reshape(bh, s, d), v.reshape(bh, s, d)], axis=2)
+    kv = jnp.concatenate([k.reshape(bh, s, d), v.reshape(bh, s, d)], axis=2)
     idx_f = indices.reshape(bh, nq, 1, nb)
     counts_f = counts.reshape(bh, nq, 1, 1)
     tlen_f = jnp.repeat(text_len.astype(jnp.int32), h).reshape(bh, 1, 1)
@@ -220,7 +223,7 @@ def block_sparse_flash_attention(
         out_specs=pl.BlockSpec((1, block_m, d), lambda i, j: (i, j, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((2, chunk_blocks, block_n, 2, d), k.dtype),
+            pltpu.VMEM((2, chunk_blocks, block_n, 2 * d), k.dtype),
             pltpu.SemaphoreType.DMA((2, chunk_blocks)),
         ],
         compiler_params=pltpu.CompilerParams(

@@ -1,0 +1,138 @@
+"""Flux.1-dev DiT backbone in flax (TPU-native re-implementation).
+
+The reference accelerates Flux.1-dev at 4096² via a ControlNet upscaler
+(reference: scripts/main_upflux.py:287-328; attention:
+rectified_flux_attn.py).  Architecture: 19 double (dual-stream) + 38
+single blocks, dim 3072 / 24 heads, 2-D rope over (text-id, h, w) axes
+with text tokens at position 0, guidance embedding.  t = 1 makes the Jenga
+curve 2-D.  The sparse layer gate (sparse iff processor_id < 37 or >= 57,
+rectified_flux_attn.py:493) is expressed as a per-layer attn_fn list.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+
+from .layers import (AdaLayerNormContinuous, DualStreamBlock, MLP,
+                     SingleStreamBlock, rope_axial_freqs,
+                     timestep_embedding, AttnFn)
+
+
+@dataclasses.dataclass(frozen=True)
+class FluxConfig:
+    in_channels: int = 64            # 2x2-packed 16ch latents
+    out_channels: int = 64
+    hidden_dim: int = 3072
+    heads: int = 24
+    head_dim: int = 128
+    num_dual_blocks: int = 19
+    num_single_blocks: int = 38
+    mlp_mult: float = 4.0
+    text_dim: int = 4096             # t5 hidden
+    pooled_dim: int = 768            # clip pooled
+    rope_axes_dim: tuple = (16, 56, 56)
+    rope_theta: float = 10000.0
+    guidance_embeds: bool = True
+
+    @classmethod
+    def tiny(cls):
+        return cls(in_channels=8, out_channels=8, hidden_dim=64, heads=2,
+                   head_dim=32, num_dual_blocks=1, num_single_blocks=1,
+                   text_dim=32, pooled_dim=16, rope_axes_dim=(8, 12, 12))
+
+
+class FluxDiT(nn.Module):
+    """Input: packed latent tokens [B, Sv, in_channels] (the Flux pipeline
+    packs 2x2 latent patches before the transformer), text [B, St, text_dim],
+    pooled [B, pooled_dim]."""
+    cfg: FluxConfig
+
+    def setup(self):
+        c = self.cfg
+        self.x_embedder = nn.Dense(c.hidden_dim, name="x_embedder")
+        self.context_embedder = nn.Dense(c.hidden_dim, name="context_embedder")
+        self.time_in = nn.Dense(c.hidden_dim, name="time_in")
+        self.time_mlp = MLP(c.hidden_dim, 1.0, name="time_mlp")
+        self.pooled_in = nn.Dense(c.hidden_dim, name="pooled_in")
+        self.pooled_mlp = MLP(c.hidden_dim, 1.0, name="pooled_mlp")
+        if c.guidance_embeds:
+            self.guide_in = nn.Dense(c.hidden_dim, name="guide_in")
+            self.guide_mlp = MLP(c.hidden_dim, 1.0, name="guide_mlp")
+        self.dual_blocks = [
+            DualStreamBlock(c.hidden_dim, c.heads, c.mlp_mult,
+                            name=f"dual_{i}")
+            for i in range(c.num_dual_blocks)]
+        self.single_blocks = [
+            SingleStreamBlock(c.hidden_dim, c.heads, c.mlp_mult,
+                              name=f"single_{i}")
+            for i in range(c.num_single_blocks)]
+        self.norm_out = AdaLayerNormContinuous(c.hidden_dim, name="norm_out")
+        self.proj_out = nn.Dense(c.out_channels, name="proj_out")
+
+    def _rope(self, grid_h, grid_w, perm):
+        c = self.cfg
+        yy, xx = jnp.meshgrid(jnp.arange(grid_h), jnp.arange(grid_w),
+                              indexing="ij")
+        zeros = jnp.zeros_like(yy.ravel())
+        cos, sin = rope_axial_freqs(
+            (1, grid_h, grid_w), c.rope_axes_dim,
+            (zeros, yy.ravel(), xx.ravel()), theta=c.rope_theta)
+        if perm is not None:
+            cos, sin = cos[perm], sin[perm]
+        return cos, sin
+
+    def embed(self, latent_tokens, timestep, text_emb, pooled, guidance,
+              grid_h, grid_w, hilbert_to_linear):
+        c = self.cfg
+        x = self.x_embedder(latent_tokens)
+        ctx = self.context_embedder(text_emb)
+        temb = self.time_mlp(self.time_in(
+            timestep_embedding(timestep * 1000.0, 256)))
+        temb = temb + self.pooled_mlp(self.pooled_in(pooled))
+        if c.guidance_embeds and guidance is not None:
+            temb = temb + self.guide_mlp(self.guide_in(
+                timestep_embedding(guidance * 1000.0, 256)))
+        rope = self._rope(grid_h, grid_w, hilbert_to_linear)
+        if hilbert_to_linear is not None:
+            x = jnp.take(x, hilbert_to_linear, axis=1)
+        return x, ctx, temb, rope
+
+    def run_blocks(self, x, ctx, temb, rope, attn_fn: AttnFn,
+                   dual_attn_fns: Optional[Sequence[AttnFn]] = None,
+                   single_attn_fns: Optional[Sequence[AttnFn]] = None,
+                   controlnet_dual_residuals=None):
+        """ControlNet residuals (Hilbert-permuted by the caller, as the
+        reference permutes them, scripts/main_upflux.py:114-116) are added
+        to the visual stream after each dual block."""
+        for i, blk in enumerate(self.dual_blocks):
+            fn = dual_attn_fns[i] if dual_attn_fns is not None else attn_fn
+            x, ctx = blk(x, ctx, temb, rope, fn)
+            if controlnet_dual_residuals is not None:
+                x = x + controlnet_dual_residuals[i]
+        for i, blk in enumerate(self.single_blocks):
+            fn = single_attn_fns[i] if single_attn_fns is not None else attn_fn
+            x, ctx = blk(x, ctx, temb, rope, fn)
+        return x, ctx
+
+    def head(self, x, temb, linear_to_hilbert):
+        if linear_to_hilbert is not None:
+            x = jnp.take(x, linear_to_hilbert, axis=1)
+        return self.proj_out(self.norm_out(x, temb))
+
+    def __call__(self, latent_tokens, timestep, text_emb, pooled,
+                 guidance=None, grid_h=None, grid_w=None,
+                 hilbert_to_linear=None, linear_to_hilbert=None,
+                 attn_fn: Optional[AttnFn] = None):
+        if attn_fn is None:
+            from ..attention import attention
+            attn_fn = lambda q, k, v: attention(q, k, v, mode="vanilla")
+        x, ctx, temb, rope = self.embed(latent_tokens, timestep, text_emb,
+                                        pooled, guidance, grid_h, grid_w,
+                                        hilbert_to_linear)
+        x, ctx = self.run_blocks(x, ctx, temb, rope, attn_fn)
+        return self.head(x, temb, linear_to_hilbert)

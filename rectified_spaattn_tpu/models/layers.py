@@ -1,0 +1,333 @@
+"""Shared DiT building blocks (flax.linen), used by every model family.
+
+One configurable skeleton instead of the reference's five forked
+transformer copies (SURVEY §7: "config-driven variants of ONE
+implementation, not 5 forks").  All modules operate on [B, S, C] token
+streams; attention functions are injected (no monkey-patching — the
+reference patches diffusers processors at runtime,
+scripts/main_hunyuan.py:270-278).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+
+# An attention function: (q, k, v) [B,H,S,D] -> [B,H,S,D].
+AttnFn = Callable[[jax.Array, jax.Array, jax.Array], jax.Array]
+
+
+def timestep_embedding(t: jax.Array, dim: int, max_period: float = 10000.0,
+                       flip_sin_to_cos: bool = True,
+                       downscale_freq_shift: float = 0.0) -> jax.Array:
+    """Sinusoidal timestep features [B(, S), dim] (diffusers convention)."""
+    half = dim // 2
+    freqs = jnp.exp(
+        -math.log(max_period)
+        * jnp.arange(half, dtype=jnp.float32)
+        / (half - downscale_freq_shift))
+    args = t.astype(jnp.float32)[..., None] * freqs
+    sin, cos = jnp.sin(args), jnp.cos(args)
+    emb = jnp.concatenate([cos, sin] if flip_sin_to_cos else [sin, cos],
+                          axis=-1)
+    if dim % 2:
+        emb = jnp.pad(emb, [(0, 0)] * (emb.ndim - 1) + [(0, 1)])
+    return emb
+
+
+class RMSNorm(nn.Module):
+    """RMS norm over the trailing dim (used for q/k norms)."""
+    dim: int
+    eps: float = 1e-6
+    elementwise_affine: bool = True
+
+    @nn.compact
+    def __call__(self, x):
+        dtype = x.dtype
+        x = x.astype(jnp.float32)
+        var = jnp.mean(jnp.square(x), axis=-1, keepdims=True)
+        x = x * jax.lax.rsqrt(var + self.eps)
+        if self.elementwise_affine:
+            w = self.param("scale", nn.initializers.ones, (self.dim,))
+            x = x * w
+        return x.astype(dtype)
+
+
+class AdaLayerNormZero(nn.Module):
+    """LayerNorm whose scale/shift/gates come from the conditioning vector
+    (the DiT adaLN-Zero pattern).  Emits (normed_x, gate_msa, shift_mlp,
+    scale_mlp, gate_mlp)."""
+    dim: int
+
+    @nn.compact
+    def __call__(self, x, emb):
+        emb = nn.Dense(6 * self.dim, name="linear")(nn.silu(emb))
+        shift_msa, scale_msa, gate_msa, shift_mlp, scale_mlp, gate_mlp = (
+            jnp.split(emb, 6, axis=-1))
+        normed = nn.LayerNorm(use_bias=False, use_scale=False,
+                              epsilon=1e-6)(x)
+        # emb may be [B, C] (broadcast) or [B, S, C] (per-token timesteps,
+        # Wan2.2 TI2V — reference: scripts/main_wan22ti2v.py:81-96)
+        def mod(v):
+            return v[:, None] if v.ndim == 2 else v
+        x = normed * (1 + mod(scale_msa)) + mod(shift_msa)
+        return x, mod(gate_msa), mod(shift_mlp), mod(scale_mlp), mod(gate_mlp)
+
+
+class AdaLayerNormContinuous(nn.Module):
+    """Final-layer modulated norm: x * (1+scale) + shift from conditioning."""
+    dim: int
+
+    @nn.compact
+    def __call__(self, x, emb):
+        emb = nn.Dense(2 * self.dim, name="linear")(nn.silu(emb))
+        shift, scale = jnp.split(emb, 2, axis=-1)
+        def mod(v):
+            return v[:, None] if v.ndim == 2 else v
+        x = nn.LayerNorm(use_bias=False, use_scale=False, epsilon=1e-6)(x)
+        return x * (1 + mod(scale)) + mod(shift)
+
+
+class MLP(nn.Module):
+    dim: int
+    mult: float = 4.0
+    activation: str = "gelu_tanh"
+
+    @nn.compact
+    def __call__(self, x):
+        hidden = int(self.dim * self.mult)
+        x = nn.Dense(hidden, name="fc1")(x)
+        if self.activation == "gelu_tanh":
+            x = nn.gelu(x, approximate=True)
+        elif self.activation == "gelu":
+            x = nn.gelu(x, approximate=False)
+        elif self.activation == "silu":
+            x = nn.silu(x)
+        else:
+            raise ValueError(self.activation)
+        return nn.Dense(self.dim, name="fc2")(x)
+
+
+# ----------------------------------------------------------------- RoPE ----
+
+def rope_axial_freqs(dims: tuple[int, ...], head_dim_split: tuple[int, ...],
+                     positions: tuple[jax.Array, ...],
+                     theta: float = 10000.0) -> tuple[jax.Array, jax.Array]:
+    """Axial multi-dim RoPE tables (Hunyuan / Flux / CogVideoX style).
+
+    For each axis a with ``head_dim_split[a]`` channels, frequencies are
+    1/theta^(2i/d_a); returns (cos, sin) of shape [S, sum(d_a)//1] matching
+    the interleaved-pairs convention (channel pairs rotated together).
+    """
+    del dims
+    cos_parts, sin_parts = [], []
+    for d_a, pos in zip(head_dim_split, positions):
+        half = d_a // 2
+        freqs = 1.0 / (theta ** (jnp.arange(half, dtype=jnp.float32) * 2 / d_a))
+        angles = pos.astype(jnp.float32)[:, None] * freqs[None, :]  # [S, half]
+        cos_parts.append(jnp.cos(angles))
+        sin_parts.append(jnp.sin(angles))
+    return (jnp.concatenate(cos_parts, -1), jnp.concatenate(sin_parts, -1))
+
+
+def apply_rope_interleaved(x: jax.Array, cos: jax.Array,
+                           sin: jax.Array) -> jax.Array:
+    """Rotate channel pairs (x0,x1),(x2,x3)... — diffusers
+    ``apply_rotary_emb`` interleaved convention (Hunyuan/Flux/Cog).
+    x: [B,H,S,D]; cos/sin: [S, D/2]."""
+    dtype = x.dtype
+    xf = x.astype(jnp.float32)
+    x_pairs = xf.reshape(*xf.shape[:-1], -1, 2)
+    x0, x1 = x_pairs[..., 0], x_pairs[..., 1]
+    c = cos[None, None, :, :]
+    s = sin[None, None, :, :]
+    out = jnp.stack([x0 * c - x1 * s, x0 * s + x1 * c], axis=-1)
+    return out.reshape(xf.shape).astype(dtype)
+
+
+def apply_rope_complex(x: jax.Array, cos: jax.Array,
+                       sin: jax.Array) -> jax.Array:
+    """Wan-style rotation: mathematically identical to interleaved pairs
+    (the reference implements it with complex multiply,
+    rectified_wan21_attn.py:434-441)."""
+    return apply_rope_interleaved(x, cos, sin)
+
+
+# --------------------------------------------------------------- blocks ----
+
+class JointAttention(nn.Module):
+    """Joint attention over [visual ; text] with per-stream qkv projections
+    (MMDiT / dual-stream pattern used by Hunyuan, Flux)."""
+    dim: int
+    heads: int
+    qk_norm: bool = True
+
+    @nn.compact
+    def __call__(self, x, ctx, rope, attn_fn: AttnFn):
+        b, sv, _ = x.shape
+        st = ctx.shape[1]
+        hd = self.dim // self.heads
+
+        def qkv(stream, prefix):
+            q = nn.Dense(self.dim, name=f"{prefix}to_q")(stream)
+            k = nn.Dense(self.dim, name=f"{prefix}to_k")(stream)
+            v = nn.Dense(self.dim, name=f"{prefix}to_v")(stream)
+            split = lambda t: t.reshape(b, -1, self.heads, hd).transpose(0, 2, 1, 3)
+            return split(q), split(k), split(v)
+
+        q_x, k_x, v_x = qkv(x, "")
+        q_c, k_c, v_c = qkv(ctx, "add_")
+        if self.qk_norm:
+            q_x = RMSNorm(hd, name="norm_q")(q_x)
+            k_x = RMSNorm(hd, name="norm_k")(k_x)
+            q_c = RMSNorm(hd, name="norm_added_q")(q_c)
+            k_c = RMSNorm(hd, name="norm_added_k")(k_c)
+        if rope is not None:
+            cos, sin = rope
+            q_x = apply_rope_interleaved(q_x, cos, sin)
+            k_x = apply_rope_interleaved(k_x, cos, sin)
+        q = jnp.concatenate([q_x, q_c], axis=2)
+        k = jnp.concatenate([k_x, k_c], axis=2)
+        v = jnp.concatenate([v_x, v_c], axis=2)
+
+        out = attn_fn(q, k, v)                       # [B,H,Sv+St,D]
+        out = out.transpose(0, 2, 1, 3).reshape(b, sv + st, self.dim)
+        out_x, out_c = out[:, :sv], out[:, sv:]
+        out_x = nn.Dense(self.dim, name="to_out")(out_x)
+        out_c = nn.Dense(self.dim, name="to_add_out")(out_c)
+        return out_x, out_c
+
+
+class DualStreamBlock(nn.Module):
+    """MMDiT block: visual and text streams with separate norms/MLPs and
+    one joint attention (Hunyuan dual-stream / Flux double blocks)."""
+    dim: int
+    heads: int
+    mlp_mult: float = 4.0
+
+    @nn.compact
+    def __call__(self, x, ctx, temb, rope, attn_fn: AttnFn):
+        xn, xg_msa, x_shift, x_scale, xg_mlp = AdaLayerNormZero(
+            self.dim, name="norm1")(x, temb)
+        cn, cg_msa, c_shift, c_scale, cg_mlp = AdaLayerNormZero(
+            self.dim, name="norm1_context")(ctx, temb)
+        attn_x, attn_c = JointAttention(
+            self.dim, self.heads, name="attn")(xn, cn, rope, attn_fn)
+        x = x + xg_msa * attn_x
+        ctx = ctx + cg_msa * attn_c
+        xm = nn.LayerNorm(use_bias=False, use_scale=False,
+                          epsilon=1e-6, name="norm2")(x)
+        xm = xm * (1 + x_scale) + x_shift
+        x = x + xg_mlp * MLP(self.dim, self.mlp_mult, name="ff")(xm)
+        cm = nn.LayerNorm(use_bias=False, use_scale=False,
+                          epsilon=1e-6, name="norm2_context")(ctx)
+        cm = cm * (1 + c_scale) + c_shift
+        ctx = ctx + cg_mlp * MLP(self.dim, self.mlp_mult,
+                                 name="ff_context")(cm)
+        return x, ctx
+
+
+class SingleStreamBlock(nn.Module):
+    """Parallel attention+MLP over the fused [visual ; text] stream
+    (Hunyuan single-stream / Flux single blocks)."""
+    dim: int
+    heads: int
+    mlp_mult: float = 4.0
+
+    @nn.compact
+    def __call__(self, x, ctx, temb, rope, attn_fn: AttnFn):
+        b, sv, _ = x.shape
+        st = ctx.shape[1]
+        hd = self.dim // self.heads
+        fused = jnp.concatenate([x, ctx], axis=1)
+        normed, gate, _, _, _ = AdaLayerNormZero(self.dim, name="norm")(
+            fused, temb)
+
+        qkv = nn.Dense(3 * self.dim, name="to_qkv")(normed)
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+        split = lambda t: t.reshape(b, -1, self.heads, hd).transpose(0, 2, 1, 3)
+        q, k, v = split(q), split(k), split(v)
+        q = RMSNorm(hd, name="norm_q")(q)
+        k = RMSNorm(hd, name="norm_k")(k)
+        if rope is not None:
+            cos, sin = rope
+            q = q.at[:, :, :sv].set(apply_rope_interleaved(q[:, :, :sv], cos, sin))
+            k = k.at[:, :, :sv].set(apply_rope_interleaved(k[:, :, :sv], cos, sin))
+        attn = attn_fn(q, k, v)
+        attn = attn.transpose(0, 2, 1, 3).reshape(b, sv + st, self.dim)
+
+        mlp_h = nn.Dense(int(self.dim * self.mlp_mult), name="proj_mlp")(normed)
+        mlp_h = nn.gelu(mlp_h, approximate=True)
+        out = nn.Dense(self.dim, name="proj_out")(
+            jnp.concatenate([attn, mlp_h], axis=-1))
+        fused = fused + gate * out
+        return fused[:, :sv], fused[:, sv:]
+
+
+class CrossAttnBlock(nn.Module):
+    """Wan-style block: modulated self-attention over visual tokens, then
+    un-modulated cross-attention to text, then modulated FFN
+    (reference: Wan drivers keep attn1 sparse / attn2 dense-flash,
+    scripts/main_wan21t2v.py:293-301)."""
+    dim: int
+    heads: int
+    mlp_mult: float = 4.0
+    image_cross: bool = False    # Wan I2V: extra image-context cross attn
+
+    @nn.compact
+    def __call__(self, x, ctx, temb, rope, self_attn_fn: AttnFn,
+                 cross_attn_fn: AttnFn, ctx_img=None):
+        b, sv, _ = x.shape
+        hd = self.dim // self.heads
+        split = lambda t: t.reshape(b, -1, self.heads, hd).transpose(0, 2, 1, 3)
+        merge = lambda t: t.transpose(0, 2, 1, 3).reshape(b, -1, self.dim)
+
+        # Wan modulation: 6 learned tables added to the time embedding.
+        mod = self.param("scale_shift_table",
+                         nn.initializers.normal(0.02), (1, 6, self.dim))
+        tm = temb[:, None] if temb.ndim == 2 else temb      # [B,1|S,C]
+        m = mod[:, None] + tm[:, :, None]                   # [B,1|S,6,C]
+        shift_msa, scale_msa, gate_msa, shift_mlp, scale_mlp, gate_mlp = (
+            m[:, :, i] for i in range(6))
+
+        xn = nn.LayerNorm(use_bias=False, use_scale=False, epsilon=1e-6,
+                          name="norm1")(x)
+        xn = xn * (1 + scale_msa) + shift_msa
+        q = RMSNorm(hd, name="attn1_norm_q")(split(
+            nn.Dense(self.dim, name="attn1_to_q")(xn)))
+        k = RMSNorm(hd, name="attn1_norm_k")(split(
+            nn.Dense(self.dim, name="attn1_to_k")(xn)))
+        v = split(nn.Dense(self.dim, name="attn1_to_v")(xn))
+        if rope is not None:
+            cos, sin = rope
+            q = apply_rope_complex(q, cos, sin)
+            k = apply_rope_complex(k, cos, sin)
+        attn = merge(self_attn_fn(q, k, v))
+        attn = nn.Dense(self.dim, name="attn1_to_out")(attn)
+        x = x + gate_msa * attn
+
+        # Cross attention to text (always dense).
+        xc = nn.LayerNorm(epsilon=1e-6, use_scale=True, use_bias=True,
+                          name="norm2")(x)
+        q2 = RMSNorm(hd, name="attn2_norm_q")(split(
+            nn.Dense(self.dim, name="attn2_to_q")(xc)))
+        k2 = RMSNorm(hd, name="attn2_norm_k")(split(
+            nn.Dense(self.dim, name="attn2_to_k")(ctx)))
+        v2 = split(nn.Dense(self.dim, name="attn2_to_v")(ctx))
+        cross = cross_attn_fn(q2, k2, v2)
+        if self.image_cross and ctx_img is not None:
+            k2i = RMSNorm(hd, name="attn2_norm_added_k")(split(
+                nn.Dense(self.dim, name="attn2_add_k_proj")(ctx_img)))
+            v2i = split(nn.Dense(self.dim, name="attn2_add_v_proj")(ctx_img))
+            cross = cross + cross_attn_fn(q2, k2i, v2i)
+        x = x + nn.Dense(self.dim, name="attn2_to_out")(merge(cross))
+
+        xm = nn.LayerNorm(use_bias=False, use_scale=False, epsilon=1e-6,
+                          name="norm3")(x)
+        xm = xm * (1 + scale_mlp) + shift_mlp
+        x = x + gate_mlp * MLP(self.dim, self.mlp_mult, name="ffn")(xm)
+        return x

