@@ -58,6 +58,18 @@ def rectified_sparse_attention(
     garbage and must be dropped by the caller, as in the reference)."""
     b, h, s, d = q.shape
     bm = cfg.block_m
+    sv_true = s - cfg.text_len if cfg.layout == "joint" else s
+    pad = (-sv_true) % bm
+    if pad:
+        # Pad the visual region to a block multiple with zero tokens
+        # between visual and text (the reference pads inside the call,
+        # rectified_wan21_attn.py:299-304 / rectified_cogvideo_attn.py:308).
+        def ins(x):
+            z = jnp.zeros((b, h, pad, d), x.dtype)
+            return jnp.concatenate([x[:, :, :sv_true], z, x[:, :, sv_true:]],
+                                   axis=2)
+        q, k, v = ins(q), ins(k), ins(v)
+        s += pad
     if cfg.layout == "joint":
         sv_pad = s - cfg.text_len
         text_start = sv_pad
@@ -98,5 +110,10 @@ def rectified_sparse_attention(
     if cfg.layout == "joint":
         out_text = dense_attention(q[:, :, sv_pad:, :], k, v, valid,
                                    mode="vanilla" if interpret else "flash")
-        return jnp.concatenate([out_vis, out_text.astype(q.dtype)], axis=2)
-    return out_vis
+        out = jnp.concatenate([out_vis, out_text.astype(q.dtype)], axis=2)
+    else:
+        out = out_vis
+    if pad:
+        out = jnp.concatenate([out[:, :, :sv_true], out[:, :, sv_pad:]],
+                              axis=2)
+    return out

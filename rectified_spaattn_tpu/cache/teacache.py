@@ -1,0 +1,176 @@
+"""TeaCache — step-residual caching across diffusion steps.
+
+The orthogonal second speedup tier: the whole transformer-stack residual
+(hidden_out - hidden_in) is cached; a step is SKIPPED (residual re-applied)
+when the modulated input changed little since the last computed step, as
+measured by an accumulated, polynomial-rescaled relative-L1 signal
+(reference: scripts/main_hunyuan.py:110-157; CFG dual-state variant
+scripts/main_wan21t2v.py:105-133).
+
+TPU design (SURVEY §7): the rel-L1 signal is computed on device inside the
+jitted embed stage; ONE scalar per step crosses to the host, where the
+Python sampler loop branches — the skip decision is inherently
+data-dependent and deliberately lives outside jit.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+# Per-checkpoint polynomial rescaling coefficients for the raw rel-L1
+# signal (numpy.poly1d convention: highest power first).  The reference
+# hard-codes these in each driver (main_hunyuan.py:118,
+# main_wan21t2v.py:273-286, main_cogvideox.py:20-25).
+COEFFICIENTS: dict[str, list[float]] = {
+    "hunyuan-video": [7.33226126e+02, -4.01131952e+02, 6.75869174e+01,
+                      -3.14987800e+00, 9.61237896e-02],
+    "wan2.1-t2v-1.3b": [2.39676752e+03, -1.31110545e+03, 2.01331979e+02,
+                        -8.29855975e+00, 1.37887774e-01],
+    "wan2.1-t2v-14b": [-5784.54975374, 5449.50911966, -1811.16591783,
+                       256.27178429, -13.02252404],
+    "wan2.1-t2v-14b-ret": [-3.03318725e+05, 4.90537029e+04, -2.65530556e+03,
+                           5.87365115e+01, -3.15583525e-01],
+    "wan2.1-i2v-480p": [-3.02331670e+02, 2.23948934e+02, -5.25463970e+01,
+                        5.87348440e+00, -2.01973289e-01],
+    "wan2.1-i2v-480p-ret": [2.57151496e+05, -3.54229917e+04, 1.40286849e+03,
+                            -1.35890334e+01, 1.32517977e-01],
+    "wan2.1-i2v-720p": [-114.36346466, 65.26524496, -18.82220707,
+                        4.91518089, -0.23412683],
+    "wan2.1-i2v-720p-ret": [8.10705460e+03, 2.13393892e+02, -3.72934672e+01,
+                            1.66203073e+00, -4.17769401e-02],
+    "cogvideox1.5-5b": [-1.53880483e+03, 8.43202495e+02, -1.34363087e+02,
+                        7.97131516e+00, -5.23162339e-02],
+    "cogvideox1.5-5b-i2v": [-1.53880483e+03, 8.43202495e+02, -1.34363087e+02,
+                            7.97131516e+00, -5.23162339e-02],
+    "flux-dev": [4.98651651e+02, -2.83781631e+02, 5.58554382e+01,
+                 -3.82021401e+00, 2.64230861e-01],
+    "wan2.2-ti2v-5b": [-3.03318725e+05, 4.90537029e+04, -2.65530556e+03,
+                       5.87365115e+01, -3.15583525e-01],
+    "wan2.2-a14b": [-3.03318725e+05, 4.90537029e+04, -2.65530556e+03,
+                    5.87365115e+01, -3.15583525e-01],
+    "identity": [1.0, 0.0],
+}
+
+
+def rel_l1_signal(modulated: jax.Array, previous: jax.Array) -> jax.Array:
+    """Device-side raw signal: mean|Δ| / mean|prev|
+    (reference: main_hunyuan.py:120).  Returns a scalar array — read it on
+    host once per step."""
+    num = jnp.mean(jnp.abs(modulated.astype(jnp.float32)
+                           - previous.astype(jnp.float32)))
+    den = jnp.mean(jnp.abs(previous.astype(jnp.float32)))
+    return num / jnp.maximum(den, 1e-12)
+
+
+@dataclasses.dataclass
+class TeaCacheState:
+    """Host-side state for one cached stream (cond or uncond)."""
+    accumulated: float = 0.0
+    previous_modulated: Optional[jax.Array] = None
+    previous_residual: Optional[jax.Array] = None
+    previous_residual_ctx: Optional[jax.Array] = None
+    skipped_steps: int = 0
+    computed_steps: int = 0
+
+
+@dataclasses.dataclass
+class TeaCache:
+    """TeaCache controller.
+
+    Args:
+      thresh: accumulated-signal threshold (CLI --rel_l1_thresh /
+        --teacache_thresh).
+      num_steps: total forward CALLS (CFG counts each pass: the Wan
+        drivers set num_steps = steps*2, main_wan21t2v.py:264).
+      coefficients: polynomial for rescaling, or a model key into
+        COEFFICIENTS.
+      ret_steps / cutoff_steps: the accumulate window in CALL units —
+        calls outside [ret_steps, cutoff_steps) always compute
+        (reference: main_wan21t2v.py:107-117; Hunyuan's first/last-step
+        forcing, main_hunyuan.py:114, is the default window
+        [cfg_streams, num_steps - cfg_streams)).
+      cfg_streams: 2 for classifier-free-guidance even/odd dual state
+        (Wan, main_wan21t2v.py:105-133), else 1.
+    """
+    thresh: float
+    num_steps: int
+    coefficients: list | str = "identity"
+    ret_steps: Optional[int] = None
+    cutoff_steps: Optional[int] = None
+    cfg_streams: int = 1
+
+    def __post_init__(self):
+        coeffs = (COEFFICIENTS[self.coefficients]
+                  if isinstance(self.coefficients, str) else self.coefficients)
+        self._poly = np.poly1d(coeffs)
+        self.states = [TeaCacheState() for _ in range(self.cfg_streams)]
+        self._call_count = 0
+
+    @property
+    def enabled(self) -> bool:
+        return self.thresh > 0
+
+    def reset(self):
+        self.states = [TeaCacheState() for _ in range(self.cfg_streams)]
+        self._call_count = 0
+
+    def should_compute(self, modulated: jax.Array) -> bool:
+        """Decide whether the transformer stack must run this call.
+
+        ``modulated`` is the device scalar-source tensor (block-0 norm1
+        output or timestep projection, model-specific).  Exactly one host
+        readback of one scalar happens here.
+        """
+        cnt = self._call_count
+        self._call_count += 1
+        st = self.states[cnt % self.cfg_streams]
+
+        ret = self.ret_steps if self.ret_steps is not None else self.cfg_streams
+        cutoff = (self.cutoff_steps if self.cutoff_steps is not None
+                  else self.num_steps - self.cfg_streams)
+        if (cnt < ret or cnt >= cutoff
+                or st.previous_modulated is None):
+            compute = True
+            st.accumulated = 0.0
+        else:
+            raw = float(rel_l1_signal(modulated, st.previous_modulated))
+            st.accumulated += float(self._poly(raw))
+            if abs(st.accumulated) < self.thresh:
+                compute = False
+            else:
+                compute = True
+                st.accumulated = 0.0
+        st.previous_modulated = modulated
+        if compute:
+            st.computed_steps += 1
+        else:
+            st.skipped_steps += 1
+        return compute
+
+    def apply_residual(self, hidden, ctx=None):
+        stream = (self._call_count - 1) % self.cfg_streams
+        st = self.states[stream]
+        hidden = hidden + st.previous_residual
+        if ctx is not None and st.previous_residual_ctx is not None:
+            ctx = ctx + st.previous_residual_ctx
+            return hidden, ctx
+        return hidden
+
+    def record_residual(self, hidden_in, hidden_out, ctx_in=None,
+                        ctx_out=None):
+        stream = (self._call_count - 1) % self.cfg_streams
+        st = self.states[stream]
+        st.previous_residual = hidden_out - hidden_in
+        if ctx_in is not None and ctx_out is not None:
+            st.previous_residual_ctx = ctx_out - ctx_in
+
+    def stats(self) -> dict:
+        return {
+            "skipped": sum(s.skipped_steps for s in self.states),
+            "computed": sum(s.computed_steps for s in self.states),
+        }

@@ -47,7 +47,7 @@ class CogVideoXConfig:
         return cls(in_channels=4, out_channels=4, hidden_dim=64, heads=2,
                    head_dim=32, num_blocks=2, text_dim=32,
                    time_embed_dim=32, patch_size_t=1,
-                   rope_axes_dim=(16, 24, 24))
+                   rope_axes_dim=(8, 12, 12))
 
 
 class CogVideoXBlock(nn.Module):

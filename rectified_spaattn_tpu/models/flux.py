@@ -102,6 +102,11 @@ class FluxDiT(nn.Module):
             x = jnp.take(x, hilbert_to_linear, axis=1)
         return x, ctx, temb, rope
 
+    def teacache_signal(self, x, temb):
+        """Block-0 norm1 modulated input (the Flux driver uses the same
+        signal shape, scripts/main_upflux.py TeaCache block)."""
+        return self.dual_blocks[0].norm1(x, temb)[0]
+
     def run_blocks(self, x, ctx, temb, rope, attn_fn: AttnFn,
                    dual_attn_fns: Optional[Sequence[AttnFn]] = None,
                    single_attn_fns: Optional[Sequence[AttnFn]] = None,

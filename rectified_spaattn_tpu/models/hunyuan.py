@@ -195,6 +195,11 @@ class HunyuanVideoDiT(nn.Module):
                                                           1e-3)
         return self.clip_pool_proj(pooled)
 
+    def teacache_signal(self, x, temb):
+        """Block-0 norm1 modulated input — the TeaCache change signal
+        (reference: scripts/main_hunyuan.py:113)."""
+        return self.dual_blocks[0].norm1(x, temb)[0]
+
     def run_blocks(self, x, ctx, temb, rope, attn_fn: AttnFn):
         """Stage 2 (the TeaCache-skippable hot loop,
         reference: scripts/main_hunyuan.py:134-157)."""

@@ -204,30 +204,36 @@ class JointAttention(nn.Module):
 
 class DualStreamBlock(nn.Module):
     """MMDiT block: visual and text streams with separate norms/MLPs and
-    one joint attention (Hunyuan dual-stream / Flux double blocks)."""
+    one joint attention (Hunyuan dual-stream / Flux double blocks).
+
+    setup-style so ``norm1`` is externally addressable: block 0's norm1
+    output is the TeaCache signal (reference: scripts/main_hunyuan.py:113).
+    """
     dim: int
     heads: int
     mlp_mult: float = 4.0
 
-    @nn.compact
+    def setup(self):
+        self.norm1 = AdaLayerNormZero(self.dim, name="norm1")
+        self.norm1_context = AdaLayerNormZero(self.dim, name="norm1_context")
+        self.attn = JointAttention(self.dim, self.heads, name="attn")
+        self.norm2 = nn.LayerNorm(use_bias=False, use_scale=False,
+                                  epsilon=1e-6, name="norm2")
+        self.norm2_context = nn.LayerNorm(use_bias=False, use_scale=False,
+                                          epsilon=1e-6, name="norm2_context")
+        self.ff = MLP(self.dim, self.mlp_mult, name="ff")
+        self.ff_context = MLP(self.dim, self.mlp_mult, name="ff_context")
+
     def __call__(self, x, ctx, temb, rope, attn_fn: AttnFn):
-        xn, xg_msa, x_shift, x_scale, xg_mlp = AdaLayerNormZero(
-            self.dim, name="norm1")(x, temb)
-        cn, cg_msa, c_shift, c_scale, cg_mlp = AdaLayerNormZero(
-            self.dim, name="norm1_context")(ctx, temb)
-        attn_x, attn_c = JointAttention(
-            self.dim, self.heads, name="attn")(xn, cn, rope, attn_fn)
+        xn, xg_msa, x_shift, x_scale, xg_mlp = self.norm1(x, temb)
+        cn, cg_msa, c_shift, c_scale, cg_mlp = self.norm1_context(ctx, temb)
+        attn_x, attn_c = self.attn(xn, cn, rope, attn_fn)
         x = x + xg_msa * attn_x
         ctx = ctx + cg_msa * attn_c
-        xm = nn.LayerNorm(use_bias=False, use_scale=False,
-                          epsilon=1e-6, name="norm2")(x)
-        xm = xm * (1 + x_scale) + x_shift
-        x = x + xg_mlp * MLP(self.dim, self.mlp_mult, name="ff")(xm)
-        cm = nn.LayerNorm(use_bias=False, use_scale=False,
-                          epsilon=1e-6, name="norm2_context")(ctx)
-        cm = cm * (1 + c_scale) + c_shift
-        ctx = ctx + cg_mlp * MLP(self.dim, self.mlp_mult,
-                                 name="ff_context")(cm)
+        xm = self.norm2(x) * (1 + x_scale) + x_shift
+        x = x + xg_mlp * self.ff(xm)
+        cm = self.norm2_context(ctx) * (1 + c_scale) + c_shift
+        ctx = ctx + cg_mlp * self.ff_context(cm)
         return x, ctx
 
 

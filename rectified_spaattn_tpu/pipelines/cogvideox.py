@@ -1,0 +1,135 @@
+"""CogVideoX1.5-5B T2V/I2V pipeline (reference driver:
+scripts/main_cogvideox.py).
+
+DDIM with dynamic CFG (use_dynamic_cfg, guidance 6.0,
+main_cogvideox.py:274-288); TeaCache keyed on the time embedding
+(:106-118); sparse attention step-gated at call >= 5
+(rectified_cogvideo_attn.py:478).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..models.cogvideox import CogVideoXConfig, CogVideoXDiT
+from ..cache import TeaCache
+from ..utils.timing import device_sync
+from .base import build_site, classifier_free_guidance
+from .schedulers import CogVideoXDDIMScheduler, dynamic_cfg_scale
+
+
+@dataclasses.dataclass
+class CogVideoXPipeline:
+    model: CogVideoXDiT
+    params: dict
+    height: int = 768
+    width: int = 1360
+    frames: int = 81
+    num_steps: int = 50
+    sa_drop_rate: float = 0.85
+    p_remain_rates: float = 0.3
+    mode: str = "sparse"
+    enable_teacache: bool = False
+    teacache_thresh: float = 0.2
+    text_len: int = 256                 # padded t5 tokens (226 used)
+    guidance_scale: float = 6.0
+    use_dynamic_cfg: bool = True
+    sparse_warm_calls: int = 5
+    is_i2v: bool = False
+    interpret: bool = False
+    vae_decode: Optional[Callable] = None
+
+    def __post_init__(self):
+        cfg = self.model.cfg
+        self.lt = (self.frames - 1) // 8 + 1
+        self.lh = self.height // 16
+        self.lw = self.width // 16
+        pt, p = cfg.patch_size_t, cfg.patch_size
+        self.grid = ((self.lt + pt - 1) // pt * pt, self.lh * p, self.lw * p)
+        gt = self.grid[0] // pt
+        self.site, self.l2h, self.h2l = build_site(
+            gt, self.lh, self.lw, sa_drop_rate=self.sa_drop_rate,
+            p_remain=self.p_remain_rates, layout="joint",
+            text_len=self.text_len)
+        m = self.model
+
+        def embed(params, latents, t, text, ofs):
+            return m.apply(params, latents, t, text, self.h2l, ofs,
+                           method=CogVideoXDiT.embed)
+
+        def blocks(params, x, ctx, temb, rope, tlen, sparse: bool):
+            dense = self.site.attn_fn(
+                "vanilla" if self.interpret else "flash", text_len_rt=tlen,
+                interpret=self.interpret)
+            fn = (self.site.attn_fn("sparse", text_len_rt=tlen,
+                                    interpret=self.interpret)
+                  if sparse else dense)
+            return m.apply(params, x, ctx, temb, rope, fn,
+                           method=CogVideoXDiT.run_blocks)
+
+        def head(params, x, ctx, temb):
+            t, hh, ww = self.grid
+            return m.apply(params, x, ctx, temb, self.l2h, t, hh, ww,
+                           method=CogVideoXDiT.head)
+
+        self._embed = jax.jit(embed)
+        self._blocks = jax.jit(blocks, static_argnames=("sparse",))
+        self._head = jax.jit(head)
+
+    def denoise(self, latents, text_cond, text_uncond,
+                num_steps: Optional[int] = None):
+        steps = num_steps or self.num_steps
+        sched = CogVideoXDDIMScheduler(steps)
+        tea = TeaCache(
+            self.teacache_thresh if self.enable_teacache else 0.0,
+            steps * 2, coefficients="cogvideox1.5-5b", cfg_streams=2)
+        use_sparse = self.mode == "sparse"
+        b = latents.shape[0]
+        tlen = jnp.full((b,), min(226, self.text_len), jnp.int32)
+        ofs = jnp.zeros((b,)) if self.model.cfg.use_ofs_embed else None
+
+        device_sync()
+        t0 = time.perf_counter()
+        call = 0
+        for i, t in enumerate(sched.timesteps):
+            ts = jnp.full((b,), float(t))
+            outs = []
+            for text in (text_cond, text_uncond):
+                x, ctx, temb, rope = self._embed(self.params, latents, ts,
+                                                 text, ofs)
+                if tea.enabled and not tea.should_compute(temb):
+                    x = tea.apply_residual(x)
+                else:
+                    x_in = x
+                    sparse_now = use_sparse and call >= self.sparse_warm_calls
+                    x, ctx = self._blocks(self.params, x, ctx, temb, rope,
+                                          tlen, sparse_now)
+                    if tea.enabled:
+                        tea.record_residual(x_in, x)
+                outs.append(self._head(self.params, x, ctx, temb))
+                call += 1
+            g = (dynamic_cfg_scale(self.guidance_scale, i, steps)
+                 if self.use_dynamic_cfg else self.guidance_scale)
+            v = classifier_free_guidance(outs[0], outs[1], g)
+            latents = sched.step(v, latents, i)
+        device_sync(latents)
+        self.denoise_seconds = time.perf_counter() - t0
+        self.teacache_stats = tea.stats()
+        return latents
+
+    def __call__(self, text_cond, text_uncond, seed: int = 42,
+                 num_steps: Optional[int] = None):
+        cfg = self.model.cfg
+        rng = jax.random.PRNGKey(seed)
+        b = text_cond.shape[0]
+        latents = jax.random.normal(
+            rng, (b, cfg.in_channels, *self.grid), jnp.float32)
+        latents = self.denoise(latents, text_cond, text_uncond, num_steps)
+        if self.vae_decode is not None:
+            return self.vae_decode(latents)
+        return latents

@@ -1,0 +1,171 @@
+"""Flux.1-dev pipelines (reference driver: scripts/main_upflux.py).
+
+The reference's headline Flux workload is the two-stage 4096² upscale:
+base 1024² generation, then a ControlNet-conditioned high-res pass where
+sparse attention pays off (65k visual + 512 text tokens).  Sparse is gated
+per layer: fused-block index < 37 or >= 57 sparse, the rest dense
+(rectified_flux_attn.py:493 — ids count 19 dual + 38 single blocks).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..models.flux import FluxConfig, FluxDiT
+from ..cache import TeaCache
+from ..utils.timing import device_sync
+from .base import build_site
+from .schedulers import FlowMatchEulerScheduler, flux_mu_shift
+
+
+@dataclasses.dataclass
+class FluxPipeline:
+    model: FluxDiT
+    params: dict
+    height: int = 1024
+    width: int = 1024
+    num_steps: int = 28
+    sa_drop_rate: float = 0.9
+    p_remain_rates: float = 0.3
+    mode: str = "sparse"
+    enable_teacache: bool = False
+    rel_l1_thresh: float = 0.8
+    text_len: int = 512
+    guidance_scale: float = 3.5
+    sparse_layer_gate: tuple = (37, 57)   # dense band [37, 57)
+    interpret: bool = False
+    vae_decode: Optional[Callable] = None
+
+    def __post_init__(self):
+        # latent grid: 2x2-packed 16ch latents → h/16 x w/16 tokens
+        self.gh = self.height // 16
+        self.gw = self.width // 16
+        self.site, self.l2h, self.h2l = build_site(
+            1, self.gh, self.gw, sa_drop_rate=self.sa_drop_rate,
+            p_remain=self.p_remain_rates, layout="joint",
+            text_len=self.text_len)
+        m = self.model
+        n_dual = m.cfg.num_dual_blocks
+
+        def embed(params, tokens, t, text, pooled, guidance):
+            x, ctx, temb, rope = m.apply(
+                params, tokens, t, text, pooled, guidance, self.gh,
+                self.gw, self.h2l, method=FluxDiT.embed)
+            sig = m.apply(params, x, temb, method=FluxDiT.teacache_signal)
+            return x, ctx, temb, rope, sig
+
+        def blocks(params, x, ctx, temb, rope, tlen, sparse: bool,
+                   cn_residuals=None):
+            dense = self.site.attn_fn(
+                "vanilla" if self.interpret else "flash", text_len_rt=tlen,
+                interpret=self.interpret)
+            if sparse:
+                sp = self.site.attn_fn("sparse", text_len_rt=tlen,
+                                       interpret=self.interpret)
+                lo, hi = self.sparse_layer_gate
+                gate = lambda pid: sp if (pid < lo or pid >= hi) else dense
+                dual_fns = [gate(i) for i in range(n_dual)]
+                single_fns = [gate(n_dual + i)
+                              for i in range(m.cfg.num_single_blocks)]
+            else:
+                dual_fns = [dense] * n_dual
+                single_fns = [dense] * m.cfg.num_single_blocks
+            return m.apply(params, x, ctx, temb, rope, dense, dual_fns,
+                           single_fns, cn_residuals,
+                           method=FluxDiT.run_blocks)
+
+        def head(params, x, temb):
+            return m.apply(params, x, temb, self.l2h, method=FluxDiT.head)
+
+        self._embed = jax.jit(embed)
+        self._blocks = jax.jit(blocks, static_argnames=("sparse",))
+        self._head = jax.jit(head)
+
+    def denoise(self, tokens, text_emb, text_mask, pooled,
+                controlnet_fn: Optional[Callable] = None,
+                num_steps: Optional[int] = None):
+        """``controlnet_fn(tokens, t) -> list of per-dual-block residuals``
+        (already in token layout; this pipeline Hilbert-permutes them,
+        reference: scripts/main_upflux.py:114-116)."""
+        steps = num_steps or self.num_steps
+        mu = flux_mu_shift(self.gh * self.gw)
+        sched = FlowMatchEulerScheduler(steps, use_mu=True, mu=mu)
+        tea = TeaCache(self.rel_l1_thresh if self.enable_teacache else 0.0,
+                       steps, coefficients="flux-dev")
+        tlen = jnp.sum(text_mask.astype(jnp.int32), axis=1)
+        guidance = jnp.full((tokens.shape[0],), self.guidance_scale)
+        use_sparse = self.mode == "sparse"
+
+        device_sync()
+        t0 = time.perf_counter()
+        for i, t in enumerate(sched.timesteps):
+            ts = jnp.full((tokens.shape[0],), float(t) / 1000.0)
+            x, ctx, temb, rope, sig = self._embed(
+                self.params, tokens, ts, text_emb, pooled, guidance)
+            cn = None
+            if controlnet_fn is not None:
+                cn = [jnp.take(r, self.h2l, axis=1)
+                      for r in controlnet_fn(tokens, float(t))]
+            if tea.enabled and not tea.should_compute(sig):
+                x = tea.apply_residual(x)
+            else:
+                x_in = x
+                x, ctx = self._blocks(self.params, x, ctx, temb, rope,
+                                      tlen, use_sparse, cn)
+                if tea.enabled:
+                    tea.record_residual(x_in, x)
+            v = self._head(self.params, x, temb)
+            tokens = sched.step(v, tokens, i)
+        device_sync(tokens)
+        self.denoise_seconds = time.perf_counter() - t0
+        self.teacache_stats = tea.stats()
+        return tokens
+
+    def __call__(self, text_emb, text_mask, pooled, seed: int = 42,
+                 controlnet_fn=None, init_tokens=None,
+                 num_steps: Optional[int] = None):
+        cfg = self.model.cfg
+        b = text_emb.shape[0]
+        if init_tokens is None:
+            rng = jax.random.PRNGKey(seed)
+            init_tokens = jax.random.normal(
+                rng, (b, self.gh * self.gw, cfg.in_channels), jnp.float32)
+        tokens = self.denoise(init_tokens, text_emb, text_mask, pooled,
+                              controlnet_fn, num_steps)
+        if self.vae_decode is not None:
+            return self.vae_decode(tokens)
+        return tokens
+
+
+@dataclasses.dataclass
+class FluxUpscalePipeline:
+    """Two-stage 4× upscale: base generation at base_res, then a high-res
+    ControlNet-guided pass (reference: scripts/main_upflux.py:287-328).
+    The ControlNet model itself is optional — when absent the second stage
+    runs unconditioned (structure preserved via img2img strength)."""
+    base: FluxPipeline
+    up: FluxPipeline
+    strength: float = 1.0
+
+    def __call__(self, text_emb, text_mask, pooled, seed: int = 42,
+                 controlnet_fn=None):
+        base_tokens = self.base(text_emb, text_mask, pooled, seed=seed)
+        b = base_tokens.shape[0]
+        # nearest-neighbour latent upsample 4x (2x grid in each dim per
+        # stage-2 resolution config)
+        gh_b, gw_b = self.base.gh, self.base.gw
+        gh_u, gw_u = self.up.gh, self.up.gw
+        grid = base_tokens.reshape(b, gh_b, gw_b, -1)
+        ry, rx = gh_u // gh_b, gw_u // gw_b
+        grid = jnp.repeat(jnp.repeat(grid, ry, axis=1), rx, axis=2)
+        init = grid.reshape(b, gh_u * gw_u, -1)
+        rng = jax.random.PRNGKey(seed + 1)
+        noise = jax.random.normal(rng, init.shape, init.dtype)
+        init = (1 - self.strength) * init + self.strength * noise
+        return self.up(text_emb, text_mask, pooled, seed=seed,
+                       controlnet_fn=controlnet_fn, init_tokens=init)

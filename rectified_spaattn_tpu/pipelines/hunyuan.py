@@ -1,0 +1,132 @@
+"""HunyuanVideo text-to-video pipeline (reference driver:
+scripts/main_hunyuan.py).
+
+Latent geometry (f/4, h/16, w/16); 50 flow-match Euler steps with embedded
+guidance (no CFG); 256 text tokens trail the 115k visual tokens; TeaCache
+over the whole block stack with the block-0 norm1 signal.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+import time
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models.hunyuan import HunyuanVideoConfig, HunyuanVideoDiT
+from ..cache import TeaCache
+from ..utils.timing import StageTimer, device_sync
+from .base import build_site
+from .schedulers import FlowMatchEulerScheduler
+
+
+@dataclasses.dataclass
+class HunyuanVideoPipeline:
+    """Args mirror the reference CLI (scripts/main_hunyuan.py:213-225)."""
+    model: HunyuanVideoDiT
+    params: dict
+    height: int = 720
+    width: int = 1280
+    frames: int = 128
+    num_steps: int = 50
+    sa_drop_rate: float = 0.8
+    p_remain_rates: float = 0.3
+    mode: str = "sparse"                 # sparse | flash | vanilla
+    enable_teacache: bool = False
+    rel_l1_thresh: float = 0.15
+    text_len: int = 256
+    guidance_scale: float = 6.0
+    flow_shift: float = 7.0
+    interpret: bool = False
+    vae_decode: Optional[Callable] = None
+
+    def __post_init__(self):
+        cfg = self.model.cfg
+        self.lt = self.frames // 4
+        self.lh = self.height // 16
+        self.lw = self.width // 16
+        self.grid = (self.lt * cfg.patch_size_t, self.lh * cfg.patch_size,
+                     self.lw * cfg.patch_size)
+        self.site, self.l2h, self.h2l = build_site(
+            self.lt, self.lh, self.lw, sa_drop_rate=self.sa_drop_rate,
+            p_remain=self.p_remain_rates, layout="joint",
+            text_len=self.text_len)
+        self.timer = StageTimer()
+        m = self.model
+
+        def embed(params, latents, t, text, mask, guidance):
+            x, ctx, temb, rope = m.apply(
+                params, latents, t, text, mask, guidance, self.h2l,
+                method=HunyuanVideoDiT.embed)
+            sig = m.apply(params, x, temb,
+                          method=HunyuanVideoDiT.teacache_signal)
+            return x, ctx, temb, rope, sig
+
+        def blocks(params, x, ctx, temb, rope, tlen, attn_mode: str):
+            fn = self.site.attn_fn(attn_mode, text_len_rt=tlen,
+                                   interpret=self.interpret)
+            return m.apply(params, x, ctx, temb, rope, fn,
+                           method=HunyuanVideoDiT.run_blocks)
+
+        def head(params, x, temb):
+            t, hh, ww = self.grid
+            return m.apply(params, x, temb, self.l2h, t, hh, ww,
+                           method=HunyuanVideoDiT.head)
+
+        self._embed = jax.jit(embed)
+        self._blocks = jax.jit(blocks, static_argnames=("attn_mode",))
+        self._head = jax.jit(head)
+
+    def denoise(self, latents, text_emb, text_mask, rng=None,
+                num_steps: Optional[int] = None):
+        """Run the scheduler loop; returns final latents.
+
+        latents: [B, C, T', H', W'] initial noise in LATENT grid units.
+        text_emb: [B, text_len, text_dim] (padded); text_mask: [B, text_len].
+        """
+        steps = num_steps or self.num_steps
+        sched = FlowMatchEulerScheduler(steps, shift=self.flow_shift)
+        tea = TeaCache(self.rel_l1_thresh if self.enable_teacache else 0.0,
+                       steps, coefficients="hunyuan-video")
+        tlen = jnp.sum(text_mask.astype(jnp.int32), axis=1)
+        guidance = jnp.full((latents.shape[0],),
+                            self.guidance_scale * 1000.0)
+        attn_mode = self.mode
+
+        device_sync()
+        t0 = time.perf_counter()
+        for i, t in enumerate(sched.timesteps):
+            ts = jnp.full((latents.shape[0],), float(t))
+            x, ctx, temb, rope, sig = self._embed(
+                self.params, latents, ts, text_emb, text_mask, guidance)
+            if tea.enabled and not tea.should_compute(sig):
+                x = tea.apply_residual(x)
+            else:
+                x_in = x
+                x, ctx = self._blocks(self.params, x, ctx, temb, rope,
+                                      tlen, attn_mode)
+                if tea.enabled:
+                    tea.record_residual(x_in, x)
+            v_pred = self._head(self.params, x, temb)
+            latents = sched.step(v_pred, latents, i)
+        device_sync(latents)
+        self.denoise_seconds = time.perf_counter() - t0
+        self.teacache_stats = tea.stats()
+        return latents
+
+    def __call__(self, text_emb, text_mask, seed: int = 42,
+                 num_steps: Optional[int] = None):
+        cfg = self.model.cfg
+        rng = jax.random.PRNGKey(seed)
+        b = text_emb.shape[0]
+        latents = jax.random.normal(
+            rng, (b, cfg.in_channels, self.grid[0], self.grid[1],
+                  self.grid[2]), jnp.float32)
+        latents = self.denoise(latents, text_emb, text_mask)
+        if self.vae_decode is not None:
+            return self.vae_decode(latents)
+        return latents

@@ -1,0 +1,208 @@
+"""Diffusion samplers (host-side step logic, device-side math).
+
+The model families use three scheduler types (SURVEY §2.4):
+  * flow-match Euler (Hunyuan, Flux, Wan2.2 TI2V) — with Flux's
+    resolution-dependent timestep shifting,
+  * UniPC multistep for flow matching (Wan2.1, flow_shift=5.0,
+    reference: scripts/main_wan21t2v.py:236-241),
+  * CogVideoX DDIM with dynamic classifier-free guidance
+    (reference: scripts/main_cogvideox.py:274-288).
+
+All schedulers are tiny host-side state machines; per-step tensor math is
+pure jnp so it fuses into the jitted step.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+
+def flow_shift_timesteps(num_steps: int, shift: float = 1.0) -> np.ndarray:
+    """sigma_i in (1, 0], shifted: sigma' = s*sigma / (1 + (s-1)*sigma)."""
+    sigmas = np.linspace(1.0, 1.0 / num_steps, num_steps)
+    if shift != 1.0:
+        sigmas = shift * sigmas / (1.0 + (shift - 1.0) * sigmas)
+    return sigmas
+
+
+def flux_mu_shift(seq_len: int, base_len: int = 256, max_len: int = 4096,
+                  base_shift: float = 0.5, max_shift: float = 1.15) -> float:
+    """Flux's resolution-dependent exponential shift parameter."""
+    m = (max_shift - base_shift) / (max_len - base_len)
+    b = base_shift - m * base_len
+    return seq_len * m + b
+
+
+@dataclasses.dataclass
+class FlowMatchEulerScheduler:
+    """First-order Euler over the rectified-flow ODE.
+    x_{t-1} = x_t + (sigma_{t-1} - sigma_t) * v_pred."""
+    num_steps: int
+    shift: float = 7.0
+    use_mu: bool = False
+    mu: float = 0.0
+
+    def __post_init__(self):
+        if self.use_mu:
+            sigmas = np.linspace(1.0, 1.0 / self.num_steps, self.num_steps)
+            emu = math.exp(self.mu)
+            sigmas = emu / (emu + (1.0 / sigmas - 1.0))
+        else:
+            sigmas = flow_shift_timesteps(self.num_steps, self.shift)
+        self.sigmas = np.append(sigmas, 0.0)
+
+    @property
+    def timesteps(self) -> np.ndarray:
+        """Model-facing timesteps in [0, 1000)."""
+        return self.sigmas[:-1] * 1000.0
+
+    def step(self, model_out, sample, i: int):
+        dt = self.sigmas[i + 1] - self.sigmas[i]
+        return sample + model_out * dt
+
+    def scale_noise(self, sample, noise, i: int):
+        s = self.sigmas[i]
+        return (1.0 - s) * sample + s * noise
+
+
+@dataclasses.dataclass
+class UniPCScheduler:
+    """UniPC multistep (order 2) for flow matching — the Wan2.1 sampler
+    (diffusers UniPCMultistepScheduler with flow_shift, prediction_type
+    flow_prediction).  Implements the B(h)=h bh2 variant."""
+    num_steps: int
+    shift: float = 5.0
+    order: int = 2
+
+    def __post_init__(self):
+        sigmas = flow_shift_timesteps(self.num_steps, self.shift)
+        self.sigmas = np.append(sigmas, 0.0)
+        self._model_outputs: list = [None] * self.order
+        self._lower_order_nums = 0
+        self._last_sample = None
+        self._step_index = 0
+
+    @property
+    def timesteps(self) -> np.ndarray:
+        return self.sigmas[:-1] * 1000.0
+
+    def _sigma_to_alpha_t(self, sigma):
+        # flow matching: alpha_t = 1 - sigma, sigma_t = sigma
+        return 1.0 - sigma, sigma
+
+    def _convert_model_output(self, model_out, sample, sigma):
+        # flow prediction -> x0 prediction: x0 = x_t - sigma * v
+        return sample - sigma * model_out
+
+    def step(self, model_out, sample, i: int):
+        """One UniPC predictor step (corrector folded: use_corrector=False
+        matches diffusers' default solver path for p=2 with predictor-only
+        at the boundaries; we apply the corrector when history allows)."""
+        sigma = self.sigmas[i]
+        x0 = self._convert_model_output(model_out, sample, sigma)
+
+        # corrector for the PREVIOUS step (UniC) — uses this step's x0
+        if self._last_sample is not None and self._lower_order_nums >= 1:
+            sample = self._unic(x0, sample, i)
+
+        self._model_outputs = self._model_outputs[1:] + [x0]
+        order = min(self.order, self._lower_order_nums + 1,
+                    self.num_steps - i)
+        self._last_sample = sample
+        out = self._unip(sample, i, order)
+        self._lower_order_nums = min(self._lower_order_nums + 1, self.order)
+        self._step_index = i + 1
+        return out
+
+    def _lambda(self, sigma):
+        alpha_t, sigma_t = self._sigma_to_alpha_t(sigma)
+        return math.log(max(alpha_t, 1e-8)) - math.log(max(sigma_t, 1e-8))
+
+    def _unip(self, sample, i, order):
+        s0, st = self.sigmas[i], self.sigmas[i + 1]
+        lam_t, lam_s0 = self._lambda(st), self._lambda(s0)
+        a_t, sg_t = self._sigma_to_alpha_t(st)
+        a_s0, sg_s0 = self._sigma_to_alpha_t(s0)
+        h = lam_t - lam_s0
+        x0_0 = self._model_outputs[-1]
+
+        hh = -h  # data-prediction branch
+        h_phi_1 = math.expm1(hh)
+        b_h = hh  # bh2
+
+        if order == 2 and self._model_outputs[-2] is not None:
+            s_prev = self.sigmas[i - 1]
+            lam_prev = self._lambda(s_prev)
+            rk = (lam_prev - lam_s0) / h
+            d1 = (self._model_outputs[-2] - x0_0) / rk
+            rhos_p = 0.5  # B1(h)=h, single extra term: rho = phi2/ b... (order2 closed form)
+            x_t = (sg_t / sg_s0 * sample
+                   - a_t * h_phi_1 * x0_0
+                   - a_t * b_h * rhos_p * d1)
+        else:
+            x_t = sg_t / sg_s0 * sample - a_t * h_phi_1 * x0_0
+        return x_t
+
+    def _unic(self, x0_new, last_sample, i):
+        # single-step corrector using the new x0 at the arrival point
+        s0, st = self.sigmas[i - 1], self.sigmas[i]
+        lam_t, lam_s0 = self._lambda(st), self._lambda(s0)
+        a_t, sg_t = self._sigma_to_alpha_t(st)
+        _, sg_s0 = self._sigma_to_alpha_t(s0)
+        h = lam_t - lam_s0
+        hh = -h
+        h_phi_1 = math.expm1(hh)
+        x0_0 = self._model_outputs[-1]
+        d1_t = x0_new - x0_0
+        x_t = (sg_t / sg_s0 * last_sample
+               - a_t * h_phi_1 * x0_0
+               - a_t * hh * 0.5 * d1_t)
+        return x_t
+
+
+@dataclasses.dataclass
+class CogVideoXDDIMScheduler:
+    """DDIM (eta=0) over the CogVideoX scaled-linear betas with dynamic CFG
+    handled by the pipeline (reference: main_cogvideox.py:274-288)."""
+    num_steps: int
+    num_train_timesteps: int = 1000
+    beta_start: float = 0.00085
+    beta_end: float = 0.012
+    snr_shift_scale: float = 1.0    # CogVideoX 1.5 uses 1.0
+
+    def __post_init__(self):
+        betas = np.linspace(self.beta_start ** 0.5, self.beta_end ** 0.5,
+                            self.num_train_timesteps) ** 2
+        alphas_cum = np.cumprod(1.0 - betas)
+        if self.snr_shift_scale != 1.0:
+            alphas_cum = alphas_cum / (
+                self.snr_shift_scale + (1 - self.snr_shift_scale) * alphas_cum)
+        self.alphas_cum = alphas_cum
+        step = self.num_train_timesteps // self.num_steps
+        self._timesteps = (np.arange(self.num_steps) * step)[::-1].copy()
+
+    @property
+    def timesteps(self) -> np.ndarray:
+        return self._timesteps.astype(np.float32)
+
+    def step(self, model_out, sample, i: int):
+        t = int(self._timesteps[i])
+        prev_t = t - self.num_train_timesteps // self.num_steps
+        a_t = self.alphas_cum[t]
+        a_prev = self.alphas_cum[prev_t] if prev_t >= 0 else 1.0
+        # v-prediction (CogVideoX): x0 = sqrt(a) x - sqrt(1-a) v
+        x0 = (a_t ** 0.5) * sample - ((1 - a_t) ** 0.5) * model_out
+        eps = (a_t ** 0.5) * model_out + ((1 - a_t) ** 0.5) * sample
+        return (a_prev ** 0.5) * x0 + ((1 - a_prev) ** 0.5) * eps
+
+
+def dynamic_cfg_scale(base_scale: float, step: int, num_steps: int) -> float:
+    """CogVideoX dynamic guidance: 1 + g*(1-cos(pi*(t/T)))/2 ramp
+    (diffusers use_dynamic_cfg)."""
+    return 1.0 + (base_scale - 1.0) * (
+        (1.0 - math.cos(math.pi * ((num_steps - step) / num_steps) ** 5.0)) / 2.0)

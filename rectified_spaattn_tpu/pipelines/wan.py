@@ -1,0 +1,230 @@
+"""Wan 2.1 / 2.2 pipelines (reference drivers: scripts/main_wan21t2v.py,
+main_wan21i2v.py, main_wan22ti2v.py, main_wan22t2v.py, main_wan22i2v.py).
+
+Wan specifics:
+  * classifier-free guidance with TWO transformer calls per step and
+    even/odd TeaCache state (main_wan21t2v.py:105-133);
+  * visual-only sparse self-attention with first-frame block retention and
+    layer/step warm-up gates (rectified_wan21_attn.py:467: layers >= 2 and
+    call >= 10 sparse; I2V gates layers only, :591);
+  * Wan2.2 A14B: two transformers selected by a timestep boundary
+    (main_wan22t2v.py:57-61) with separate TeaCache state;
+  * Wan2.2 TI2V-5B: VAE stride 32 and per-token timesteps.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models.wan import WanConfig, WanDiT
+from ..cache import TeaCache
+from ..utils.timing import device_sync
+from .base import build_site, classifier_free_guidance
+from .schedulers import UniPCScheduler, FlowMatchEulerScheduler
+
+
+@dataclasses.dataclass
+class WanPipeline:
+    """Wan2.1 T2V/I2V and Wan2.2 TI2V-5B (single transformer)."""
+    model: WanDiT
+    params: dict
+    height: int = 720
+    width: int = 1280
+    frames: int = 81
+    num_steps: int = 50
+    sa_drop_rate: float = 0.75
+    p_remain_rates: float = 0.3
+    mode: str = "sparse"
+    enable_teacache: bool = False
+    teacache_thresh: float = 0.2
+    use_ret_steps: bool = False
+    teacache_coefficients: str = "wan2.1-t2v-14b"
+    guidance_scale: float = 5.0
+    flow_shift: float = 5.0
+    vae_stride: tuple = (4, 16, 16)      # Wan2.2 TI2V uses (4, 32, 32)
+    warm_layers: int = 2                  # leading dense warm-up layers
+    warm_last_layers: int = 0             # trailing dense layers (Wan2.2
+                                          # A14B keeps {0,1,40,41} dense,
+                                          # rectified_wan22_attn.py:246)
+    warm_calls: int = 10                  # dense warm-up calls (T2V only)
+    scheduler: str = "unipc"              # unipc | euler
+    is_i2v: bool = False
+    interpret: bool = False
+    vae_decode: Optional[Callable] = None
+
+    def __post_init__(self):
+        cfg = self.model.cfg
+        self.lt = (self.frames + 3) // self.vae_stride[0]
+        self.lh = self.height // self.vae_stride[1]
+        self.lw = self.width // self.vae_stride[2]
+        pt, ph, pw = cfg.patch_size
+        self.grid = (self.lt * pt, self.lh * ph, self.lw * pw)
+        self.site, self.l2h, self.h2l = build_site(
+            self.lt, self.lh, self.lw, sa_drop_rate=self.sa_drop_rate,
+            p_remain=self.p_remain_rates, layout="visual",
+            first_frame_retention=True)
+        m = self.model
+
+        def embed(params, latents, t, text, image_emb):
+            return m.apply(params, latents, t, text, self.h2l, image_emb,
+                           method=WanDiT.embed)
+
+        def blocks(params, x, ctx, ctx_img, temb, rope, sparse: bool):
+            dense = self.site.attn_fn(
+                "vanilla" if self.interpret else "flash",
+                interpret=self.interpret)
+            cross = lambda q, k, v: _cross_attention(q, k, v, self.interpret)
+            n = m.cfg.num_blocks
+            if sparse:
+                sp = self.site.attn_fn("sparse", interpret=self.interpret)
+                fns = [dense if (i < self.warm_layers
+                                 or i >= n - self.warm_last_layers) else sp
+                       for i in range(n)]
+            else:
+                fns = [dense] * n
+            return m.apply(params, x, ctx, ctx_img, temb, rope, dense,
+                           cross, fns, method=WanDiT.run_blocks)
+
+        def head(params, x, temb):
+            t, hh, ww = self.grid
+            return m.apply(params, x, temb, self.l2h, t, hh, ww,
+                           method=WanDiT.head)
+
+        self._embed = jax.jit(embed)
+        self._blocks = jax.jit(blocks, static_argnames=("sparse",))
+        self._head = jax.jit(head)
+
+    def _scheduler(self, steps):
+        if self.scheduler == "unipc":
+            return UniPCScheduler(steps, shift=self.flow_shift)
+        return FlowMatchEulerScheduler(steps, shift=self.flow_shift)
+
+    def denoise(self, latents, text_cond, text_uncond, image_emb=None,
+                num_steps: Optional[int] = None):
+        """CFG loop: cond (even) and uncond (odd) calls per step with
+        dual-stream TeaCache, matching the reference call pattern."""
+        steps = num_steps or self.num_steps
+        sched = self._scheduler(steps)
+        use_sparse = self.mode == "sparse"
+        tea = TeaCache(
+            self.teacache_thresh if self.enable_teacache else 0.0,
+            steps * 2, coefficients=self.teacache_coefficients,
+            ret_steps=(5 * 2 if self.use_ret_steps else 1 * 2),
+            cutoff_steps=(steps * 2 if self.use_ret_steps
+                          else steps * 2 - 2),
+            cfg_streams=2)
+
+        device_sync()
+        t0 = time.perf_counter()
+        call = 0
+        for i, t in enumerate(sched.timesteps):
+            ts = jnp.full((latents.shape[0],), float(t))
+            outs = []
+            for text in (text_cond, text_uncond):
+                x, ctx, ctx_img, temb, rope = self._embed(
+                    self.params, latents, ts, text, image_emb)
+                sig = temb  # Wan signal is the time embedding
+                               # (reference: main_wan21t2v.py:103)
+                if tea.enabled and not tea.should_compute(sig):
+                    x = tea.apply_residual(x)
+                else:
+                    x_in = x
+                    sparse_now = use_sparse and (
+                        self.is_i2v or call >= self.warm_calls)
+                    x = self._blocks(self.params, x, ctx, ctx_img, temb,
+                                     rope, sparse_now)
+                    if tea.enabled:
+                        tea.record_residual(x_in, x)
+                outs.append(self._head(self.params, x, temb))
+                call += 1
+            v = classifier_free_guidance(outs[0], outs[1],
+                                         self.guidance_scale)
+            latents = sched.step(v, latents, i)
+        device_sync(latents)
+        self.denoise_seconds = time.perf_counter() - t0
+        self.teacache_stats = tea.stats()
+        return latents
+
+    def __call__(self, text_cond, text_uncond, image_emb=None,
+                 seed: int = 42, num_steps: Optional[int] = None):
+        cfg = self.model.cfg
+        rng = jax.random.PRNGKey(seed)
+        b = text_cond.shape[0]
+        latents = jax.random.normal(
+            rng, (b, cfg.in_channels, *self.grid), jnp.float32)
+        latents = self.denoise(latents, text_cond, text_uncond, image_emb,
+                               num_steps)
+        if self.vae_decode is not None:
+            return self.vae_decode(latents)
+        return latents
+
+
+def _cross_attention(q, k, v, interpret):
+    from ..attention import attention
+    return attention(q, k, v, mode="vanilla" if interpret else "flash")
+
+
+@dataclasses.dataclass
+class Wan22A14BPipeline:
+    """Wan2.2 A14B dual-transformer pipeline: high-noise steps run
+    ``transformer``, low-noise steps run ``transformer_2``, split by
+    boundary_ratio over train timesteps (reference:
+    scripts/main_wan22t2v.py:57-61); each transformer keeps its own
+    TeaCache stream offset (:83-127)."""
+    high: WanPipeline      # transformer (high noise)
+    low: WanPipeline       # transformer_2 (low noise)
+    boundary_ratio: float = 0.875
+    num_train_timesteps: int = 1000
+
+    def denoise(self, latents, text_cond, text_uncond,
+                num_steps: Optional[int] = None):
+        steps = num_steps or self.high.num_steps
+        sched = self.high._scheduler(steps)
+        boundary = self.boundary_ratio * self.num_train_timesteps
+        use_sparse_h = self.high.mode == "sparse"
+        use_sparse_l = self.low.mode == "sparse"
+        high_steps = int(np.sum(sched.timesteps >= boundary))
+
+        tea_h = TeaCache(
+            self.high.teacache_thresh if self.high.enable_teacache else 0.0,
+            high_steps * 2, coefficients=self.high.teacache_coefficients,
+            ret_steps=3 * 2, cfg_streams=2)
+        tea_l = TeaCache(
+            self.low.teacache_thresh if self.low.enable_teacache else 0.0,
+            (steps - high_steps) * 2,
+            coefficients=self.low.teacache_coefficients,
+            ret_steps=2, cfg_streams=2)
+
+        device_sync()
+        t0 = time.perf_counter()
+        for i, t in enumerate(sched.timesteps):
+            is_high = t >= boundary
+            pipe = self.high if is_high else self.low
+            tea = tea_h if is_high else tea_l
+            use_sparse = use_sparse_h if is_high else use_sparse_l
+            ts = jnp.full((latents.shape[0],), float(t))
+            outs = []
+            for text in (text_cond, text_uncond):
+                x, ctx, ctx_img, temb, rope = pipe._embed(
+                    pipe.params, latents, ts, text, None)
+                if tea.enabled and not tea.should_compute(temb):
+                    x = tea.apply_residual(x)
+                else:
+                    x_in = x
+                    x = pipe._blocks(pipe.params, x, ctx, ctx_img, temb,
+                                     rope, use_sparse)
+                    if tea.enabled:
+                        tea.record_residual(x_in, x)
+                outs.append(pipe._head(pipe.params, x, temb))
+            v = classifier_free_guidance(outs[0], outs[1],
+                                         pipe.guidance_scale)
+            latents = sched.step(v, latents, i)
+        device_sync(latents)
+        self.denoise_seconds = time.perf_counter() - t0
+        return latents
