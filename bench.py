@@ -1,0 +1,87 @@
+"""Headline benchmark: rectified block-sparse attention vs dense flash on a
+HunyuanVideo-720p-class attention workload, on the real TPU chip.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+The measured quantity is the full sparse path (Gilbert-ordered mask build
++ IPAR/GAPR/top-p selection + Pallas gather kernel + rectification + dense
+text rows) against the stock dense flash attention, at the reference's
+default HunyuanVideo operating point (sa_drop_rate 0.8, p_remain 0.3,
+115200 visual + 256 text tokens, 24 heads x 128 dim, bf16).
+
+vs_baseline compares against the reference's published END-TO-END dense→
+sparse speedup on the same workload (3.33x, README.md:68-83 / BASELINE.md)
+— a conservative denominator, since end-to-end includes non-attention
+work that dilutes the reference's attention-level gain.
+"""
+
+import json
+import time
+
+import numpy as np
+
+BASELINE_SPEEDUP = 3.33   # reference Hunyuan 720p dense/sparse wall-clock
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    from rectified_spaattn_tpu.attention import rectified_sparse_attention
+    from rectified_spaattn_tpu.kernels import dense_attention
+    from rectified_spaattn_tpu.sparse import SparseConfig, select_block_num
+    from rectified_spaattn_tpu.curves import cached_curve
+
+    b, h, d = 1, 24, 128
+    lt, lh, lw = 32, 45, 80          # 720p, 128 frames -> 115200 tokens
+    text_len = 256
+    sv = lt * lh * lw
+    s = sv + text_len
+
+    l2h, h2l, neighbors = cached_curve(lt, lh, lw, block_size=128)
+    neighbors = jnp.asarray(neighbors)
+    img_blocks = sv // 128
+    cfg = SparseConfig(
+        top_k_floor=max(1, select_block_num(0.8, img_blocks)),
+        p_remain=0.3, layout="joint", text_len=text_len)
+
+    rng = jax.random.PRNGKey(0)
+    kq, kk, kv = jax.random.split(rng, 3)
+    q = jax.random.normal(kq, (b, h, s, d), jnp.bfloat16)
+    k = jax.random.normal(kk, (b, h, s, d), jnp.bfloat16)
+    v = jax.random.normal(kv, (b, h, s, d), jnp.bfloat16)
+    tlen = jnp.full((b,), text_len, jnp.int32)
+
+    sparse_fn = jax.jit(lambda q, k, v: rectified_sparse_attention(
+        q, k, v, cfg, neighbors, visual_len=sv, text_len_rt=tlen))
+    dense_fn = jax.jit(lambda q, k, v: dense_attention(q, k, v,
+                                                       mode="flash"))
+
+    def timed(f, n=3):
+        out = f(q, k, v)
+        float(jnp.sum(out.astype(jnp.float32)))   # forced sync readback
+        t0 = time.perf_counter()
+        for _ in range(n):
+            out = f(q, k, v)
+            float(jnp.sum(out.astype(jnp.float32)))
+        return (time.perf_counter() - t0) / n
+
+    t_sparse = timed(sparse_fn)
+    t_dense = timed(dense_fn)
+    speedup = t_dense / t_sparse
+
+    print(json.dumps({
+        "metric": "hunyuan720p_attention_speedup_sparse_vs_dense",
+        "value": round(speedup, 3),
+        "unit": "x",
+        "vs_baseline": round(speedup / BASELINE_SPEEDUP, 3),
+        "detail": {
+            "dense_ms": round(t_dense * 1e3, 1),
+            "sparse_ms": round(t_sparse * 1e3, 1),
+            "tokens": s, "heads": h, "sa_drop_rate": 0.8,
+        },
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,252 @@
+"""Checkpoint loading: HF safetensors state dicts → flax param pytrees.
+
+The reference consumes read-only HF snapshots through diffusers
+``from_pretrained`` (scripts/main_hunyuan.py:233-238); here weights are
+mapped tensor-by-tensor into the flax modules.  ``load_safetensors_dir``
+reads a local snapshot directory (no network); ``convert_*`` functions
+perform the name/layout mapping.
+
+Layout conventions:
+  * torch nn.Linear weight [out, in]  →  flax Dense kernel [in, out] (T)
+  * torch conv3d patch embed [out, in, kt, kh, kw] → flattened Dense
+    kernel [(kt*kh*kw*in), out] matching models/*._patchify token layout
+    (channels last within a patch: reshape + transpose below)
+  * RMSNorm weight → {"scale": w}; LayerNorm → {"scale": w, "bias": b}
+"""
+
+from __future__ import annotations
+
+import os
+import re
+from typing import Callable
+
+import numpy as np
+
+
+def load_safetensors_dir(path: str, pattern: str = r".*\.safetensors$") -> dict:
+    """Read every safetensors shard in a directory into one numpy dict."""
+    try:
+        from safetensors import safe_open
+    except ImportError:
+        from safetensors.numpy import load_file  # noqa: F401
+        raise
+    out = {}
+    for fname in sorted(os.listdir(path)):
+        if not re.match(pattern, fname):
+            continue
+        with safe_open(os.path.join(path, fname), framework="np") as f:
+            for key in f.keys():
+                out[key] = f.get_tensor(key)
+    return out
+
+
+def _dense(w, b=None):
+    p = {"kernel": np.ascontiguousarray(np.asarray(w).T)}
+    if b is not None:
+        p["bias"] = np.asarray(b)
+    return p
+
+
+def _ln(sd, prefix):
+    p = {}
+    if prefix + ".weight" in sd:
+        p["scale"] = np.asarray(sd[prefix + ".weight"])
+    if prefix + ".bias" in sd:
+        p["bias"] = np.asarray(sd[prefix + ".bias"])
+    return p
+
+
+def _rms(sd, prefix):
+    return {"scale": np.asarray(sd[prefix + ".weight"])}
+
+
+def _patch_embed_conv_to_dense(w, b):
+    """[out, in, kt, kh, kw] conv → Dense kernel matching _patchify's
+    token feature order (pt, p, p, C) flattened."""
+    w = np.asarray(w)
+    out_ch, in_ch, kt, kh, kw = w.shape
+    # token features are ordered (kt, kh, kw, in_ch); conv weight dims are
+    # (out, in, kt, kh, kw) → permute to (kt, kh, kw, in, out) and flatten
+    k = w.transpose(2, 3, 4, 1, 0).reshape(kt * kh * kw * in_ch, out_ch)
+    return {"kernel": np.ascontiguousarray(k),
+            "bias": np.asarray(b)}
+
+
+def convert_wan(sd: dict, num_blocks: int) -> dict:
+    """diffusers WanTransformer3DModel → WanDiT params."""
+    p: dict = {}
+    p["patch_embedding"] = _patch_embed_conv_to_dense(
+        sd["patch_embedding.weight"], sd["patch_embedding.bias"])
+    p["text_embedder"] = {
+        "fc1": _dense(sd["condition_embedder.text_embedder.linear_1.weight"],
+                      sd["condition_embedder.text_embedder.linear_1.bias"]),
+        "fc2": _dense(sd["condition_embedder.text_embedder.linear_2.weight"],
+                      sd["condition_embedder.text_embedder.linear_2.bias"]),
+    }
+    # our text_proj folds into text_embedder output; identity when absent
+    p["time_in"] = _dense(
+        sd["condition_embedder.time_embedder.linear_1.weight"],
+        sd["condition_embedder.time_embedder.linear_1.bias"])
+    p["time_embedder"] = {
+        "fc1": _dense(sd["condition_embedder.time_embedder.linear_2.weight"],
+                      sd["condition_embedder.time_embedder.linear_2.bias"]),
+        "fc2": _identity_dense(
+            sd["condition_embedder.time_embedder.linear_2.weight"].shape[0]),
+    }
+    for i in range(num_blocks):
+        b = f"blocks.{i}"
+        blk = {
+            "scale_shift_table": np.asarray(sd[f"{b}.scale_shift_table"])[None]
+            if sd[f"{b}.scale_shift_table"].ndim == 2
+            else np.asarray(sd[f"{b}.scale_shift_table"]),
+            "attn1_to_q": _dense(sd[f"{b}.attn1.to_q.weight"],
+                                 sd[f"{b}.attn1.to_q.bias"]),
+            "attn1_to_k": _dense(sd[f"{b}.attn1.to_k.weight"],
+                                 sd[f"{b}.attn1.to_k.bias"]),
+            "attn1_to_v": _dense(sd[f"{b}.attn1.to_v.weight"],
+                                 sd[f"{b}.attn1.to_v.bias"]),
+            "attn1_to_out": _dense(sd[f"{b}.attn1.to_out.0.weight"],
+                                   sd[f"{b}.attn1.to_out.0.bias"]),
+            "attn1_norm_q": _rms(sd, f"{b}.attn1.norm_q"),
+            "attn1_norm_k": _rms(sd, f"{b}.attn1.norm_k"),
+            "attn2_to_q": _dense(sd[f"{b}.attn2.to_q.weight"],
+                                 sd[f"{b}.attn2.to_q.bias"]),
+            "attn2_to_k": _dense(sd[f"{b}.attn2.to_k.weight"],
+                                 sd[f"{b}.attn2.to_k.bias"]),
+            "attn2_to_v": _dense(sd[f"{b}.attn2.to_v.weight"],
+                                 sd[f"{b}.attn2.to_v.bias"]),
+            "attn2_to_out": _dense(sd[f"{b}.attn2.to_out.0.weight"],
+                                   sd[f"{b}.attn2.to_out.0.bias"]),
+            "attn2_norm_q": _rms(sd, f"{b}.attn2.norm_q"),
+            "attn2_norm_k": _rms(sd, f"{b}.attn2.norm_k"),
+            "norm2": _ln(sd, f"{b}.norm2"),
+            "ffn": {"fc1": _dense(sd[f"{b}.ffn.net.0.proj.weight"],
+                                  sd[f"{b}.ffn.net.0.proj.bias"]),
+                    "fc2": _dense(sd[f"{b}.ffn.net.2.weight"],
+                                  sd[f"{b}.ffn.net.2.bias"])},
+        }
+        if f"{b}.attn2.add_k_proj.weight" in sd:   # I2V image branch
+            blk["attn2_add_k_proj"] = _dense(sd[f"{b}.attn2.add_k_proj.weight"],
+                                             sd[f"{b}.attn2.add_k_proj.bias"])
+            blk["attn2_add_v_proj"] = _dense(sd[f"{b}.attn2.add_v_proj.weight"],
+                                             sd[f"{b}.attn2.add_v_proj.bias"])
+            blk["attn2_norm_added_k"] = _rms(sd, f"{b}.attn2.norm_added_k")
+        p[f"block_{i}"] = blk
+    p["scale_shift_table_out"] = np.asarray(sd["scale_shift_table"])[None] \
+        if sd["scale_shift_table"].ndim == 2 else np.asarray(sd["scale_shift_table"])
+    p["proj_out"] = _dense(sd["proj_out.weight"], sd["proj_out.bias"])
+    return {"params": p}
+
+
+def _identity_dense(dim: int):
+    return {"kernel": np.eye(dim, dtype=np.float32),
+            "bias": np.zeros(dim, np.float32)}
+
+
+def convert_flux(sd: dict, num_dual: int, num_single: int) -> dict:
+    """diffusers FluxTransformer2DModel → FluxDiT params (core blocks;
+    conditioning embedders are mapped with identity-folding where our
+    module structure fuses adjacent Linears)."""
+    p: dict = {}
+    p["x_embedder"] = _dense(sd["x_embedder.weight"], sd["x_embedder.bias"])
+    p["context_embedder"] = _dense(sd["context_embedder.weight"],
+                                   sd["context_embedder.bias"])
+    te = "time_text_embed.timestep_embedder"
+    p["time_in"] = _dense(sd[f"{te}.linear_1.weight"],
+                          sd[f"{te}.linear_1.bias"])
+    p["time_mlp"] = {"fc1": _identity_dense(sd[f"{te}.linear_2.weight"].shape[1]),
+                     "fc2": _dense(sd[f"{te}.linear_2.weight"],
+                                   sd[f"{te}.linear_2.bias"])}
+    pe = "time_text_embed.text_embedder"
+    p["pooled_in"] = _dense(sd[f"{pe}.linear_1.weight"],
+                            sd[f"{pe}.linear_1.bias"])
+    p["pooled_mlp"] = {"fc1": _identity_dense(sd[f"{pe}.linear_2.weight"].shape[1]),
+                       "fc2": _dense(sd[f"{pe}.linear_2.weight"],
+                                     sd[f"{pe}.linear_2.bias"])}
+    ge = "time_text_embed.guidance_embedder"
+    if f"{ge}.linear_1.weight" in sd:
+        p["guide_in"] = _dense(sd[f"{ge}.linear_1.weight"],
+                               sd[f"{ge}.linear_1.bias"])
+        p["guide_mlp"] = {
+            "fc1": _identity_dense(sd[f"{ge}.linear_2.weight"].shape[1]),
+            "fc2": _dense(sd[f"{ge}.linear_2.weight"],
+                          sd[f"{ge}.linear_2.bias"])}
+
+    for i in range(num_dual):
+        b = f"transformer_blocks.{i}"
+        p[f"dual_{i}"] = {
+            "norm1": {"linear": _dense(sd[f"{b}.norm1.linear.weight"],
+                                       sd[f"{b}.norm1.linear.bias"])},
+            "norm1_context": {"linear": _dense(
+                sd[f"{b}.norm1_context.linear.weight"],
+                sd[f"{b}.norm1_context.linear.bias"])},
+            "attn": {
+                "to_q": _dense(sd[f"{b}.attn.to_q.weight"],
+                               sd[f"{b}.attn.to_q.bias"]),
+                "to_k": _dense(sd[f"{b}.attn.to_k.weight"],
+                               sd[f"{b}.attn.to_k.bias"]),
+                "to_v": _dense(sd[f"{b}.attn.to_v.weight"],
+                               sd[f"{b}.attn.to_v.bias"]),
+                "add_to_q": _dense(sd[f"{b}.attn.add_q_proj.weight"],
+                                   sd[f"{b}.attn.add_q_proj.bias"]),
+                "add_to_k": _dense(sd[f"{b}.attn.add_k_proj.weight"],
+                                   sd[f"{b}.attn.add_k_proj.bias"]),
+                "add_to_v": _dense(sd[f"{b}.attn.add_v_proj.weight"],
+                                   sd[f"{b}.attn.add_v_proj.bias"]),
+                "norm_q": _rms(sd, f"{b}.attn.norm_q"),
+                "norm_k": _rms(sd, f"{b}.attn.norm_k"),
+                "norm_added_q": _rms(sd, f"{b}.attn.norm_added_q"),
+                "norm_added_k": _rms(sd, f"{b}.attn.norm_added_k"),
+                "to_out": _dense(sd[f"{b}.attn.to_out.0.weight"],
+                                 sd[f"{b}.attn.to_out.0.bias"]),
+                "to_add_out": _dense(sd[f"{b}.attn.to_add_out.weight"],
+                                     sd[f"{b}.attn.to_add_out.bias"]),
+            },
+            "ff": {"fc1": _dense(sd[f"{b}.ff.net.0.proj.weight"],
+                                 sd[f"{b}.ff.net.0.proj.bias"]),
+                   "fc2": _dense(sd[f"{b}.ff.net.2.weight"],
+                                 sd[f"{b}.ff.net.2.bias"])},
+            "ff_context": {
+                "fc1": _dense(sd[f"{b}.ff_context.net.0.proj.weight"],
+                              sd[f"{b}.ff_context.net.0.proj.bias"]),
+                "fc2": _dense(sd[f"{b}.ff_context.net.2.weight"],
+                              sd[f"{b}.ff_context.net.2.bias"])},
+        }
+    for i in range(num_single):
+        b = f"single_transformer_blocks.{i}"
+        # diffusers single block: separate to_q/to_k/to_v + proj_mlp, fused
+        # output proj_out over [attn ; mlp]
+        wq, wk, wv = (sd[f"{b}.attn.to_q.weight"], sd[f"{b}.attn.to_k.weight"],
+                      sd[f"{b}.attn.to_v.weight"])
+        bq, bk, bv = (sd[f"{b}.attn.to_q.bias"], sd[f"{b}.attn.to_k.bias"],
+                      sd[f"{b}.attn.to_v.bias"])
+        p[f"single_{i}"] = {
+            "norm": {"linear": _dense(sd[f"{b}.norm.linear.weight"],
+                                      sd[f"{b}.norm.linear.bias"])},
+            "to_qkv": _dense(np.concatenate([wq, wk, wv], axis=0),
+                             np.concatenate([bq, bk, bv], axis=0)),
+            "norm_q": _rms(sd, f"{b}.attn.norm_q"),
+            "norm_k": _rms(sd, f"{b}.attn.norm_k"),
+            "proj_mlp": _dense(sd[f"{b}.proj_mlp.weight"],
+                               sd[f"{b}.proj_mlp.bias"]),
+            "proj_out": _dense(sd[f"{b}.proj_out.weight"],
+                               sd[f"{b}.proj_out.bias"]),
+        }
+    p["norm_out"] = {"linear": _dense(sd["norm_out.linear.weight"],
+                                      sd["norm_out.linear.bias"])}
+    p["proj_out"] = _dense(sd["proj_out.weight"], sd["proj_out.bias"])
+    return {"params": p}
+
+
+CONVERTERS: dict[str, Callable] = {
+    "wan": convert_wan,
+    "flux": convert_flux,
+}
+
+
+def assign_dtype(params, dtype):
+    import jax.numpy as jnp
+    import jax
+    return jax.tree_util.tree_map(
+        lambda x: jnp.asarray(x, dtype) if np.issubdtype(
+            np.asarray(x).dtype, np.floating) else jnp.asarray(x), params)
