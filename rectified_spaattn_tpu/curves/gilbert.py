@@ -74,6 +74,13 @@ def gilbert3d_path(width: int, height: int, depth: int,
     if total == 0:
         return np.zeros((0, 3), dtype=np.int64)
 
+    # Native fast path (csrc/gilbert.cpp, ~40x): identical splitting rules.
+    from . import native
+    if native.available():
+        path = native.gilbert3d_path(width, height, depth, axis_order)
+        if path is not None:
+            return path
+
     axes = {
         "w": (width, 0, 0),
         "h": (0, height, 0),
@@ -241,6 +248,12 @@ def _neighbor_mask_from_colors(colors: np.ndarray, num_blocks: int) -> np.ndarra
     Vectorized over the 26 axis shifts instead of the reference's triple
     Python loop (reference: utils/jenga_gilbert.py:648-693).
     """
+    from . import native
+    if native.available():
+        adj_n = native.block_neighbors(colors, num_blocks)
+        if adj_n is not None:
+            return adj_n
+
     adj = np.zeros((num_blocks, num_blocks), dtype=bool)
     idx = np.arange(num_blocks)
     adj[idx, idx] = True
