@@ -25,7 +25,7 @@ import jax
 import jax.numpy as jnp
 
 from ..sparse import SparseConfig, build_sparse_plan
-from ..kernels import block_sparse_flash_attention, dense_attention
+from ..kernels import block_sparse_flash_attention
 
 
 def kv_validity(batch: int, seq_len: int, visual_len: int,
@@ -102,14 +102,29 @@ def rectified_sparse_attention(
         visual_len=visual_len, text_start=text_start,
         block_m=bm, block_n=cfg.block_n, interpret=interpret)
 
-    r_tok = jnp.repeat(plan.r_factor, bm, axis=-1)          # [B,H,Sv]
-    comp_tok = jnp.repeat(plan.comp, bm, axis=-2)           # [B,H,Sv,D]
-    out_vis = (sparse_out.astype(jnp.float32) * r_tok[..., None]
-               + comp_tok).astype(q.dtype)
+    # Apply R/comp by broadcast at block granularity (the reference
+    # repeat_interleaves to token level, rectified_hunyuan_attn.py:352,357
+    # — a 128x larger intermediate for the same result).
+    so = sparse_out.reshape(b, h, nq, bm, d).astype(jnp.float32)
+    out_vis = (so * plan.r_factor[..., None, None]
+               + plan.comp[..., None, :]).reshape(b, h, sv_pad, d)
+    out_vis = out_vis.astype(q.dtype)
 
     if cfg.layout == "joint":
-        out_text = dense_attention(q[:, :, sv_pad:, :], k, v, valid,
-                                   mode="vanilla" if interpret else "flash")
+        # Text-query rows: exact attention over ALL keys (reference:
+        # rectified_hunyuan_attn.py:369-383).  Reuses the sparse kernel
+        # with full index lists — same validity semantics, no separate
+        # dense kernel program.
+        nb_total = s // cfg.block_n
+        nq_text = cfg.text_blocks
+        full_idx = jnp.broadcast_to(
+            jnp.arange(nb_total, dtype=jnp.int32),
+            (b, h, nq_text, nb_total))
+        full_counts = jnp.full((b, h, nq_text), nb_total, jnp.int32)
+        out_text = block_sparse_flash_attention(
+            q[:, :, sv_pad:, :], k, v, full_idx, full_counts, tlen,
+            visual_len=visual_len, text_start=text_start,
+            block_m=bm, block_n=cfg.block_n, interpret=interpret)
         out = jnp.concatenate([out_vis, out_text.astype(q.dtype)], axis=2)
     else:
         out = out_vis

@@ -106,6 +106,114 @@ def build_hunyuan(args):
     return pipe, (text, mask)
 
 
+def build_wan(args):
+    import jax
+    import jax.numpy as jnp
+    from ..models.wan import WanConfig, WanDiT
+    from ..pipelines import WanPipeline, Wan22A14BPipeline
+    s = args.scale
+    is_22 = args.model.startswith("wan22")
+    is_i2v = args.model.endswith("i2v") and args.model != "wan22-ti2v"
+    vae_stride = (4, 32, 32) if args.model == "wan22-ti2v" else (4, 16, 16)
+    cfg = WanConfig(
+        hidden_dim=max(128, int(5120 * s) // 128 * 128),
+        heads=max(1, int(40 * s)), num_blocks=max(2, int(40 * s)),
+        ffn_dim=max(256, int(13824 * s)), text_dim=512, freq_dim=256,
+        image_cross=is_i2v and not is_22)
+    model = WanDiT(cfg)
+    text, _ = _random_text(args.prompt, 512, cfg.text_dim)
+    neg, _ = _random_text("", 512, cfg.text_dim)
+
+    def make_pipe():
+        lat = jnp.zeros((1, cfg.in_channels,
+                         (args.frame + 3) // vae_stride[0] * cfg.patch_size[0],
+                         args.height // vae_stride[1] * cfg.patch_size[1],
+                         args.width // vae_stride[2] * cfg.patch_size[2]))
+        params = model.init(jax.random.PRNGKey(0), lat, jnp.array([0.0]),
+                            text)
+        return WanPipeline(
+            model=model, params=params, height=args.height,
+            width=args.width, frames=args.frame, num_steps=args.num_steps,
+            sa_drop_rate=args.sa_drop_rate,
+            p_remain_rates=args.p_remain_rates,
+            mode="flash" if args.mode == "torch" else args.mode,
+            enable_teacache=args.enable_teacache,
+            teacache_thresh=args.teacache_thresh,
+            use_ret_steps=args.use_ret_steps, vae_stride=vae_stride,
+            is_i2v=is_i2v,
+            warm_last_layers=2 if args.model in ("wan22-t2v", "wan22-i2v")
+            else 0,
+            scheduler="euler" if is_22 else "unipc")
+
+    if args.model in ("wan22-t2v", "wan22-i2v"):
+        return Wan22A14BPipeline(high=make_pipe(), low=make_pipe()), (text, neg)
+    return make_pipe(), (text, neg)
+
+
+def build_cogvideox(args):
+    import jax
+    import jax.numpy as jnp
+    from ..models.cogvideox import CogVideoXConfig, CogVideoXDiT
+    from ..pipelines import CogVideoXPipeline
+    s = args.scale
+    cfg = CogVideoXConfig(
+        hidden_dim=max(128, int(3072 * s) // 64 * 64),
+        heads=max(1, int(48 * s)), num_blocks=max(2, int(42 * s)),
+        text_dim=512, time_embed_dim=256)
+    model = CogVideoXDiT(cfg)
+    text, _ = _random_text(args.prompt, 256, cfg.text_dim)
+    neg, _ = _random_text("", 256, cfg.text_dim)
+    lt = ((args.frame - 1) // 8 + 1 + cfg.patch_size_t - 1) \
+        // cfg.patch_size_t * cfg.patch_size_t
+    lat = jnp.zeros((1, cfg.in_channels, lt,
+                     args.height // 16 * cfg.patch_size,
+                     args.width // 16 * cfg.patch_size))
+    params = model.init(jax.random.PRNGKey(0), lat, jnp.array([0.0]), text)
+    pipe = CogVideoXPipeline(
+        model=model, params=params, height=args.height, width=args.width,
+        frames=args.frame, num_steps=args.num_steps,
+        sa_drop_rate=args.sa_drop_rate, p_remain_rates=args.p_remain_rates,
+        mode="flash" if args.mode == "torch" else args.mode,
+        enable_teacache=args.enable_teacache,
+        teacache_thresh=args.teacache_thresh,
+        is_i2v=args.model.endswith("i2v"))
+    return pipe, (text, neg)
+
+
+def build_flux(args):
+    import jax
+    import jax.numpy as jnp
+    from ..models.flux import FluxConfig, FluxDiT
+    from ..pipelines import FluxPipeline, FluxUpscalePipeline
+    s = args.scale
+    cfg = FluxConfig(
+        hidden_dim=max(128, int(3072 * s) // 128 * 128),
+        heads=max(1, int(24 * s)), num_dual_blocks=max(1, int(19 * s)),
+        num_single_blocks=max(1, int(38 * s)), text_dim=512, pooled_dim=128)
+    model = FluxDiT(cfg)
+    text, mask = _random_text(args.prompt, 512, cfg.text_dim)
+    import numpy as _np
+    pooled = jnp.asarray(_np.random.default_rng(0).standard_normal(
+        (1, cfg.pooled_dim)), jnp.float32)
+    gh, gw = args.height // 16, args.width // 16
+    tokens = jnp.zeros((1, gh * gw, cfg.in_channels))
+    params = model.init(jax.random.PRNGKey(0), tokens, jnp.array([0.5]),
+                        text, pooled, jnp.array([3.5]), gh, gw)
+
+    def mk(hh, ww, steps):
+        return FluxPipeline(
+            model=model, params=params, height=hh, width=ww,
+            num_steps=steps, sa_drop_rate=args.sa_drop_rate,
+            p_remain_rates=args.p_remain_rates,
+            mode="flash" if args.mode == "torch" else args.mode,
+            enable_teacache=args.enable_teacache,
+            rel_l1_thresh=args.teacache_thresh)
+
+    base = mk(args.height // 4, args.width // 4, args.num_steps)
+    up = mk(args.height, args.width, args.num_steps)
+    return FluxUpscalePipeline(base=base, up=up), (text, mask, pooled)
+
+
 def main(argv=None):
     args = parse_args(argv)
     drop, tea = DEFAULTS[args.model]
@@ -120,11 +228,26 @@ def main(argv=None):
     if args.model == "hunyuan":
         pipe, inputs = build_hunyuan(args)
         latents = pipe(*inputs, seed=args.seed)
+    elif args.model.startswith("wan"):
+        pipe, inputs = build_wan(args)
+        if hasattr(pipe, "high"):   # A14B dual transformer
+            import jax, jax.numpy as jnp
+            cfgm = pipe.high.model.cfg
+            rng = jax.random.PRNGKey(args.seed)
+            lat = jax.random.normal(
+                rng, (1, cfgm.in_channels, *pipe.high.grid), jnp.float32)
+            latents = pipe.denoise(lat, *inputs)
+        else:
+            latents = pipe(*inputs, seed=args.seed)
+    elif args.model.startswith("cogvideox"):
+        pipe, inputs = build_cogvideox(args)
+        latents = pipe(*inputs, seed=args.seed)
+    elif args.model == "flux-upscale":
+        pipe, inputs = build_flux(args)
+        latents = pipe(*inputs, seed=args.seed)
+        pipe = pipe.up   # report the high-res stage's timing
     else:
-        raise SystemExit(
-            f"--model {args.model}: use the pipeline classes in "
-            "rectified_spaattn_tpu.pipelines directly (CLI wiring for "
-            "this family lands with its checkpoint loader)")
+        raise SystemExit(f"unknown model {args.model}")
 
     os.makedirs(args.out_dir, exist_ok=True)
     stamp = datetime.fromtimestamp(time.time()).strftime("%m-%d-%H:%M:%S")

@@ -2,12 +2,16 @@ from .hunyuan import HunyuanVideoConfig, HunyuanVideoDiT
 from .wan import WanConfig, WanDiT
 from .flux import FluxConfig, FluxDiT
 from .cogvideox import CogVideoXConfig, CogVideoXDiT
-from . import layers
+from .vae import VAEConfig, VAEDecoder, tiled_decode
+from .encoders import HashEncoder, TransformersTextEncoder, make_text_encoder
+from . import layers, weights
 
 __all__ = [
     "HunyuanVideoConfig", "HunyuanVideoDiT",
     "WanConfig", "WanDiT",
     "FluxConfig", "FluxDiT",
     "CogVideoXConfig", "CogVideoXDiT",
-    "layers",
+    "VAEConfig", "VAEDecoder", "tiled_decode",
+    "HashEncoder", "TransformersTextEncoder", "make_text_encoder",
+    "layers", "weights",
 ]

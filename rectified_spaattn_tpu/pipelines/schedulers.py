@@ -100,15 +100,14 @@ class UniPCScheduler:
         return sample - sigma * model_out
 
     def step(self, model_out, sample, i: int):
-        """One UniPC predictor step (corrector folded: use_corrector=False
-        matches diffusers' default solver path for p=2 with predictor-only
-        at the boundaries; we apply the corrector when history allows)."""
+        """UniPC predictor-corrector (data prediction, B(h)=h "bh2",
+        order ≤ 2): the corrector refines the PREVIOUS prediction with this
+        step's converted x0, then the predictor advances."""
         sigma = self.sigmas[i]
         x0 = self._convert_model_output(model_out, sample, sigma)
 
-        # corrector for the PREVIOUS step (UniC) — uses this step's x0
         if self._last_sample is not None and self._lower_order_nums >= 1:
-            sample = self._unic(x0, sample, i)
+            sample = self._unic(x0, self._last_sample, i)
 
         self._model_outputs = self._model_outputs[1:] + [x0]
         order = min(self.order, self._lower_order_nums + 1,
@@ -121,48 +120,58 @@ class UniPCScheduler:
 
     def _lambda(self, sigma):
         alpha_t, sigma_t = self._sigma_to_alpha_t(sigma)
-        return math.log(max(alpha_t, 1e-8)) - math.log(max(sigma_t, 1e-8))
+        return math.log(max(alpha_t, 1e-12)) - math.log(max(sigma_t, 1e-12))
+
+    def _coeffs(self, hh):
+        """(h_phi_1, b1, b2) for the bh2 data-prediction branch:
+        b_k = phi_{k+1}-style coefficients divided by B(h)=hh."""
+        h_phi_1 = math.expm1(hh)
+        h_phi_2 = h_phi_1 / hh - 1.0
+        h_phi_3 = h_phi_2 / hh - 0.5
+        b1 = h_phi_2 / hh            # = h_phi_2 * 1 / B_h
+        b2 = h_phi_3 * 2.0 / hh
+        return h_phi_1, b1, b2
 
     def _unip(self, sample, i, order):
         s0, st = self.sigmas[i], self.sigmas[i + 1]
         lam_t, lam_s0 = self._lambda(st), self._lambda(s0)
         a_t, sg_t = self._sigma_to_alpha_t(st)
-        a_s0, sg_s0 = self._sigma_to_alpha_t(s0)
+        _, sg_s0 = self._sigma_to_alpha_t(s0)
         h = lam_t - lam_s0
+        hh = -h
+        h_phi_1, b1, _ = self._coeffs(hh)
         x0_0 = self._model_outputs[-1]
-
-        hh = -h  # data-prediction branch
-        h_phi_1 = math.expm1(hh)
-        b_h = hh  # bh2
-
-        if order == 2 and self._model_outputs[-2] is not None:
-            s_prev = self.sigmas[i - 1]
-            lam_prev = self._lambda(s_prev)
+        x_t = sg_t / sg_s0 * sample - a_t * h_phi_1 * x0_0
+        if order >= 2 and self._model_outputs[-2] is not None:
+            lam_prev = self._lambda(self.sigmas[i - 1])
             rk = (lam_prev - lam_s0) / h
             d1 = (self._model_outputs[-2] - x0_0) / rk
-            rhos_p = 0.5  # B1(h)=h, single extra term: rho = phi2/ b... (order2 closed form)
-            x_t = (sg_t / sg_s0 * sample
-                   - a_t * h_phi_1 * x0_0
-                   - a_t * b_h * rhos_p * d1)
-        else:
-            x_t = sg_t / sg_s0 * sample - a_t * h_phi_1 * x0_0
+            # order-2 predictor: rhos_p solves the 1x1 system [1][rho]=[b1]
+            x_t = x_t - a_t * hh * b1 * d1
         return x_t
 
     def _unic(self, x0_new, last_sample, i):
-        # single-step corrector using the new x0 at the arrival point
         s0, st = self.sigmas[i - 1], self.sigmas[i]
         lam_t, lam_s0 = self._lambda(st), self._lambda(s0)
         a_t, sg_t = self._sigma_to_alpha_t(st)
         _, sg_s0 = self._sigma_to_alpha_t(s0)
         h = lam_t - lam_s0
         hh = -h
-        h_phi_1 = math.expm1(hh)
+        h_phi_1, b1, b2 = self._coeffs(hh)
         x0_0 = self._model_outputs[-1]
         d1_t = x0_new - x0_0
-        x_t = (sg_t / sg_s0 * last_sample
-               - a_t * h_phi_1 * x0_0
-               - a_t * hh * 0.5 * d1_t)
-        return x_t
+        x_t_ = sg_t / sg_s0 * last_sample - a_t * h_phi_1 * x0_0
+        if self._lower_order_nums >= 2 and self._model_outputs[-2] is not None:
+            lam_prev = self._lambda(self.sigmas[i - 2])
+            rk = (lam_prev - lam_s0) / h
+            d1 = (self._model_outputs[-2] - x0_0) / rk
+            # order-2 corrector: [[1,1],[rk,1]] [rho1,rho2] = [b1,b2]
+            rho1 = (b1 - b2) / (1.0 - rk)
+            rho2 = b1 - rho1
+            corr = rho1 * d1 + rho2 * d1_t
+        else:
+            corr = 0.5 * d1_t      # order-1 corrector
+        return x_t_ - a_t * hh * corr
 
 
 @dataclasses.dataclass

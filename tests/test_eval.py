@@ -1,0 +1,63 @@
+"""Eval-harness tests: diff metrics against known values, prompt sharding,
+batch generation plumbing."""
+
+import json
+import numpy as np
+
+from rectified_spaattn_tpu.eval import (
+    evaluate_pair, ssim, psnr, rmse, relative_l1, cosine_similarity,
+    load_prompts, safe_name, generate_batch)
+from rectified_spaattn_tpu.parallel import shard_prompts
+
+
+def test_identical_images_are_perfect():
+    img = np.random.default_rng(0).uniform(size=(16, 16, 3))
+    m = evaluate_pair(img, img)
+    assert m["ssim"] > 0.999
+    assert m["psnr"] == float("inf")
+    assert m["rmse"] == 0.0
+    assert abs(m["cosine"] - 1.0) < 1e-9
+    assert m["relative_l1"] < 1e-9
+
+
+def test_noise_degrades_metrics_monotonically():
+    g = np.random.default_rng(1)
+    img = g.uniform(size=(32, 32, 3))
+    small = np.clip(img + 0.01 * g.standard_normal(img.shape), 0, 1)
+    big = np.clip(img + 0.2 * g.standard_normal(img.shape), 0, 1)
+    assert psnr(small, img) > psnr(big, img)
+    assert ssim(small, img) > ssim(big, img)
+    assert rmse(small, img) < rmse(big, img)
+    assert relative_l1(small, img) < relative_l1(big, img)
+    assert cosine_similarity(small, img) > cosine_similarity(big, img)
+
+
+def test_prompt_sharding_interleaves_like_reference():
+    prompts = [f"p{i}" for i in range(10)]
+    shards = [shard_prompts(prompts, i, 3) for i in range(3)]
+    assert shards[0] == ["p0", "p3", "p6", "p9"]
+    assert shards[1] == ["p1", "p4", "p7"]
+    assert sum(len(s) for s in shards) == 10
+
+
+def test_load_prompts_and_sampling(tmp_path):
+    path = tmp_path / "prompts.json"
+    path.write_text(json.dumps([{"prompt": f"p{i}"} for i in range(50)]))
+    full = load_prompts(str(path))
+    assert len(full) == 50
+    sub1 = load_prompts(str(path), limit=10, seed=42)
+    sub2 = load_prompts(str(path), limit=10, seed=42)
+    assert sub1 == sub2 and len(sub1) == 10
+
+
+def test_generate_batch_writes_outputs(tmp_path):
+    def fake_pipeline(prompt, seed=0):
+        g = np.random.default_rng(seed)
+        return g.uniform(size=(4, 8, 8, 3))   # tiny video
+    paths = generate_batch(
+        fake_pipeline, ["a cat", "a dog!"], str(tmp_path), loops=2,
+        shard_index=0, num_shards=1)
+    assert len(paths) == 4
+    for p in paths:
+        assert p.endswith((".mp4", ".npy"))
+    assert safe_name("a dog!") in paths[-1]
