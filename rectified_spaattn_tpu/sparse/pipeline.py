@@ -104,8 +104,8 @@ def build_sparse_plan(
         num_sel_cols = k_pool_vis.shape[-2]
 
     # Top-p with top-k floor over the (IPAR'd) probabilities.
-    counts_sel, order = ops.topp_topk_counts(probs, cfg.p_remain, cfg.top_k_floor)
-    onehot_sel = ops.counts_to_onehot(counts_sel, order)   # [B,H,NQ,num_sel_cols]
+    onehot_sel = ops.topp_threshold_onehot(
+        probs, cfg.p_remain, cfg.top_k_floor)   # [B,H,NQ,num_sel_cols]
 
     # Assemble the kernel-visible mask over all key blocks.
     nb_total = key.shape[2] // bn

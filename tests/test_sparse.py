@@ -99,6 +99,15 @@ def test_topp_selection_matches_oracle(p_remain, floor):
     np.testing.assert_array_equal(np.asarray(onehot), want_onehot)
 
 
+def test_threshold_onehot_matches_rank_selection():
+    probs = rng(12).uniform(size=(2, 3, 6, 40)).astype(np.float32)
+    probs /= probs.sum(-1, keepdims=True)
+    counts, order = ops.topp_topk_counts(jnp.asarray(probs), 0.35, 3)
+    want = ops.counts_to_onehot(counts, order)
+    got = ops.topp_threshold_onehot(jnp.asarray(probs), 0.35, 3)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
 def test_mask_to_indices_roundtrip():
     mask = rng(6).uniform(size=(2, 2, 5, 9)) < 0.4
     mask[..., 0, :] = False
