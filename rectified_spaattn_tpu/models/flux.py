@@ -57,12 +57,15 @@ class FluxDiT(nn.Module):
         self.x_embedder = nn.Dense(c.hidden_dim, name="x_embedder")
         self.context_embedder = nn.Dense(c.hidden_dim, name="context_embedder")
         self.time_in = nn.Dense(c.hidden_dim, name="time_in")
-        self.time_mlp = MLP(c.hidden_dim, 1.0, name="time_mlp")
+        self.time_mlp = MLP(c.hidden_dim, 1.0, activation="silu",
+                            name="time_mlp")
         self.pooled_in = nn.Dense(c.hidden_dim, name="pooled_in")
-        self.pooled_mlp = MLP(c.hidden_dim, 1.0, name="pooled_mlp")
+        self.pooled_mlp = MLP(c.hidden_dim, 1.0, activation="silu",
+                              name="pooled_mlp")
         if c.guidance_embeds:
             self.guide_in = nn.Dense(c.hidden_dim, name="guide_in")
-            self.guide_mlp = MLP(c.hidden_dim, 1.0, name="guide_mlp")
+            self.guide_mlp = MLP(c.hidden_dim, 1.0, activation="silu",
+                                 name="guide_mlp")
         self.dual_blocks = [
             DualStreamBlock(c.hidden_dim, c.heads, c.mlp_mult,
                             name=f"dual_{i}")

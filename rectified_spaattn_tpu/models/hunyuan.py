@@ -67,7 +67,7 @@ class TokenRefiner(nn.Module):
     def __call__(self, text_emb, timestep, text_mask):
         c = self.cfg
         t_emb = timestep_embedding(timestep, 256)
-        t_emb = MLP(c.hidden_dim, 1.0, name="time_mlp")(
+        t_emb = MLP(c.hidden_dim, 1.0, activation="silu", name="time_mlp")(
             nn.Dense(c.hidden_dim, name="time_in")(t_emb))
         if text_mask is None:
             pooled = jnp.mean(text_emb, axis=1)
@@ -75,7 +75,7 @@ class TokenRefiner(nn.Module):
             w = text_mask.astype(text_emb.dtype)[..., None]
             pooled = jnp.sum(text_emb * w, axis=1) / jnp.clip(
                 jnp.sum(w, axis=1), 1e-3)
-        p_emb = MLP(c.hidden_dim, 1.0, name="pool_mlp")(
+        p_emb = MLP(c.hidden_dim, 1.0, activation="silu", name="pool_mlp")(
             nn.Dense(c.hidden_dim, name="pool_in")(pooled))
         cond = t_emb + p_emb
 
@@ -111,13 +111,16 @@ class HunyuanVideoDiT(nn.Module):
         self.x_embedder = nn.Dense(c.hidden_dim, name="x_embedder")
         self.refiner = TokenRefiner(c, name="context_embedder")
         self.time_in = nn.Dense(c.hidden_dim, name="time_in")
-        self.time_mlp = MLP(c.hidden_dim, 1.0, name="time_mlp")
+        self.time_mlp = MLP(c.hidden_dim, 1.0, activation="silu",
+                            name="time_mlp")
         self.pooled_in = nn.Dense(c.hidden_dim, name="pooled_in")
-        self.pooled_mlp = MLP(c.hidden_dim, 1.0, name="pooled_mlp")
+        self.pooled_mlp = MLP(c.hidden_dim, 1.0, activation="silu",
+                              name="pooled_mlp")
         self.clip_pool_proj = nn.Dense(c.pooled_dim, name="clip_pool_proj")
         if c.guidance_embeds:
             self.guide_in = nn.Dense(c.hidden_dim, name="guide_in")
-            self.guide_mlp = MLP(c.hidden_dim, 1.0, name="guide_mlp")
+            self.guide_mlp = MLP(c.hidden_dim, 1.0, activation="silu",
+                                 name="guide_mlp")
         self.dual_blocks = [
             DualStreamBlock(c.hidden_dim, c.heads, c.mlp_mult,
                             name=f"dual_{i}")

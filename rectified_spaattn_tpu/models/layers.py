@@ -285,27 +285,32 @@ class CrossAttnBlock(nn.Module):
     image_cross: bool = False    # Wan I2V: extra image-context cross attn
 
     @nn.compact
-    def __call__(self, x, ctx, temb, rope, self_attn_fn: AttnFn,
+    def __call__(self, x, ctx, temb6, rope, self_attn_fn: AttnFn,
                  cross_attn_fn: AttnFn, ctx_img=None):
+        """``temb6``: the shared 6-way time projection, [B, 6, C] or
+        [B, S, 6, C] for per-token timesteps (Wan2.2 TI2V)."""
         b, sv, _ = x.shape
         hd = self.dim // self.heads
         split = lambda t: t.reshape(b, -1, self.heads, hd).transpose(0, 2, 1, 3)
         merge = lambda t: t.transpose(0, 2, 1, 3).reshape(b, -1, self.dim)
 
-        # Wan modulation: 6 learned tables added to the time embedding.
+        # Wan modulation: per-block learned table + shared 6-way projection.
         mod = self.param("scale_shift_table",
                          nn.initializers.normal(0.02), (1, 6, self.dim))
-        tm = temb[:, None] if temb.ndim == 2 else temb      # [B,1|S,C]
-        m = mod[:, None] + tm[:, :, None]                   # [B,1|S,6,C]
+        tm = temb6[:, None] if temb6.ndim == 3 else temb6   # [B,1|S,6,C]
+        m = mod[:, None] + tm
         shift_msa, scale_msa, gate_msa, shift_mlp, scale_mlp, gate_mlp = (
             m[:, :, i] for i in range(6))
 
+        # Wan norms q/k over the FULL hidden dim before the head split
+        # (reference applies attn.norm_q pre-unflatten,
+        # rectified_wan21_attn.py:423-430) — unlike Hunyuan's per-head norm.
         xn = nn.LayerNorm(use_bias=False, use_scale=False, epsilon=1e-6,
                           name="norm1")(x)
         xn = xn * (1 + scale_msa) + shift_msa
-        q = RMSNorm(hd, name="attn1_norm_q")(split(
+        q = split(RMSNorm(self.dim, name="attn1_norm_q")(
             nn.Dense(self.dim, name="attn1_to_q")(xn)))
-        k = RMSNorm(hd, name="attn1_norm_k")(split(
+        k = split(RMSNorm(self.dim, name="attn1_norm_k")(
             nn.Dense(self.dim, name="attn1_to_k")(xn)))
         v = split(nn.Dense(self.dim, name="attn1_to_v")(xn))
         if rope is not None:
@@ -319,14 +324,14 @@ class CrossAttnBlock(nn.Module):
         # Cross attention to text (always dense).
         xc = nn.LayerNorm(epsilon=1e-6, use_scale=True, use_bias=True,
                           name="norm2")(x)
-        q2 = RMSNorm(hd, name="attn2_norm_q")(split(
+        q2 = split(RMSNorm(self.dim, name="attn2_norm_q")(
             nn.Dense(self.dim, name="attn2_to_q")(xc)))
-        k2 = RMSNorm(hd, name="attn2_norm_k")(split(
+        k2 = split(RMSNorm(self.dim, name="attn2_norm_k")(
             nn.Dense(self.dim, name="attn2_to_k")(ctx)))
         v2 = split(nn.Dense(self.dim, name="attn2_to_v")(ctx))
         cross = cross_attn_fn(q2, k2, v2)
         if self.image_cross and ctx_img is not None:
-            k2i = RMSNorm(hd, name="attn2_norm_added_k")(split(
+            k2i = split(RMSNorm(self.dim, name="attn2_norm_added_k")(
                 nn.Dense(self.dim, name="attn2_add_k_proj")(ctx_img)))
             v2i = split(nn.Dense(self.dim, name="attn2_add_v_proj")(ctx_img))
             cross = cross + cross_attn_fn(q2, k2i, v2i)

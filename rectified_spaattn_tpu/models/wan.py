@@ -56,14 +56,16 @@ class WanDiT(nn.Module):
     def setup(self):
         c = self.cfg
         self.patch_embedding = nn.Dense(c.hidden_dim, name="patch_embedding")
+        # text_embedder: linear(text_dim->hidden), gelu, linear(hidden->
+        # hidden) — diffusers WanTextEmbedder layout
         self.text_embedder = MLP(c.hidden_dim, 1.0, activation="gelu",
                                  name="text_embedder")
-        self.text_proj = nn.Dense(c.hidden_dim, name="text_proj")
+        self.time_in = nn.Dense(c.hidden_dim, name="time_in")
         self.time_embedder = MLP(c.hidden_dim, 1.0, activation="silu",
                                  name="time_embedder")
-        self.time_in = nn.Dense(c.hidden_dim, name="time_in")
-        # per-block modulation signal (SiLU -> 6*dim happens inside blocks
-        # via scale_shift_table; here the shared projection)
+        # shared 6-way modulation projection consumed by every block
+        # (diffusers `timestep_proj`; the reference's TeaCache signal when
+        # use_ret_steps, scripts/main_wan21t2v.py:103)
         self.time_proj = nn.Dense(6 * c.hidden_dim, name="time_proj")
         if c.image_cross:
             self.img_emb_proj = MLP(c.hidden_dim, 1.0, activation="gelu",
@@ -118,21 +120,24 @@ class WanDiT(nn.Module):
         c = self.cfg
         b, ch, t, hh, ww = latents.shape
         x = self.patch_embedding(self._patchify(latents))
-        ctx = self.text_proj(self.text_embedder(text_emb))
+        ctx = self.text_embedder(text_emb)
         ctx_img = None
         if c.image_cross and image_emb is not None:
             ctx_img = self.img_emb_proj(image_emb)
 
         t_feat = timestep_embedding(timestep, c.freq_dim)     # [B(,S),F]
         temb = self.time_embedder(self.time_in(t_feat))       # [B(,S),C]
+        temb6 = self.time_proj(nn.silu(temb))                 # [B(,S),6C]
+        temb6 = temb6.reshape(*temb.shape[:-1], 6, c.hidden_dim)
         rope = self._rope(t, hh, ww, hilbert_to_linear)
         if hilbert_to_linear is not None:
             x = jnp.take(x, hilbert_to_linear, axis=1)
             if temb.ndim == 3:
                 temb = jnp.take(temb, hilbert_to_linear, axis=1)
-        return x, ctx, ctx_img, temb, rope
+                temb6 = jnp.take(temb6, hilbert_to_linear, axis=1)
+        return x, ctx, ctx_img, temb, temb6, rope
 
-    def run_blocks(self, x, ctx, ctx_img, temb, rope,
+    def run_blocks(self, x, ctx, ctx_img, temb6, rope,
                    self_attn_fn: AttnFn, cross_attn_fn: AttnFn,
                    attn_fns=None):
         """Stage 2 — the TeaCache-skippable hot loop.  ``attn_fns`` may be a
@@ -140,7 +145,7 @@ class WanDiT(nn.Module):
         layers/steps per processor, rectified_wan21_attn.py:467)."""
         for i, blk in enumerate(self.blocks):
             fn = attn_fns[i] if attn_fns is not None else self_attn_fn
-            x = blk(x, ctx, temb, rope, fn, cross_attn_fn, ctx_img=ctx_img)
+            x = blk(x, ctx, temb6, rope, fn, cross_attn_fn, ctx_img=ctx_img)
         return x
 
     def head(self, x, temb, linear_to_hilbert, t, hh, ww):
@@ -166,8 +171,8 @@ class WanDiT(nn.Module):
             from ..attention import attention
             cross_attn_fn = lambda q, k, v: attention(q, k, v, mode="vanilla")
         b, ch, t, hh, ww = latents.shape
-        x, ctx, ctx_img, temb, rope = self.embed(
+        x, ctx, ctx_img, temb, temb6, rope = self.embed(
             latents, timestep, text_emb, hilbert_to_linear, image_emb)
-        x = self.run_blocks(x, ctx, ctx_img, temb, rope, self_attn_fn,
+        x = self.run_blocks(x, ctx, ctx_img, temb6, rope, self_attn_fn,
                             cross_attn_fn)
         return self.head(x, temb, linear_to_hilbert, t, hh, ww)

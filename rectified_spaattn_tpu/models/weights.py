@@ -83,16 +83,21 @@ def convert_wan(sd: dict, num_blocks: int) -> dict:
         "fc2": _dense(sd["condition_embedder.text_embedder.linear_2.weight"],
                       sd["condition_embedder.text_embedder.linear_2.bias"]),
     }
-    # our text_proj folds into text_embedder output; identity when absent
+    # our time path is time_in -> MLP(fc1, silu, fc2); fold diffusers'
+    # (linear_1, silu, linear_2) as time_in=linear_1, fc1=identity,
+    # fc2=linear_2 so the activation lands between the two real linears
     p["time_in"] = _dense(
         sd["condition_embedder.time_embedder.linear_1.weight"],
         sd["condition_embedder.time_embedder.linear_1.bias"])
+    hid = sd["condition_embedder.time_embedder.linear_2.weight"].shape[0]
     p["time_embedder"] = {
-        "fc1": _dense(sd["condition_embedder.time_embedder.linear_2.weight"],
+        "fc1": _identity_dense(
+            sd["condition_embedder.time_embedder.linear_2.weight"].shape[1]),
+        "fc2": _dense(sd["condition_embedder.time_embedder.linear_2.weight"],
                       sd["condition_embedder.time_embedder.linear_2.bias"]),
-        "fc2": _identity_dense(
-            sd["condition_embedder.time_embedder.linear_2.weight"].shape[0]),
     }
+    p["time_proj"] = _dense(sd["condition_embedder.time_proj.weight"],
+                            sd["condition_embedder.time_proj.bias"])
     for i in range(num_blocks):
         b = f"blocks.{i}"
         blk = {

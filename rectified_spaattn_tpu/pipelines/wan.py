@@ -75,7 +75,7 @@ class WanPipeline:
             return m.apply(params, latents, t, text, self.h2l, image_emb,
                            method=WanDiT.embed)
 
-        def blocks(params, x, ctx, ctx_img, temb, rope, sparse: bool):
+        def blocks(params, x, ctx, ctx_img, temb6, rope, sparse: bool):
             dense = self.site.attn_fn(
                 "vanilla" if self.interpret else "flash",
                 interpret=self.interpret)
@@ -88,7 +88,7 @@ class WanPipeline:
                        for i in range(n)]
             else:
                 fns = [dense] * n
-            return m.apply(params, x, ctx, ctx_img, temb, rope, dense,
+            return m.apply(params, x, ctx, ctx_img, temb6, rope, dense,
                            cross, fns, method=WanDiT.run_blocks)
 
         def head(params, x, temb):
@@ -127,17 +127,18 @@ class WanPipeline:
             ts = jnp.full((latents.shape[0],), float(t))
             outs = []
             for text in (text_cond, text_uncond):
-                x, ctx, ctx_img, temb, rope = self._embed(
+                x, ctx, ctx_img, temb, temb6, rope = self._embed(
                     self.params, latents, ts, text, image_emb)
-                sig = temb  # Wan signal is the time embedding
-                               # (reference: main_wan21t2v.py:103)
+                # reference: timestep_proj if use_ret_steps else temb
+                # (main_wan21t2v.py:103)
+                sig = temb6 if self.use_ret_steps else temb
                 if tea.enabled and not tea.should_compute(sig):
                     x = tea.apply_residual(x)
                 else:
                     x_in = x
                     sparse_now = use_sparse and (
                         self.is_i2v or call >= self.warm_calls)
-                    x = self._blocks(self.params, x, ctx, ctx_img, temb,
+                    x = self._blocks(self.params, x, ctx, ctx_img, temb6,
                                      rope, sparse_now)
                     if tea.enabled:
                         tea.record_residual(x_in, x)
@@ -211,13 +212,13 @@ class Wan22A14BPipeline:
             ts = jnp.full((latents.shape[0],), float(t))
             outs = []
             for text in (text_cond, text_uncond):
-                x, ctx, ctx_img, temb, rope = pipe._embed(
+                x, ctx, ctx_img, temb, temb6, rope = pipe._embed(
                     pipe.params, latents, ts, text, None)
                 if tea.enabled and not tea.should_compute(temb):
                     x = tea.apply_residual(x)
                 else:
                     x_in = x
-                    x = pipe._blocks(pipe.params, x, ctx, ctx_img, temb,
+                    x = pipe._blocks(pipe.params, x, ctx, ctx_img, temb6,
                                      rope, use_sparse)
                     if tea.enabled:
                         tea.record_residual(x_in, x)

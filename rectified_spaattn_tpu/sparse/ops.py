@@ -116,10 +116,11 @@ def topp_threshold_onehot(probs: jax.Array, p_remain: float,
     permutation another argsort).  Downstream counts are derived from the
     mask itself (mask_to_indices), so tie-overcounts stay self-consistent.
     """
+    nk = probs.shape[-1]
     sorted_desc = jnp.sort(probs, axis=-1)[..., ::-1]
     csum = jnp.cumsum(sorted_desc, axis=-1)
     counts = jnp.sum(csum <= p_remain, axis=-1).astype(jnp.int32) + 1
-    counts = jnp.maximum(counts, jnp.int32(top_k_floor))
+    counts = jnp.clip(counts, jnp.int32(max(top_k_floor, 1)), jnp.int32(nk))
     thresh = jnp.take_along_axis(sorted_desc, (counts - 1)[..., None],
                                  axis=-1)
     return probs >= thresh

@@ -11,6 +11,9 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax  # noqa: E402
 
+# Environment plugins (axon) may override jax_platforms at import time via
+# jax.config.update — force CPU again after import.
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)
 # XLA CPU downgrades fp32 matmuls by default; tests compare against fp32
 # NumPy oracles, so force full precision.

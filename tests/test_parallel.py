@@ -1,0 +1,79 @@
+"""Multi-device sharding tests on the virtual 8-CPU mesh (SURVEY §2.6:
+no reference semantics to match — validate our dp/tp/sp plans compile,
+execute, and keep results equal to the unsharded computation)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+import pytest
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from rectified_spaattn_tpu.parallel import (
+    make_mesh, param_shardings, shard_params, shard_prompts)
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    return make_mesh(dp=2, tp=4, sp=1)
+
+
+class MiniAttn(nn.Module):
+    dim: int = 32
+    heads: int = 4
+
+    @nn.compact
+    def __call__(self, x):
+        b, s, _ = x.shape
+        hd = self.dim // self.heads
+        q = nn.Dense(self.dim, name="to_q")(x)
+        k = nn.Dense(self.dim, name="to_k")(x)
+        v = nn.Dense(self.dim, name="to_v")(x)
+        split = lambda t: t.reshape(b, s, self.heads, hd).transpose(0, 2, 1, 3)
+        q, k, v = split(q), split(k), split(v)
+        a = jax.nn.softmax(jnp.einsum("bhqd,bhkd->bhqk", q, k), -1)
+        o = jnp.einsum("bhqk,bhkd->bhqd", a, v)
+        o = o.transpose(0, 2, 1, 3).reshape(b, s, self.dim)
+        return nn.Dense(self.dim, name="to_out")(o)
+
+
+def test_tp_sharded_attention_matches_unsharded(mesh):
+    model = MiniAttn()
+    rng = jax.random.PRNGKey(0)
+    x = jax.random.normal(rng, (2, 16, 32))
+    params = model.init(rng, x)
+    want = np.asarray(model.apply(params, x))
+
+    sharded = shard_params(mesh, params)
+    xs = jax.device_put(x, NamedSharding(mesh, P("dp", None, None)))
+    with mesh:
+        got = jax.jit(model.apply)(sharded, xs)
+    np.testing.assert_allclose(np.asarray(got), want, rtol=1e-4, atol=1e-5)
+
+
+def test_param_shardings_classify_kernels(mesh):
+    model = MiniAttn()
+    params = model.init(jax.random.PRNGKey(1), jnp.zeros((1, 4, 32)))
+    sh = param_shardings(mesh, params)
+    flat = dict(jax.tree_util.tree_flatten_with_path(sh)[0])
+    def spec_of(name):
+        for path, s in flat.items():
+            if name in jax.tree_util.keystr(path):
+                return s.spec
+        raise KeyError(name)
+    assert spec_of("to_q']['kernel") == P(None, "tp")
+    assert spec_of("to_out']['kernel") == P("tp", None)
+
+
+def test_shard_prompts_matches_reference_interleaving():
+    prompts = list("abcdefg")
+    assert shard_prompts(prompts, 0, 2) == ["a", "c", "e", "g"]
+    assert shard_prompts(prompts, 1, 2) == ["b", "d", "f"]
+
+
+def test_graft_dryrun_multichip():
+    """The driver's multi-chip validation path."""
+    import __graft_entry__ as g
+    g.dryrun_multichip(8)

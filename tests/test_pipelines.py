@@ -1,0 +1,90 @@
+"""End-to-end pipeline tests on tiny configs (SURVEY §4 implication (c)):
+few-step denoise runs, TeaCache integration, sparse-vs-dense closeness."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from rectified_spaattn_tpu.models.hunyuan import (
+    HunyuanVideoConfig, HunyuanVideoDiT)
+from rectified_spaattn_tpu.models.wan import WanConfig, WanDiT
+from rectified_spaattn_tpu.pipelines import HunyuanVideoPipeline, WanPipeline
+
+
+def make_hunyuan_pipe(mode="vanilla", teacache=False, steps=3):
+    cfg = HunyuanVideoConfig.tiny()
+    model = HunyuanVideoDiT(cfg)
+    height, width, frames = 64, 64, 8     # latent grid 2x4x4 -> tiny
+    rng = jax.random.PRNGKey(0)
+    text = jax.random.normal(rng, (1, 128, cfg.text_dim))
+    mask = jnp.zeros((1, 128), bool).at[:, :9].set(True)
+    lat = jnp.zeros((1, cfg.in_channels, frames // 4 * cfg.patch_size_t,
+                     height // 16 * cfg.patch_size,
+                     width // 16 * cfg.patch_size))
+    params = model.init(rng, lat, jnp.array([0.0]), text, mask,
+                        jnp.array([6000.0]), None, None)
+    pipe = HunyuanVideoPipeline(
+        model=model, params=params, height=height, width=width,
+        frames=frames, num_steps=steps, sa_drop_rate=0.5,
+        p_remain_rates=0.5, mode=mode, enable_teacache=teacache,
+        rel_l1_thresh=1e9 if teacache else 0.15, text_len=128,
+        interpret=True)
+    return pipe, text, mask
+
+
+def test_hunyuan_pipeline_dense_runs():
+    pipe, text, mask = make_hunyuan_pipe("vanilla")
+    out = pipe(text, mask, seed=1)
+    assert out.shape[0] == 1
+    assert np.isfinite(np.asarray(out)).all()
+    assert pipe.denoise_seconds > 0
+
+
+def test_hunyuan_pipeline_deterministic():
+    pipe, text, mask = make_hunyuan_pipe("vanilla", steps=2)
+    a = np.asarray(pipe(text, mask, seed=7))
+    b = np.asarray(pipe(text, mask, seed=7))
+    np.testing.assert_array_equal(a, b)
+    c = np.asarray(pipe(text, mask, seed=8))
+    assert np.abs(a - c).max() > 0
+
+
+def test_hunyuan_pipeline_sparse_close_to_dense():
+    pipe_d, text, mask = make_hunyuan_pipe("vanilla", steps=2)
+    pipe_s, _, _ = make_hunyuan_pipe("sparse", steps=2)
+    pipe_s.params = pipe_d.params
+    d = np.asarray(pipe_d(text, mask, seed=3))
+    s = np.asarray(pipe_s(text, mask, seed=3))
+    rel = np.abs(s - d).mean() / (np.abs(d).mean() + 1e-8)
+    assert rel < 0.25, f"sparse pipeline deviates {rel:.3f}"
+
+
+def test_hunyuan_teacache_skips_steps():
+    pipe, text, mask = make_hunyuan_pipe("vanilla", teacache=True, steps=4)
+    out = pipe(text, mask, seed=1)
+    stats = pipe.teacache_stats
+    # huge threshold -> middle steps skipped, first/last computed
+    assert stats["computed"] == 2
+    assert stats["skipped"] == 2
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_wan_pipeline_cfg_runs():
+    cfg = WanConfig.tiny()
+    model = WanDiT(cfg)
+    height, width, frames = 32, 32, 5
+    rng = jax.random.PRNGKey(1)
+    text_c = jax.random.normal(rng, (1, 16, cfg.text_dim))
+    text_u = jnp.zeros_like(text_c)
+    lat = jnp.zeros((1, cfg.in_channels,
+                     (frames + 3) // 4 * cfg.patch_size[0],
+                     height // 16 * cfg.patch_size[1],
+                     width // 16 * cfg.patch_size[2]))
+    params = model.init(rng, lat, jnp.array([0.0]), text_c)
+    pipe = WanPipeline(
+        model=model, params=params, height=height, width=width,
+        frames=frames, num_steps=2, sa_drop_rate=0.5, mode="vanilla",
+        interpret=True)
+    out = pipe(text_c, text_u, seed=2)
+    assert np.isfinite(np.asarray(out)).all()
