@@ -166,18 +166,24 @@ class HunyuanVideoDiT(nn.Module):
         return cos, sin
 
     def embed(self, latents, timestep, text_emb, text_mask, guidance,
-              hilbert_to_linear):
+              hilbert_to_linear, pooled=None):
         """Stage 1: embeddings + conditioning.  Returns (hidden_states
-        [B,Sv,C] in curve order, ctx [B,St,C], temb [B,C], rope)."""
+        [B,Sv,C] in curve order, ctx [B,St,C], temb [B,C], rope).
+
+        ``pooled`` is the CLIP pooled projection [B, pooled_dim]
+        (the real checkpoints' second text input); when absent a learned
+        projection of the mean llama embedding stands in."""
         c = self.cfg
         b, ch, t, hh, ww = latents.shape
         x = self.x_embedder(self._patchify(latents))
         ctx = self.refiner(text_emb, timestep, text_mask)
 
+        if pooled is None:
+            pooled = (jnp.zeros((b, c.pooled_dim), x.dtype)
+                      if text_mask is None
+                      else self.pooled_proj_input(text_emb, text_mask))
         temb = self.time_mlp(self.time_in(timestep_embedding(timestep, 256)))
-        temb = temb + self.pooled_mlp(self.pooled_in(
-            jnp.zeros((b, c.pooled_dim), x.dtype) if text_mask is None
-            else self.pooled_proj_input(text_emb, text_mask)))
+        temb = temb + self.pooled_mlp(self.pooled_in(pooled))
         if c.guidance_embeds and guidance is not None:
             temb = temb + self.guide_mlp(self.guide_in(
                 timestep_embedding(guidance, 256)))

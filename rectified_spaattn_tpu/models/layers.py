@@ -78,6 +78,22 @@ class AdaLayerNormZero(nn.Module):
         return x, mod(gate_msa), mod(shift_mlp), mod(scale_mlp), mod(gate_mlp)
 
 
+class AdaLayerNormZeroSingle(nn.Module):
+    """3-way (shift, scale, gate) adaLN used by single-stream blocks
+    (diffusers AdaLayerNormZeroSingle)."""
+    dim: int
+
+    @nn.compact
+    def __call__(self, x, emb):
+        emb = nn.Dense(3 * self.dim, name="linear")(nn.silu(emb))
+        shift, scale, gate = jnp.split(emb, 3, axis=-1)
+        def mod(v):
+            return v[:, None] if v.ndim == 2 else v
+        normed = nn.LayerNorm(use_bias=False, use_scale=False,
+                              epsilon=1e-6)(x)
+        return normed * (1 + mod(scale)) + mod(shift), mod(gate)
+
+
 class AdaLayerNormContinuous(nn.Module):
     """Final-layer modulated norm: x * (1+scale) + shift from conditioning."""
     dim: int
@@ -250,7 +266,7 @@ class SingleStreamBlock(nn.Module):
         st = ctx.shape[1]
         hd = self.dim // self.heads
         fused = jnp.concatenate([x, ctx], axis=1)
-        normed, gate, _, _, _ = AdaLayerNormZero(self.dim, name="norm")(
+        normed, gate = AdaLayerNormZeroSingle(self.dim, name="norm")(
             fused, temb)
 
         qkv = nn.Dense(3 * self.dim, name="to_qkv")(normed)

@@ -243,9 +243,137 @@ def convert_flux(sd: dict, num_dual: int, num_single: int) -> dict:
     return {"params": p}
 
 
+def _folded_embedder(sd, prefix):
+    """diffusers TimestepEmbedding (linear_1, silu, linear_2) → our
+    (Dense in, MLP(fc1=identity, silu, fc2=linear_2)) pair."""
+    lin_in = _dense(sd[f"{prefix}.linear_1.weight"],
+                    sd[f"{prefix}.linear_1.bias"])
+    mlp = {"fc1": _identity_dense(sd[f"{prefix}.linear_2.weight"].shape[1]),
+           "fc2": _dense(sd[f"{prefix}.linear_2.weight"],
+                         sd[f"{prefix}.linear_2.bias"])}
+    return lin_in, mlp
+
+
+def convert_hunyuan(sd: dict, num_dual: int, num_single: int,
+                    num_refiner: int = 2, pooled_dim: int = 768,
+                    text_dim: int = 4096) -> dict:
+    """diffusers HunyuanVideoTransformer3DModel → HunyuanVideoDiT params."""
+    p: dict = {}
+    p["x_embedder"] = _patch_embed_conv_to_dense(
+        sd["x_embedder.proj.weight"], sd["x_embedder.proj.bias"])
+
+    p["time_in"], p["time_mlp"] = _folded_embedder(
+        sd, "time_text_embed.timestep_embedder")
+    p["pooled_in"], p["pooled_mlp"] = _folded_embedder(
+        sd, "time_text_embed.text_embedder")
+    if "time_text_embed.guidance_embedder.linear_1.weight" in sd:
+        p["guide_in"], p["guide_mlp"] = _folded_embedder(
+            sd, "time_text_embed.guidance_embedder")
+    # stand-in projection for synthesised pooled input (unused when the
+    # real CLIP pooled vector is passed; has no checkpoint counterpart)
+    p["clip_pool_proj"] = {
+        "kernel": np.zeros((text_dim, pooled_dim), np.float32),
+        "bias": np.zeros(pooled_dim, np.float32)}
+
+    # token refiner
+    ce = "context_embedder"
+    r: dict = {}
+    r["proj_in"] = _dense(sd[f"{ce}.proj_in.weight"],
+                          sd[f"{ce}.proj_in.bias"])
+    r["time_in"], r["time_mlp"] = _folded_embedder(
+        sd, f"{ce}.time_text_embed.timestep_embedder")
+    r["pool_in"], r["pool_mlp"] = _folded_embedder(
+        sd, f"{ce}.time_text_embed.text_embedder")
+    for i in range(num_refiner):
+        b = f"{ce}.token_refiner.refiner_blocks.{i}"
+        wq, wk, wv = (sd[f"{b}.attn.to_q.weight"],
+                      sd[f"{b}.attn.to_k.weight"],
+                      sd[f"{b}.attn.to_v.weight"])
+        bq, bk, bv = (sd[f"{b}.attn.to_q.bias"], sd[f"{b}.attn.to_k.bias"],
+                      sd[f"{b}.attn.to_v.bias"])
+        r[f"blk{i}_norm1"] = _ln(sd, f"{b}.norm1")
+        r[f"blk{i}_qkv"] = _dense(np.concatenate([wq, wk, wv], 0),
+                                  np.concatenate([bq, bk, bv], 0))
+        r[f"blk{i}_proj"] = _dense(sd[f"{b}.attn.to_out.0.weight"],
+                                   sd[f"{b}.attn.to_out.0.bias"])
+        r[f"blk{i}_norm2"] = _ln(sd, f"{b}.norm2")
+        r[f"blk{i}_mlp"] = {
+            "fc1": _dense(sd[f"{b}.ff.net.0.proj.weight"],
+                          sd[f"{b}.ff.net.0.proj.bias"]),
+            "fc2": _dense(sd[f"{b}.ff.net.2.weight"],
+                          sd[f"{b}.ff.net.2.bias"])}
+        r[f"blk{i}_ada"] = _dense(sd[f"{b}.norm_out.linear.weight"],
+                                  sd[f"{b}.norm_out.linear.bias"])
+    p["context_embedder"] = r
+
+    for i in range(num_dual):
+        b = f"transformer_blocks.{i}"
+        p[f"dual_{i}"] = {
+            "norm1": {"linear": _dense(sd[f"{b}.norm1.linear.weight"],
+                                       sd[f"{b}.norm1.linear.bias"])},
+            "norm1_context": {"linear": _dense(
+                sd[f"{b}.norm1_context.linear.weight"],
+                sd[f"{b}.norm1_context.linear.bias"])},
+            "attn": {
+                "to_q": _dense(sd[f"{b}.attn.to_q.weight"],
+                               sd[f"{b}.attn.to_q.bias"]),
+                "to_k": _dense(sd[f"{b}.attn.to_k.weight"],
+                               sd[f"{b}.attn.to_k.bias"]),
+                "to_v": _dense(sd[f"{b}.attn.to_v.weight"],
+                               sd[f"{b}.attn.to_v.bias"]),
+                "add_to_q": _dense(sd[f"{b}.attn.add_q_proj.weight"],
+                                   sd[f"{b}.attn.add_q_proj.bias"]),
+                "add_to_k": _dense(sd[f"{b}.attn.add_k_proj.weight"],
+                                   sd[f"{b}.attn.add_k_proj.bias"]),
+                "add_to_v": _dense(sd[f"{b}.attn.add_v_proj.weight"],
+                                   sd[f"{b}.attn.add_v_proj.bias"]),
+                "norm_q": _rms(sd, f"{b}.attn.norm_q"),
+                "norm_k": _rms(sd, f"{b}.attn.norm_k"),
+                "norm_added_q": _rms(sd, f"{b}.attn.norm_added_q"),
+                "norm_added_k": _rms(sd, f"{b}.attn.norm_added_k"),
+                "to_out": _dense(sd[f"{b}.attn.to_out.0.weight"],
+                                 sd[f"{b}.attn.to_out.0.bias"]),
+                "to_add_out": _dense(sd[f"{b}.attn.to_add_out.weight"],
+                                     sd[f"{b}.attn.to_add_out.bias"]),
+            },
+            "ff": {"fc1": _dense(sd[f"{b}.ff.net.0.proj.weight"],
+                                 sd[f"{b}.ff.net.0.proj.bias"]),
+                   "fc2": _dense(sd[f"{b}.ff.net.2.weight"],
+                                 sd[f"{b}.ff.net.2.bias"])},
+            "ff_context": {
+                "fc1": _dense(sd[f"{b}.ff_context.net.0.proj.weight"],
+                              sd[f"{b}.ff_context.net.0.proj.bias"]),
+                "fc2": _dense(sd[f"{b}.ff_context.net.2.weight"],
+                              sd[f"{b}.ff_context.net.2.bias"])},
+        }
+    for i in range(num_single):
+        b = f"single_transformer_blocks.{i}"
+        wq, wk, wv = (sd[f"{b}.attn.to_q.weight"], sd[f"{b}.attn.to_k.weight"],
+                      sd[f"{b}.attn.to_v.weight"])
+        bq, bk, bv = (sd[f"{b}.attn.to_q.bias"], sd[f"{b}.attn.to_k.bias"],
+                      sd[f"{b}.attn.to_v.bias"])
+        p[f"single_{i}"] = {
+            "norm": {"linear": _dense(sd[f"{b}.norm.linear.weight"],
+                                      sd[f"{b}.norm.linear.bias"])},
+            "to_qkv": _dense(np.concatenate([wq, wk, wv], axis=0),
+                             np.concatenate([bq, bk, bv], axis=0)),
+            "norm_q": _rms(sd, f"{b}.attn.norm_q"),
+            "norm_k": _rms(sd, f"{b}.attn.norm_k"),
+            "proj_mlp": _dense(sd[f"{b}.proj_mlp.weight"],
+                               sd[f"{b}.proj_mlp.bias"]),
+            "proj_out": _dense(sd[f"{b}.proj_out.weight"],
+                               sd[f"{b}.proj_out.bias"]),
+        }
+    p["norm_out"] = {"linear": _dense(sd["norm_out.linear.weight"],
+                                      sd["norm_out.linear.bias"])}
+    p["proj_out"] = _dense(sd["proj_out.weight"], sd["proj_out.bias"])
+    return {"params": p}
+
+
 CONVERTERS: dict[str, Callable] = {
     "wan": convert_wan,
     "flux": convert_flux,
+    "hunyuan": convert_hunyuan,
 }
 
 

@@ -8,7 +8,9 @@ import jax.numpy as jnp
 import pytest
 
 from rectified_spaattn_tpu.models.wan import WanConfig, WanDiT
-from rectified_spaattn_tpu.models.weights import convert_wan
+from rectified_spaattn_tpu.models.hunyuan import (
+    HunyuanVideoConfig, HunyuanVideoDiT)
+from rectified_spaattn_tpu.models.weights import convert_wan, convert_hunyuan
 
 
 def synth_wan_sd(cfg: WanConfig, rng):
@@ -79,3 +81,106 @@ def test_wan_converter_roundtrip():
     assert ref_paths == got_paths, (
         f"missing: {sorted(ref_paths - got_paths)[:5]} "
         f"extra: {sorted(got_paths - ref_paths)[:5]}")
+
+
+def synth_hunyuan_sd(cfg: HunyuanVideoConfig, rng):
+    d = cfg.hidden_dim
+    mlp_h = int(d * cfg.mlp_mult)
+    sd = {}
+
+    def lin(name, out_f, in_f):
+        sd[name + ".weight"] = rng.standard_normal((out_f, in_f)).astype(
+            np.float32) * 0.02
+        sd[name + ".bias"] = np.zeros(out_f, np.float32)
+
+    def ln(name, n):
+        sd[name + ".weight"] = np.ones(n, np.float32)
+        sd[name + ".bias"] = np.zeros(n, np.float32)
+
+    def rms(name, n):
+        sd[name + ".weight"] = np.ones(n, np.float32)
+
+    sd["x_embedder.proj.weight"] = rng.standard_normal(
+        (d, cfg.in_channels, cfg.patch_size_t, cfg.patch_size,
+         cfg.patch_size)).astype(np.float32) * 0.02
+    sd["x_embedder.proj.bias"] = np.zeros(d, np.float32)
+    for emb, in_f in (("timestep_embedder", 256),
+                      ("guidance_embedder", 256),
+                      ("text_embedder", cfg.pooled_dim)):
+        lin(f"time_text_embed.{emb}.linear_1", d, in_f)
+        lin(f"time_text_embed.{emb}.linear_2", d, d)
+    ce = "context_embedder"
+    lin(f"{ce}.proj_in", d, cfg.text_dim)
+    lin(f"{ce}.time_text_embed.timestep_embedder.linear_1", d, 256)
+    lin(f"{ce}.time_text_embed.timestep_embedder.linear_2", d, d)
+    lin(f"{ce}.time_text_embed.text_embedder.linear_1", d, cfg.text_dim)
+    lin(f"{ce}.time_text_embed.text_embedder.linear_2", d, d)
+    for i in range(cfg.num_refiner_blocks):
+        b = f"{ce}.token_refiner.refiner_blocks.{i}"
+        ln(f"{b}.norm1", d)
+        ln(f"{b}.norm2", d)
+        for nm in ("to_q", "to_k", "to_v"):
+            lin(f"{b}.attn.{nm}", d, d)
+        lin(f"{b}.attn.to_out.0", d, d)
+        lin(f"{b}.ff.net.0.proj", mlp_h, d)
+        lin(f"{b}.ff.net.2", d, mlp_h)
+        lin(f"{b}.norm_out.linear", 2 * d, d)
+    hd = cfg.hidden_dim // cfg.heads
+    for i in range(cfg.num_dual_blocks):
+        b = f"transformer_blocks.{i}"
+        lin(f"{b}.norm1.linear", 6 * d, d)
+        lin(f"{b}.norm1_context.linear", 6 * d, d)
+        for nm in ("to_q", "to_k", "to_v", "add_q_proj", "add_k_proj",
+                   "add_v_proj"):
+            lin(f"{b}.attn.{nm}", d, d)
+        for nm in ("norm_q", "norm_k", "norm_added_q", "norm_added_k"):
+            rms(f"{b}.attn.{nm}", hd)
+        lin(f"{b}.attn.to_out.0", d, d)
+        lin(f"{b}.attn.to_add_out", d, d)
+        for ff in ("ff", "ff_context"):
+            lin(f"{b}.{ff}.net.0.proj", mlp_h, d)
+            lin(f"{b}.{ff}.net.2", d, mlp_h)
+    for i in range(cfg.num_single_blocks):
+        b = f"single_transformer_blocks.{i}"
+        lin(f"{b}.norm.linear", 3 * d, d)
+        for nm in ("to_q", "to_k", "to_v"):
+            lin(f"{b}.attn.{nm}", d, d)
+        rms(f"{b}.attn.norm_q", hd)
+        rms(f"{b}.attn.norm_k", hd)
+        lin(f"{b}.proj_mlp", mlp_h, d)
+        lin(f"{b}.proj_out", d, d + mlp_h)
+    lin("norm_out.linear", 2 * d, d)
+    lin("proj_out",
+        cfg.patch_size_t * cfg.patch_size ** 2 * cfg.out_channels, d)
+    return sd
+
+
+def test_hunyuan_converter_roundtrip():
+    cfg = HunyuanVideoConfig.tiny()
+    rng = np.random.default_rng(1)
+    sd = synth_hunyuan_sd(cfg, rng)
+    params = convert_hunyuan(sd, cfg.num_dual_blocks, cfg.num_single_blocks,
+                             cfg.num_refiner_blocks, cfg.pooled_dim,
+                             cfg.text_dim)
+    params = jax.tree_util.tree_map(jnp.asarray, params)
+
+    model = HunyuanVideoDiT(cfg)
+    t, hh, ww = 2, 8, 8
+    latents = jax.random.normal(jax.random.PRNGKey(1),
+                                (1, cfg.in_channels, t, hh, ww))
+    text = jax.random.normal(jax.random.PRNGKey(2), (1, 6, cfg.text_dim))
+    mask = jnp.ones((1, 6), bool)
+    out = model.apply(params, latents, jnp.array([500.0]), text, mask,
+                      jnp.array([6000.0]), None, None)
+    assert out.shape == (1, cfg.out_channels, t, hh, ww)
+    assert np.isfinite(np.asarray(out)).all()
+
+    ref = model.init(jax.random.PRNGKey(3), latents, jnp.array([0.0]),
+                     text, mask, jnp.array([0.0]), None, None)
+    ref_paths = {jax.tree_util.keystr(p)
+                 for p, _ in jax.tree_util.tree_flatten_with_path(ref)[0]}
+    got_paths = {jax.tree_util.keystr(p)
+                 for p, _ in jax.tree_util.tree_flatten_with_path(params)[0]}
+    assert ref_paths == got_paths, (
+        f"missing: {sorted(ref_paths - got_paths)[:6]} "
+        f"extra: {sorted(got_paths - ref_paths)[:6]}")
