@@ -59,6 +59,29 @@ def generate_batch(pipeline: Callable, prompts: Sequence[str], out_dir: str,
     return written
 
 
+def center_crop_16_9(image: np.ndarray) -> np.ndarray:
+    """Center-crop a [H,W,C] image to 16:9 (reference I2V prep:
+    eval/video/vbench/crop_image.py)."""
+    h, w = image.shape[:2]
+    target = 16 / 9
+    if w / h > target:
+        new_w = int(round(h * target))
+        x0 = (w - new_w) // 2
+        return image[:, x0:x0 + new_w]
+    new_h = int(round(w / target))
+    y0 = (h - new_h) // 2
+    return image[y0:y0 + new_h]
+
+
+def load_prompt_image_pairs(path: str) -> list[tuple[str, str]]:
+    """[(prompt, image_path)] pairs from a json list of dicts
+    (reference: eval/video/vbench/get_prompt-image_pair.py)."""
+    with open(path) as f:
+        data = json.load(f)
+    return [(d["prompt"], d.get("image", d.get("image_path", "")))
+            for d in data]
+
+
 def load_prompts(path: str, limit: int | None = None,
                  seed: int = 42) -> list[str]:
     """Prompt list from .json (list or [{'prompt': ...}]) or .txt lines;
