@@ -62,8 +62,10 @@ class CogVideoXBlock(nn.Module):
         hd = self.dim // self.heads
 
         def zero_norm(name, stream_x, stream_c):
+            # chunk order matches diffusers CogVideoXLayerNormZero:
+            # (shift, scale, gate, enc_shift, enc_scale, enc_gate)
             g = nn.Dense(6 * self.dim, name=f"{name}_lin")(nn.silu(temb))
-            sx, gx, sc, gc, shx, shc = jnp.split(g, 6, axis=-1)
+            shx, sx, gx, shc, sc, gc = jnp.split(g, 6, axis=-1)
             ln = nn.LayerNorm(epsilon=1e-5, name=f"{name}_ln")
             nx = ln(stream_x) * (1 + sx[:, None]) + shx[:, None]
             nc = ln(stream_c) * (1 + sc[:, None]) + shc[:, None]
@@ -76,9 +78,10 @@ class CogVideoXBlock(nn.Module):
         v = nn.Dense(self.dim, name="to_v")(fused)
         split = lambda t: t.reshape(b, -1, self.heads, hd).transpose(0, 2, 1, 3)
         q, k, v = split(q), split(k), split(v)
-        from .layers import RMSNorm
-        q = RMSNorm(hd, name="norm_q")(q)
-        k = RMSNorm(hd, name="norm_k")(k)
+        # CogVideoX uses per-head LayerNorm for q/k (diffusers
+        # qk_norm="layer_norm"), not RMSNorm
+        q = nn.LayerNorm(epsilon=1e-6, name="norm_q")(q)
+        k = nn.LayerNorm(epsilon=1e-6, name="norm_k")(k)
         if rope is not None:
             cos, sin = rope
             q = q.at[:, :, :sv].set(apply_rope_interleaved(q[:, :, :sv], cos, sin))

@@ -370,10 +370,61 @@ def convert_hunyuan(sd: dict, num_dual: int, num_single: int,
     return {"params": p}
 
 
+def convert_cogvideox(sd: dict, num_blocks: int,
+                      use_ofs: bool = True) -> dict:
+    """diffusers CogVideoXTransformer3DModel (1.5: Linear patch embed) →
+    CogVideoXDiT params."""
+    p: dict = {}
+    w = np.asarray(sd["patch_embed.proj.weight"])
+    if w.ndim == 2:        # 1.5 Linear patchify
+        p["patch_embed"] = _dense(w, sd["patch_embed.proj.bias"])
+    else:                  # 1.0 Conv2d [out, in, p, p] per frame
+        out_ch, in_ch, ph, pw = w.shape
+        k = w.transpose(2, 3, 1, 0).reshape(ph * pw * in_ch, out_ch)
+        p["patch_embed"] = {"kernel": np.ascontiguousarray(k),
+                           "bias": np.asarray(sd["patch_embed.proj.bias"])}
+    p["text_proj"] = _dense(sd["patch_embed.text_proj.weight"],
+                            sd["patch_embed.text_proj.bias"])
+    p["time_in"], p["time_mlp"] = _folded_embedder(sd, "time_embedding")
+    if use_ofs and "ofs_embedding.linear_1.weight" in sd:
+        p["ofs_in"], p["ofs_mlp"] = _folded_embedder(sd, "ofs_embedding")
+    for i in range(num_blocks):
+        b = f"transformer_blocks.{i}"
+        p[f"block_{i}"] = {
+            "norm1_lin": _dense(sd[f"{b}.norm1.linear.weight"],
+                                sd[f"{b}.norm1.linear.bias"]),
+            "norm1_ln": _ln(sd, f"{b}.norm1.norm"),
+            "to_q": _dense(sd[f"{b}.attn1.to_q.weight"],
+                           sd[f"{b}.attn1.to_q.bias"]),
+            "to_k": _dense(sd[f"{b}.attn1.to_k.weight"],
+                           sd[f"{b}.attn1.to_k.bias"]),
+            "to_v": _dense(sd[f"{b}.attn1.to_v.weight"],
+                           sd[f"{b}.attn1.to_v.bias"]),
+            "norm_q": _ln(sd, f"{b}.attn1.norm_q"),
+            "norm_k": _ln(sd, f"{b}.attn1.norm_k"),
+            "to_out": _dense(sd[f"{b}.attn1.to_out.0.weight"],
+                             sd[f"{b}.attn1.to_out.0.bias"]),
+            "norm2_lin": _dense(sd[f"{b}.norm2.linear.weight"],
+                                sd[f"{b}.norm2.linear.bias"]),
+            "norm2_ln": _ln(sd, f"{b}.norm2.norm"),
+            "ff": {"fc1": _dense(sd[f"{b}.ff.net.0.proj.weight"],
+                                 sd[f"{b}.ff.net.0.proj.bias"]),
+                   "fc2": _dense(sd[f"{b}.ff.net.2.weight"],
+                                 sd[f"{b}.ff.net.2.bias"])},
+        }
+    p["norm_final"] = _ln(sd, "norm_final")
+    p["norm_out_lin"] = _dense(sd["norm_out.linear.weight"],
+                               sd["norm_out.linear.bias"])
+    p["norm_out_ln"] = _ln(sd, "norm_out.norm")
+    p["proj_out"] = _dense(sd["proj_out.weight"], sd["proj_out.bias"])
+    return {"params": p}
+
+
 CONVERTERS: dict[str, Callable] = {
     "wan": convert_wan,
     "flux": convert_flux,
     "hunyuan": convert_hunyuan,
+    "cogvideox": convert_cogvideox,
 }
 
 

@@ -10,7 +10,21 @@ import pytest
 from rectified_spaattn_tpu.models.wan import WanConfig, WanDiT
 from rectified_spaattn_tpu.models.hunyuan import (
     HunyuanVideoConfig, HunyuanVideoDiT)
-from rectified_spaattn_tpu.models.weights import convert_wan, convert_hunyuan
+from rectified_spaattn_tpu.models.flux import FluxConfig, FluxDiT
+from rectified_spaattn_tpu.models.cogvideox import (
+    CogVideoXConfig, CogVideoXDiT)
+from rectified_spaattn_tpu.models.weights import (
+    convert_wan, convert_hunyuan, convert_flux, convert_cogvideox)
+
+
+def assert_same_tree(model_params, converted):
+    ref_paths = {jax.tree_util.keystr(p) for p, _ in
+                 jax.tree_util.tree_flatten_with_path(model_params)[0]}
+    got_paths = {jax.tree_util.keystr(p) for p, _ in
+                 jax.tree_util.tree_flatten_with_path(converted)[0]}
+    assert ref_paths == got_paths, (
+        f"missing: {sorted(ref_paths - got_paths)[:6]} "
+        f"extra: {sorted(got_paths - ref_paths)[:6]}")
 
 
 def synth_wan_sd(cfg: WanConfig, rng):
@@ -177,10 +191,134 @@ def test_hunyuan_converter_roundtrip():
 
     ref = model.init(jax.random.PRNGKey(3), latents, jnp.array([0.0]),
                      text, mask, jnp.array([0.0]), None, None)
-    ref_paths = {jax.tree_util.keystr(p)
-                 for p, _ in jax.tree_util.tree_flatten_with_path(ref)[0]}
-    got_paths = {jax.tree_util.keystr(p)
-                 for p, _ in jax.tree_util.tree_flatten_with_path(params)[0]}
-    assert ref_paths == got_paths, (
-        f"missing: {sorted(ref_paths - got_paths)[:6]} "
-        f"extra: {sorted(got_paths - ref_paths)[:6]}")
+    assert_same_tree(ref, params)
+
+
+def synth_flux_sd(cfg: FluxConfig, rng):
+    d = cfg.hidden_dim
+    mlp_h = int(d * cfg.mlp_mult)
+    hd = d // cfg.heads
+    sd = {}
+
+    def lin(name, out_f, in_f):
+        sd[name + ".weight"] = rng.standard_normal((out_f, in_f)).astype(
+            np.float32) * 0.02
+        sd[name + ".bias"] = np.zeros(out_f, np.float32)
+
+    def rms(name, n):
+        sd[name + ".weight"] = np.ones(n, np.float32)
+
+    lin("x_embedder", d, cfg.in_channels)
+    lin("context_embedder", d, cfg.text_dim)
+    lin("time_text_embed.timestep_embedder.linear_1", d, 256)
+    lin("time_text_embed.timestep_embedder.linear_2", d, d)
+    lin("time_text_embed.text_embedder.linear_1", d, cfg.pooled_dim)
+    lin("time_text_embed.text_embedder.linear_2", d, d)
+    lin("time_text_embed.guidance_embedder.linear_1", d, 256)
+    lin("time_text_embed.guidance_embedder.linear_2", d, d)
+    for i in range(cfg.num_dual_blocks):
+        b = f"transformer_blocks.{i}"
+        lin(f"{b}.norm1.linear", 6 * d, d)
+        lin(f"{b}.norm1_context.linear", 6 * d, d)
+        for nm in ("to_q", "to_k", "to_v", "add_q_proj", "add_k_proj",
+                   "add_v_proj"):
+            lin(f"{b}.attn.{nm}", d, d)
+        for nm in ("norm_q", "norm_k", "norm_added_q", "norm_added_k"):
+            rms(f"{b}.attn.{nm}", hd)
+        lin(f"{b}.attn.to_out.0", d, d)
+        lin(f"{b}.attn.to_add_out", d, d)
+        for ff in ("ff", "ff_context"):
+            lin(f"{b}.{ff}.net.0.proj", mlp_h, d)
+            lin(f"{b}.{ff}.net.2", d, mlp_h)
+    for i in range(cfg.num_single_blocks):
+        b = f"single_transformer_blocks.{i}"
+        lin(f"{b}.norm.linear", 3 * d, d)
+        for nm in ("to_q", "to_k", "to_v"):
+            lin(f"{b}.attn.{nm}", d, d)
+        rms(f"{b}.attn.norm_q", hd)
+        rms(f"{b}.attn.norm_k", hd)
+        lin(f"{b}.proj_mlp", mlp_h, d)
+        lin(f"{b}.proj_out", d, d + mlp_h)
+    lin("norm_out.linear", 2 * d, d)
+    lin("proj_out", cfg.out_channels, d)
+    return sd
+
+
+def test_flux_converter_roundtrip():
+    cfg = FluxConfig.tiny()
+    sd = synth_flux_sd(cfg, np.random.default_rng(2))
+    params = convert_flux(sd, cfg.num_dual_blocks, cfg.num_single_blocks)
+    params = jax.tree_util.tree_map(jnp.asarray, params)
+    model = FluxDiT(cfg)
+    gh = gw = 8
+    tokens = jax.random.normal(jax.random.PRNGKey(0),
+                               (1, gh * gw, cfg.in_channels))
+    text = jax.random.normal(jax.random.PRNGKey(1), (1, 6, cfg.text_dim))
+    pooled = jax.random.normal(jax.random.PRNGKey(2), (1, cfg.pooled_dim))
+    out = model.apply(params, tokens, jnp.array([0.5]), text, pooled,
+                      jnp.array([3.5]), gh, gw)
+    assert out.shape == (1, gh * gw, cfg.out_channels)
+    assert np.isfinite(np.asarray(out)).all()
+    ref = model.init(jax.random.PRNGKey(3), tokens, jnp.array([0.5]), text,
+                     pooled, jnp.array([3.5]), gh, gw)
+    assert_same_tree(ref, params)
+
+
+def synth_cog_sd(cfg: CogVideoXConfig, rng):
+    d = cfg.hidden_dim
+    mlp_h = int(d * cfg.mlp_mult)
+    hd = d // cfg.heads
+    sd = {}
+
+    def lin(name, out_f, in_f):
+        sd[name + ".weight"] = rng.standard_normal((out_f, in_f)).astype(
+            np.float32) * 0.02
+        sd[name + ".bias"] = np.zeros(out_f, np.float32)
+
+    def ln(name, n):
+        sd[name + ".weight"] = np.ones(n, np.float32)
+        sd[name + ".bias"] = np.zeros(n, np.float32)
+
+    lin("patch_embed.proj", d,
+        cfg.in_channels * cfg.patch_size_t * cfg.patch_size ** 2)
+    lin("patch_embed.text_proj", d, cfg.text_dim)
+    lin("time_embedding.linear_1", cfg.time_embed_dim, cfg.time_embed_dim)
+    lin("time_embedding.linear_2", cfg.time_embed_dim, cfg.time_embed_dim)
+    lin("ofs_embedding.linear_1", cfg.time_embed_dim, cfg.time_embed_dim)
+    lin("ofs_embedding.linear_2", cfg.time_embed_dim, cfg.time_embed_dim)
+    for i in range(cfg.num_blocks):
+        b = f"transformer_blocks.{i}"
+        lin(f"{b}.norm1.linear", 6 * d, cfg.time_embed_dim)
+        ln(f"{b}.norm1.norm", d)
+        for nm in ("to_q", "to_k", "to_v"):
+            lin(f"{b}.attn1.{nm}", d, d)
+        ln(f"{b}.attn1.norm_q", hd)
+        ln(f"{b}.attn1.norm_k", hd)
+        lin(f"{b}.attn1.to_out.0", d, d)
+        lin(f"{b}.norm2.linear", 6 * d, cfg.time_embed_dim)
+        ln(f"{b}.norm2.norm", d)
+        lin(f"{b}.ff.net.0.proj", mlp_h, d)
+        lin(f"{b}.ff.net.2", d, mlp_h)
+    ln("norm_final", d)
+    lin("norm_out.linear", 2 * d, cfg.time_embed_dim)
+    ln("norm_out.norm", d)
+    lin("proj_out",
+        cfg.patch_size_t * cfg.patch_size ** 2 * cfg.out_channels, d)
+    return sd
+
+
+def test_cogvideox_converter_roundtrip():
+    cfg = CogVideoXConfig.tiny()
+    sd = synth_cog_sd(cfg, np.random.default_rng(3))
+    params = convert_cogvideox(sd, cfg.num_blocks, cfg.use_ofs_embed)
+    params = jax.tree_util.tree_map(jnp.asarray, params)
+    model = CogVideoXDiT(cfg)
+    t, hh, ww = 2, 8, 8
+    latents = jax.random.normal(jax.random.PRNGKey(0),
+                                (1, cfg.in_channels, t, hh, ww))
+    text = jax.random.normal(jax.random.PRNGKey(1), (1, 7, cfg.text_dim))
+    out = model.apply(params, latents, jnp.array([500.0]), text)
+    assert out.shape == (1, cfg.out_channels, t, hh, ww)
+    assert np.isfinite(np.asarray(out)).all()
+    ref = model.init(jax.random.PRNGKey(2), latents, jnp.array([0.0]), text)
+    assert_same_tree(ref, params)
