@@ -13,11 +13,37 @@ from typing import Optional
 
 import jax
 
+import jax.numpy as jnp
+
 from ..sparse import SparseConfig
-from ..kernels import dense_attention
+from ..kernels import dense_attention, block_sparse_flash_attention
 from .rectified import rectified_sparse_attention, kv_validity
 
 DENSE_MODES = ("flash", "torch", "vanilla")
+
+
+def _windowed_dense_flash(q, k, v, *, visual_len, text_start, tlen,
+                          block: int = 128):
+    """Exact attention with [visual | pad | text | pad] key validity via
+    the gather kernel with full index lists — the stock segment-ids flash
+    path materialises poorly at video scale on this toolchain."""
+    b, h, s, d = q.shape
+    pad = (-s) % block
+    if pad:
+        z = lambda x: jnp.pad(x, ((0, 0), (0, 0), (0, pad), (0, 0)))
+        q, k, v = z(q), z(k), z(v)
+        s += pad
+    nb = s // block
+    # Every row shares the full index list, so the q tile can span several
+    # mask rows — 4x KV reuse makes the dense fallback compute-bound.
+    bm = next(m for m in (512, 256, 128) if s % m == 0)
+    nq = s // bm
+    idx = jnp.broadcast_to(jnp.arange(nb, dtype=jnp.int32), (b, h, nq, nb))
+    counts = jnp.full((b, h, nq), nb, jnp.int32)
+    out = block_sparse_flash_attention(
+        q, k, v, idx, counts, tlen, visual_len=visual_len,
+        text_start=text_start, block_m=bm, block_n=block)
+    return out[:, :, :s - pad] if pad else out
 
 
 def attention(
@@ -39,15 +65,22 @@ def attention(
             q, k, v, cfg, neighbor_mask, visual_len=visual_len,
             text_len_rt=text_len_rt, interpret=interpret)
     if mode in DENSE_MODES:
-        valid = None
-        if visual_len is not None:
-            b, _, s, _ = q.shape
-            if cfg is not None and cfg.layout == "joint":
-                text_start = s - cfg.text_len
+        b, _, s, _ = q.shape
+        text_start = None
+        tlen = jnp.zeros((b,), jnp.int32)
+        if cfg is not None and cfg.layout == "joint" and visual_len is not None:
+            text_start = s - cfg.text_len
+            tlen = (text_len_rt.astype(jnp.int32) if text_len_rt is not None
+                    else jnp.full((b,), cfg.text_len, jnp.int32))
+        if mode == "vanilla" or interpret:
+            valid = None
+            if visual_len is not None:
                 valid = kv_validity(b, s, visual_len, text_start,
-                                    text_len_rt, cfg.text_len)
-            else:
-                valid = kv_validity(b, s, visual_len, None, None)
-        dense_mode = "vanilla" if (mode == "vanilla" or interpret) else "flash"
-        return dense_attention(q, k, v, valid, mode=dense_mode)
+                                    tlen if text_start is not None else None,
+                                    cfg.text_len if cfg else 0)
+            return dense_attention(q, k, v, valid, mode="vanilla")
+        if visual_len is None:
+            return dense_attention(q, k, v, None, mode="flash")
+        return _windowed_dense_flash(q, k, v, visual_len=visual_len,
+                                     text_start=text_start, tlen=tlen)
     raise ValueError(f"unknown attention mode: {mode!r}")

@@ -90,11 +90,12 @@ def build_hunyuan(args):
     model = HunyuanVideoDiT(cfg)
     text, mask = _random_text(args.prompt, 256, cfg.text_dim)
     import jax
+    # params are sequence-length independent: init on a tiny grid so the
+    # (dense) init trace never sees video-scale attention
     params = model.init(
         jax.random.PRNGKey(0),
-        jnp.zeros((1, cfg.in_channels, args.frame // 4 * cfg.patch_size_t,
-                   args.height // 16 * cfg.patch_size,
-                   args.width // 16 * cfg.patch_size)),
+        jnp.zeros((1, cfg.in_channels, 2 * cfg.patch_size_t,
+                   8 * cfg.patch_size, 8 * cfg.patch_size)),
         jnp.array([0.0]), text, mask, jnp.array([6000.0]), None, None)
     pipe = HunyuanVideoPipeline(
         model=model, params=params, height=args.height, width=args.width,
@@ -125,10 +126,8 @@ def build_wan(args):
     neg, _ = _random_text("", 512, cfg.text_dim)
 
     def make_pipe():
-        lat = jnp.zeros((1, cfg.in_channels,
-                         (args.frame + 3) // vae_stride[0] * cfg.patch_size[0],
-                         args.height // vae_stride[1] * cfg.patch_size[1],
-                         args.width // vae_stride[2] * cfg.patch_size[2]))
+        lat = jnp.zeros((1, cfg.in_channels, 2 * cfg.patch_size[0],
+                         8 * cfg.patch_size[1], 8 * cfg.patch_size[2]))
         params = model.init(jax.random.PRNGKey(0), lat, jnp.array([0.0]),
                             text)
         return WanPipeline(
@@ -163,11 +162,8 @@ def build_cogvideox(args):
     model = CogVideoXDiT(cfg)
     text, _ = _random_text(args.prompt, 256, cfg.text_dim)
     neg, _ = _random_text("", 256, cfg.text_dim)
-    lt = ((args.frame - 1) // 8 + 1 + cfg.patch_size_t - 1) \
-        // cfg.patch_size_t * cfg.patch_size_t
-    lat = jnp.zeros((1, cfg.in_channels, lt,
-                     args.height // 16 * cfg.patch_size,
-                     args.width // 16 * cfg.patch_size))
+    lat = jnp.zeros((1, cfg.in_channels, 2 * cfg.patch_size_t,
+                     8 * cfg.patch_size, 8 * cfg.patch_size))
     params = model.init(jax.random.PRNGKey(0), lat, jnp.array([0.0]), text)
     pipe = CogVideoXPipeline(
         model=model, params=params, height=args.height, width=args.width,
@@ -196,9 +192,9 @@ def build_flux(args):
     pooled = jnp.asarray(_np.random.default_rng(0).standard_normal(
         (1, cfg.pooled_dim)), jnp.float32)
     gh, gw = args.height // 16, args.width // 16
-    tokens = jnp.zeros((1, gh * gw, cfg.in_channels))
+    tokens = jnp.zeros((1, 64, cfg.in_channels))
     params = model.init(jax.random.PRNGKey(0), tokens, jnp.array([0.5]),
-                        text, pooled, jnp.array([3.5]), gh, gw)
+                        text, pooled, jnp.array([3.5]), 8, 8)
 
     def mk(hh, ww, steps):
         return FluxPipeline(
