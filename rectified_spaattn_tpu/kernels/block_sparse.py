@@ -155,6 +155,201 @@ def _sparse_attn_kernel(
     o_ref[0] = (acc * l_inv).astype(o_ref.dtype)
 
 
+def _sparse_attn_kernel_paired(
+    # SMEM inputs
+    counts_ref,      # [1, 1, 1, 1]  int32  — union kept-block count
+    tlen_ref,        # [1, 1, 1]     int32
+    idx_ref,         # [1, 1, 1, NB] int32  — union block indices
+    rowbits_ref,     # [1, 1, 1, NB] int32  — bit0: even row, bit1: odd row
+    # VMEM / HBM inputs
+    q_ref,           # [1, 2*bm, D]  VMEM — two query blocks
+    kv_hbm,          # [BH, S, 2*D]  ANY
+    # outputs
+    o_ref,           # [1, 2*bm, D]  VMEM
+    # scratch
+    kv_buf,          # [2, G, bn, 2*D] VMEM
+    sems,
+    *,
+    block_m: int,
+    block_n: int,
+    chunk_blocks: int,
+    sm_scale: float,
+    visual_len: int,
+    text_start: int | None,
+):
+    """Two query-block rows per program over the UNION of their planned key
+    sets; per-row membership is re-imposed on the score tile, so the
+    executed mask equals the planned mask exactly.  Halves HBM traffic per
+    MXU flop vs one row per program (the kernel is DMA-bound there)."""
+    bh = pl.program_id(0)
+    count = counts_ref[0, 0, 0, 0]
+    tlen = tlen_ref[0, 0, 0]
+    d = q_ref.shape[2]
+    g = chunk_blocks
+    nb = idx_ref.shape[-1]
+    rows = 2 * block_m
+    num_chunks = (count + g - 1) // g
+
+    def block_dma(buf_slot, lane, block_idx):
+        return pltpu.make_async_copy(
+            kv_hbm.at[bh, pl.ds(block_idx * block_n, block_n)],
+            kv_buf.at[buf_slot, lane],
+            sems.at[buf_slot, lane])
+
+    def start_chunk(buf_slot, chunk_idx):
+        base = chunk_idx * g
+        for lane in range(g):
+            pos = jnp.minimum(base + lane, nb - 1)
+            block_dma(buf_slot, lane, idx_ref[0, 0, 0, pos]).start()
+
+    start_chunk(0, 0)
+
+    q = q_ref[0].astype(jnp.float32) * sm_scale
+    q = q.astype(kv_buf.dtype)
+    row_is_even = jax.lax.broadcasted_iota(
+        jnp.int32, (rows, 1), 0) < block_m
+
+    init = (
+        jnp.full((rows, 1), -jnp.inf, jnp.float32),
+        jnp.zeros((rows, 1), jnp.float32),
+        jnp.zeros((rows, d), jnp.float32),
+    )
+
+    def body(c, carry):
+        m_prev, l_prev, acc = carry
+        buf_slot = jax.lax.rem(c, 2)
+        base = c * g
+
+        @pl.when(c + 1 < num_chunks)
+        def _():
+            start_chunk(1 - buf_slot, c + 1)
+
+        lane_cols, lane_b0, lane_b1 = [], [], []
+        for lane in range(g):
+            pos = jnp.minimum(base + lane, nb - 1)
+            idx = idx_ref[0, 0, 0, pos]
+            bits = rowbits_ref[0, 0, 0, pos]
+            lane_cols.append(idx * block_n + jax.lax.broadcasted_iota(
+                jnp.int32, (1, block_n), 1))
+            ones = jnp.ones((1, block_n), jnp.int32)
+            lane_b0.append(ones * (bits & 1))
+            lane_b1.append(ones * ((bits >> 1) & 1))
+            block_dma(buf_slot, lane, idx).wait()
+        cols = jnp.concatenate(lane_cols, axis=1)          # [1, g*bn]
+        b0 = jnp.concatenate(lane_b0, axis=1) > 0
+        b1 = jnp.concatenate(lane_b1, axis=1) > 0
+
+        kv = kv_buf[buf_slot]
+        k = kv[:, :, :d].reshape(g * block_n, d)
+        v = kv[:, :, d:].reshape(g * block_n, d)
+
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)            # [rows, g*bn]
+
+        slot_ids = base + jax.lax.broadcasted_iota(
+            jnp.int32, (1, g * block_n), 1) // block_n
+        valid_tok = slot_ids < count
+        valid_tok &= cols < visual_len if text_start is None else (
+            (cols < visual_len) |
+            ((cols >= text_start) & (cols < text_start + tlen)))
+        # per-row planned-set membership
+        row_valid = jnp.where(row_is_even, b0, b1)          # [rows, g*bn]
+        s = jnp.where(valid_tok & row_valid, s, MASK_VALUE)
+
+        m_cur = jnp.max(s, axis=1, keepdims=True)
+        m_next = jnp.maximum(m_prev, m_cur)
+        alpha = jnp.exp(m_prev - m_next)
+        p = jnp.exp(s - m_next)
+        l_next = alpha * l_prev + jnp.sum(p, axis=1, keepdims=True)
+        acc = acc * alpha + jax.lax.dot(
+            p.astype(v.dtype), v, preferred_element_type=jnp.float32)
+        return m_next, l_next, acc
+
+    _, l, acc = jax.lax.fori_loop(0, num_chunks, body, init)
+    l_inv = jnp.where(l == 0.0, 1.0, 1.0 / l)
+    o_ref[0] = (acc * l_inv).astype(o_ref.dtype)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("block_m", "block_n", "sm_scale", "visual_len",
+                     "text_start", "chunk_blocks", "interpret"))
+def block_sparse_flash_attention_paired(
+    q: jax.Array,          # [B, H, Sq, D]  (Sq % (2*block_m) == 0)
+    k: jax.Array,
+    v: jax.Array,
+    indices: jax.Array,    # [B, H, NQ/2, NB] union block ids
+    counts: jax.Array,     # [B, H, NQ/2]
+    rowbits: jax.Array,    # [B, H, NQ/2, NB] int32 membership bits
+    text_len: jax.Array,   # [B] int32
+    *,
+    visual_len: int,
+    text_start: int | None,
+    block_m: int = 128,
+    block_n: int = 128,
+    chunk_blocks: int = 16,
+    sm_scale: float | None = None,
+    interpret: bool = False,
+) -> jax.Array:
+    """Paired-row variant: see sparse/ops.py::pair_rows."""
+    b, h, sq, d = q.shape
+    s = k.shape[2]
+    npair = indices.shape[2]
+    nb = indices.shape[-1]
+    assert sq == npair * 2 * block_m, (sq, npair, block_m)
+    if sm_scale is None:
+        sm_scale = 1.0 / math.sqrt(d)
+
+    bh = b * h
+    qf = q.reshape(bh, sq, d)
+    kv = jnp.concatenate([k.reshape(bh, s, d), v.reshape(bh, s, d)], axis=2)
+    idx_f = indices.reshape(bh, npair, 1, nb)
+    bits_f = rowbits.reshape(bh, npair, 1, nb)
+    counts_f = counts.reshape(bh, npair, 1, 1)
+    tlen_f = jnp.repeat(text_len.astype(jnp.int32), h).reshape(bh, 1, 1)
+
+    kernel = functools.partial(
+        _sparse_attn_kernel_paired,
+        block_m=block_m,
+        block_n=block_n,
+        chunk_blocks=chunk_blocks,
+        sm_scale=sm_scale,
+        visual_len=visual_len,
+        text_start=text_start,
+    )
+
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((bh, sq, d), q.dtype),
+        grid=(bh, npair),
+        in_specs=[
+            pl.BlockSpec((1, 1, 1, 1), lambda i, j: (i, j, 0, 0),
+                         memory_space=pltpu.SMEM),            # counts
+            pl.BlockSpec((1, 1, 1), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.SMEM),            # text_len
+            pl.BlockSpec((1, 1, 1, nb), lambda i, j: (i, j, 0, 0),
+                         memory_space=pltpu.SMEM),            # indices
+            pl.BlockSpec((1, 1, 1, nb), lambda i, j: (i, j, 0, 0),
+                         memory_space=pltpu.SMEM),            # rowbits
+            pl.BlockSpec((1, 2 * block_m, d), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),            # q (2 rows)
+            pl.BlockSpec(memory_space=pl.ANY),                # packed KV
+        ],
+        out_specs=pl.BlockSpec((1, 2 * block_m, d), lambda i, j: (i, j, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((2, chunk_blocks, block_n, 2 * d), k.dtype),
+            pltpu.SemaphoreType.DMA((2, chunk_blocks)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(counts_f, tlen_f, idx_f, bits_f, qf, kv)
+    return out.reshape(b, h, sq, d)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("block_m", "block_n", "sm_scale", "visual_len",

@@ -207,6 +207,8 @@ class HunyuanVideoDiT(nn.Module):
     def teacache_signal(self, x, temb):
         """Block-0 norm1 modulated input — the TeaCache change signal
         (reference: scripts/main_hunyuan.py:113)."""
+        if not self.dual_blocks:          # truncated-depth configs
+            return x + temb[:, None]
         return self.dual_blocks[0].norm1(x, temb)[0]
 
     def run_blocks(self, x, ctx, temb, rope, attn_fn: AttnFn):

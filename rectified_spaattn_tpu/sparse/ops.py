@@ -158,6 +158,30 @@ def mask_to_indices(mask: jax.Array):
     return indices, counts
 
 
+def pair_rows(mask: jax.Array):
+    """Pair adjacent query-block rows for the 2-rows-per-program kernel.
+
+    Adjacent Gilbert-curve query blocks select highly overlapping key sets
+    (shared 26-neighborhoods + correlated top-p picks), so iterating the
+    UNION once with per-row predication halves HBM traffic per MXU flop —
+    the kernel is DMA-bound at one row per program.
+
+    mask: [B, H, NQ, NB] bool (NQ even).
+    Returns (indices [B,H,NQ/2,NB], counts [B,H,NQ/2], rowbits
+    [B,H,NQ/2,NB] int32) where rowbits bit0/bit1 say whether the gathered
+    block belongs to the even/odd row's planned set.
+    """
+    b, h, nq, nb = mask.shape
+    assert nq % 2 == 0, nq
+    m_even = mask[..., 0::2, :]
+    m_odd = mask[..., 1::2, :]
+    union = m_even | m_odd
+    indices, counts = mask_to_indices(union)
+    bits = m_even.astype(jnp.int32) + 2 * m_odd.astype(jnp.int32)
+    rowbits = jnp.take_along_axis(bits, indices, axis=-1)
+    return indices, counts, rowbits
+
+
 def rectification(probs: jax.Array, partial_mask: jax.Array,
                   value_pool: jax.Array):
     """Rectification factors for the sparse output.

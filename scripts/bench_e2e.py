@@ -61,7 +61,9 @@ def main():
             model=model, params=params, height=args.height,
             width=args.width, frames=args.frame, num_steps=args.steps,
             sa_drop_rate=args.sa_drop_rate, mode=mode)
-        log(f"{mode}: denoise {args.steps} steps...")
+        log(f"{mode}: warm-up (compiles)...")
+        pipe(text, mask, seed=1, num_steps=1)
+        log(f"{mode}: timed {args.steps} steps...")
         pipe(text, mask, seed=1)
         per_step = pipe.denoise_seconds / args.steps
         results[mode] = per_step

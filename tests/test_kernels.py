@@ -116,6 +116,51 @@ def test_single_block_rows():
     np.testing.assert_allclose(out, want, rtol=2e-4, atol=2e-5)
 
 
+def test_paired_kernel_matches_reference():
+    from rectified_spaattn_tpu.kernels import (
+        block_sparse_flash_attention_paired)
+    from rectified_spaattn_tpu.sparse.ops import pair_rows
+    import jax.numpy as jnp
+
+    b, h, nq, nb, d = 1, 2, 4, 5, 64
+    q, k, v = make_inputs(9, b, h, nq, nb, d)
+    g = np.random.default_rng(10)
+    mask = g.uniform(size=(b, h, nq, nb)) < 0.5
+    mask[..., 0] = True
+    visual_len = nb * BN - 30
+    idx, counts, rowbits = pair_rows(jnp.asarray(mask))
+    out = np.asarray(block_sparse_flash_attention_paired(
+        jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), idx, counts,
+        rowbits, jnp.zeros((b,), jnp.int32), visual_len=visual_len,
+        text_start=None, block_m=BM, block_n=BN, interpret=True))
+    kv_valid = np.zeros((b, nb * BN), bool)
+    kv_valid[:, :visual_len] = True
+    want = np.asarray(block_sparse_attention_reference(
+        jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), jnp.asarray(mask),
+        jnp.asarray(kv_valid), block_m=BM, block_n=BN))
+    np.testing.assert_allclose(out, want, rtol=2e-4, atol=2e-5)
+
+
+def test_pair_rows_membership():
+    from rectified_spaattn_tpu.sparse.ops import pair_rows
+    import jax.numpy as jnp
+    g = np.random.default_rng(11)
+    mask = g.uniform(size=(1, 1, 6, 9)) < 0.4
+    mask[..., 0] = True
+    idx, counts, rowbits = pair_rows(jnp.asarray(mask))
+    idx, counts, rowbits = map(np.asarray, (idx, counts, rowbits))
+    for p in range(3):
+        union = np.where(mask[0, 0, 2 * p] | mask[0, 0, 2 * p + 1])[0]
+        n = counts[0, 0, p]
+        assert n == len(union)
+        np.testing.assert_array_equal(idx[0, 0, p, :n], union)
+        for s_ in range(n):
+            col = idx[0, 0, p, s_]
+            bits = rowbits[0, 0, p, s_]
+            assert bool(bits & 1) == bool(mask[0, 0, 2 * p, col])
+            assert bool(bits & 2) == bool(mask[0, 0, 2 * p + 1, col])
+
+
 def test_dense_attention_vanilla_masks_invalid_keys():
     b, h, s, d = 1, 2, 256, 64
     g = np.random.default_rng(8)
