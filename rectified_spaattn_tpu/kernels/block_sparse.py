@@ -224,20 +224,17 @@ def _sparse_attn_kernel_paired(
         def _():
             start_chunk(1 - buf_slot, c + 1)
 
-        lane_cols, lane_b0, lane_b1 = [], [], []
+        lane_cols, lane_bits = [], []
         for lane in range(g):
             pos = jnp.minimum(base + lane, nb - 1)
             idx = idx_ref[0, 0, 0, pos]
             bits = rowbits_ref[0, 0, 0, pos]
             lane_cols.append(idx * block_n + jax.lax.broadcasted_iota(
                 jnp.int32, (1, block_n), 1))
-            ones = jnp.ones((1, block_n), jnp.int32)
-            lane_b0.append(ones * (bits & 1))
-            lane_b1.append(ones * ((bits >> 1) & 1))
+            lane_bits.append(jnp.full((1, block_n), bits, jnp.int32))
             block_dma(buf_slot, lane, idx).wait()
         cols = jnp.concatenate(lane_cols, axis=1)          # [1, g*bn]
-        b0 = jnp.concatenate(lane_b0, axis=1) > 0
-        b1 = jnp.concatenate(lane_b1, axis=1) > 0
+        bits_vec = jnp.concatenate(lane_bits, axis=1)      # [1, g*bn]
 
         kv = kv_buf[buf_slot]
         k = kv[:, :, :d].reshape(g * block_n, d)
@@ -253,8 +250,10 @@ def _sparse_attn_kernel_paired(
         valid_tok &= cols < visual_len if text_start is None else (
             (cols < visual_len) |
             ((cols >= text_start) & (cols < text_start + tlen)))
-        # per-row planned-set membership
-        row_valid = jnp.where(row_is_even, b0, b1)          # [rows, g*bn]
+        # per-row planned-set membership via integer bit test (bool select
+        # with broadcast hits a Mosaic truncation limitation)
+        need_bit = jnp.where(row_is_even, 1, 2)             # [rows, 1] i32
+        row_valid = (bits_vec & need_bit) > 0               # [rows, g*bn]
         s = jnp.where(valid_tok & row_valid, s, MASK_VALUE)
 
         m_cur = jnp.max(s, axis=1, keepdims=True)

@@ -38,6 +38,12 @@ class SparseConfig:
     layout: str = "joint"
     text_len: int = 0
     first_frame_blocks: int = 0
+    # Execute TWO query blocks per kernel program over the union of their
+    # key sets (kernels/block_sparse.py::block_sparse_flash_attention_paired).
+    # Wins when adjacent curve blocks select overlapping keys (real model
+    # data: smooth pooled attention + shared neighborhoods); loses on
+    # uncorrelated masks, so off by default.
+    paired_rows: bool = False
 
     def __post_init__(self):
         if self.layout not in ("joint", "visual"):
