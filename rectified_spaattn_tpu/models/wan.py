@@ -41,10 +41,12 @@ class WanConfig:
     rope_axes_dim: tuple = (44, 42, 42)
     rope_theta: float = 10000.0
     image_cross: bool = False          # I2V image-context branch
+    image_dim: int = 1280              # CLIP-vision feature dim (I2V)
     per_token_timesteps: bool = False  # Wan2.2 TI2V
 
     @classmethod
     def tiny(cls, **kw):
+        kw.setdefault("image_dim", 16)
         return cls(in_channels=4, out_channels=4, hidden_dim=64, heads=2,
                    head_dim=32, num_blocks=2, ffn_dim=128, text_dim=32,
                    freq_dim=32, rope_axes_dim=(12, 10, 10), **kw)
@@ -68,8 +70,12 @@ class WanDiT(nn.Module):
         # use_ret_steps, scripts/main_wan21t2v.py:103)
         self.time_proj = nn.Dense(6 * c.hidden_dim, name="time_proj")
         if c.image_cross:
-            self.img_emb_proj = MLP(c.hidden_dim, 1.0, activation="gelu",
-                                    name="img_emb_proj")
+            # diffusers WanImageEmbedding: norm1 -> ff(gelu) -> norm2 over
+            # the CLIP-vision features
+            self.img_norm1 = nn.LayerNorm(epsilon=1e-6, name="img_norm1")
+            self.img_ff = MLP(c.hidden_dim, c.image_dim / c.hidden_dim,
+                              activation="gelu", name="img_ff")
+            self.img_norm2 = nn.LayerNorm(epsilon=1e-6, name="img_norm2")
         self.blocks = [
             CrossAttnBlock(c.hidden_dim, c.heads, c.ffn_dim / c.hidden_dim,
                            image_cross=c.image_cross, name=f"block_{i}")
@@ -123,7 +129,7 @@ class WanDiT(nn.Module):
         ctx = self.text_embedder(text_emb)
         ctx_img = None
         if c.image_cross and image_emb is not None:
-            ctx_img = self.img_emb_proj(image_emb)
+            ctx_img = self.img_norm2(self.img_ff(self.img_norm1(image_emb)))
 
         t_feat = timestep_embedding(timestep, c.freq_dim)     # [B(,S),F]
         temb = self.time_embedder(self.time_in(t_feat))       # [B(,S),C]

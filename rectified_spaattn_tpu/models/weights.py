@@ -98,6 +98,15 @@ def convert_wan(sd: dict, num_blocks: int) -> dict:
     }
     p["time_proj"] = _dense(sd["condition_embedder.time_proj.weight"],
                             sd["condition_embedder.time_proj.bias"])
+    if "condition_embedder.image_embedder.norm1.weight" in sd:  # I2V
+        ie = "condition_embedder.image_embedder"
+        p["img_norm1"] = _ln(sd, f"{ie}.norm1")
+        p["img_ff"] = {
+            "fc1": _dense(sd[f"{ie}.ff.net.0.proj.weight"],
+                          sd[f"{ie}.ff.net.0.proj.bias"]),
+            "fc2": _dense(sd[f"{ie}.ff.net.2.weight"],
+                          sd[f"{ie}.ff.net.2.bias"])}
+        p["img_norm2"] = _ln(sd, f"{ie}.norm2")
     for i in range(num_blocks):
         b = f"blocks.{i}"
         blk = {

@@ -71,9 +71,27 @@ class WanPipeline:
             first_frame_retention=True)
         m = self.model
 
+        bm = self.site.cfg.block_m
+        sv_true = self.site.visual_len
+        pad = (-sv_true) % bm
+
         def embed(params, latents, t, text, image_emb):
-            return m.apply(params, latents, t, text, self.h2l, image_emb,
-                           method=WanDiT.embed)
+            x, ctx, ctx_img, temb, temb6, rope = m.apply(
+                params, latents, t, text, self.h2l, image_emb,
+                method=WanDiT.embed)
+            if pad:
+                # pad the token stream ONCE so every layer's attention call
+                # sees block-aligned shapes (instead of per-layer inserts)
+                x = jnp.pad(x, ((0, 0), (0, pad), (0, 0)))
+                cos, sin = rope
+                rope = (jnp.pad(cos, ((0, pad), (0, 0))),
+                        jnp.pad(sin, ((0, pad), (0, 0))))
+                if temb.ndim == 3:
+                    temb = jnp.pad(temb, ((0, 0), (0, pad), (0, 0)))
+                if temb6.ndim == 4:
+                    temb6 = jnp.pad(temb6,
+                                    ((0, 0), (0, pad), (0, 0), (0, 0)))
+            return x, ctx, ctx_img, temb, temb6, rope
 
         def blocks(params, x, ctx, ctx_img, temb6, rope, sparse: bool):
             dense = self.site.attn_fn(
@@ -93,6 +111,10 @@ class WanPipeline:
 
         def head(params, x, temb):
             t, hh, ww = self.grid
+            if pad:
+                x = x[:, :sv_true]
+                if temb.ndim == 3:
+                    temb = temb[:, :sv_true]
             return m.apply(params, x, temb, self.l2h, t, hh, ww,
                            method=WanDiT.head)
 

@@ -91,7 +91,7 @@ def test_wan_i2v_image_cross():
     b, t, hh, ww = 1, 2, 4, 4
     latents = jax.random.normal(rng, (b, cfg.in_channels, t, hh, ww))
     text = jax.random.normal(rng, (b, 5, cfg.text_dim))
-    img = jax.random.normal(rng, (b, 4, cfg.hidden_dim))
+    img = jax.random.normal(rng, (b, 4, cfg.image_dim))
     ts = jnp.array([500.0])
     params = model.init(rng, latents, ts, text, img)
     out = model.apply(params, latents, ts, text, img)
