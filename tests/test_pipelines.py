@@ -70,6 +70,79 @@ def test_hunyuan_teacache_skips_steps():
     assert np.isfinite(np.asarray(out)).all()
 
 
+def test_flux_pipeline_and_upscale():
+    from rectified_spaattn_tpu.models.flux import FluxConfig, FluxDiT
+    from rectified_spaattn_tpu.pipelines import (FluxPipeline,
+                                                 FluxUpscalePipeline)
+    cfg = FluxConfig.tiny()
+    model = FluxDiT(cfg)
+    rng = jax.random.PRNGKey(4)
+    text = jax.random.normal(rng, (1, 128, cfg.text_dim))
+    mask = jnp.zeros((1, 128), bool).at[:, :7].set(True)
+    pooled = jax.random.normal(rng, (1, cfg.pooled_dim))
+    tokens = jnp.zeros((1, 64, cfg.in_channels))
+    params = model.init(rng, tokens, jnp.array([0.5]), text, pooled,
+                        jnp.array([3.5]), 8, 8)
+
+    def mk(hh, ww):
+        return FluxPipeline(model=model, params=params, height=hh, width=ww,
+                            num_steps=2, sa_drop_rate=0.5, mode="vanilla",
+                            text_len=128, interpret=True)
+    pipe = FluxUpscalePipeline(base=mk(128, 128), up=mk(256, 256))
+    out = pipe(text, mask, pooled, seed=0)
+    assert out.shape == (1, 16 * 16, cfg.in_channels)
+    assert np.isfinite(np.asarray(out)).all()
+    # sparse mode on the high-res stage
+    pipe.up.mode = "sparse"
+    out_s = pipe.up(text, mask, pooled, seed=0)
+    assert np.isfinite(np.asarray(out_s)).all()
+
+
+def test_cogvideox_pipeline_runs():
+    from rectified_spaattn_tpu.models.cogvideox import (CogVideoXConfig,
+                                                        CogVideoXDiT)
+    from rectified_spaattn_tpu.pipelines import CogVideoXPipeline
+    cfg = CogVideoXConfig.tiny()
+    model = CogVideoXDiT(cfg)
+    rng = jax.random.PRNGKey(5)
+    text_c = jax.random.normal(rng, (1, 128, cfg.text_dim))
+    text_u = jnp.zeros_like(text_c)
+    lat = jnp.zeros((1, cfg.in_channels, 2, 8, 8))
+    params = model.init(rng, lat, jnp.array([0.0]), text_c)
+    pipe = CogVideoXPipeline(
+        model=model, params=params, height=64, width=64, frames=9,
+        num_steps=2, sa_drop_rate=0.5, mode="vanilla", text_len=128,
+        interpret=True)
+    out = pipe(text_c, text_u, seed=3)
+    assert np.isfinite(np.asarray(out)).all()
+    assert pipe.denoise_seconds > 0
+
+
+def test_wan22_a14b_dual_transformer_routing():
+    from rectified_spaattn_tpu.pipelines import Wan22A14BPipeline
+    cfg = WanConfig.tiny()
+    model = WanDiT(cfg)
+    rng = jax.random.PRNGKey(6)
+    text_c = jax.random.normal(rng, (1, 16, cfg.text_dim))
+    text_u = jnp.zeros_like(text_c)
+    lat_init = jnp.zeros((1, cfg.in_channels, 2, 4, 4))
+    params_h = model.init(rng, lat_init, jnp.array([0.0]), text_c)
+    params_l = model.init(jax.random.PRNGKey(7), lat_init,
+                          jnp.array([0.0]), text_c)
+
+    def mk(params):
+        return WanPipeline(model=model, params=params, height=64, width=64,
+                           frames=5, num_steps=4, sa_drop_rate=0.5,
+                           mode="vanilla", scheduler="euler",
+                           interpret=True)
+    pipe = Wan22A14BPipeline(high=mk(params_h), low=mk(params_l),
+                             boundary_ratio=0.5)
+    lat = jax.random.normal(rng, (1, cfg.in_channels, *pipe.high.grid))
+    out = pipe.denoise(lat, text_c, text_u, num_steps=4)
+    assert np.isfinite(np.asarray(out)).all()
+    assert pipe.denoise_seconds > 0
+
+
 def test_wan_pipeline_cfg_runs():
     cfg = WanConfig.tiny()
     model = WanDiT(cfg)
