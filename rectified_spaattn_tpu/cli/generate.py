@@ -79,7 +79,27 @@ def build_hunyuan(args):
     from ..models.hunyuan import HunyuanVideoConfig, HunyuanVideoDiT
     from ..pipelines import HunyuanVideoPipeline
     if args.ckpt_dir:
+        # real checkpoint: safetensors snapshot dir (transformer subfolder)
+        import jax
+        from ..models.weights import (load_safetensors_dir, convert_hunyuan,
+                                      assign_dtype)
         cfg = HunyuanVideoConfig()
+        model = HunyuanVideoDiT(cfg)
+        sd = load_safetensors_dir(args.ckpt_dir)
+        params = assign_dtype(
+            convert_hunyuan(sd, cfg.num_dual_blocks, cfg.num_single_blocks,
+                            cfg.num_refiner_blocks, cfg.pooled_dim,
+                            cfg.text_dim), jnp.bfloat16)
+        text, mask = _random_text(args.prompt, 256, cfg.text_dim)
+        pipe = HunyuanVideoPipeline(
+            model=model, params=params, height=args.height,
+            width=args.width, frames=args.frame, num_steps=args.num_steps,
+            sa_drop_rate=args.sa_drop_rate,
+            p_remain_rates=args.p_remain_rates,
+            mode="flash" if args.mode == "torch" else args.mode,
+            enable_teacache=args.enable_teacache,
+            rel_l1_thresh=args.teacache_thresh)
+        return pipe, (text, mask)
     else:
         s = args.scale
         cfg = HunyuanVideoConfig(
