@@ -1,0 +1,47 @@
+"""Compare dense attention baselines at Hunyuan scale: stock pallas flash
+vs our gather kernel with full lists and wide q-tiles."""
+
+import time
+import sys
+import os
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import jax
+import jax.numpy as jnp
+
+
+def log(m):
+    print(f"[{time.strftime('%H:%M:%S')}] {m}", flush=True)
+
+
+b, h, d = 1, 24, 128
+s = 115456
+rng = jax.random.PRNGKey(0)
+q = jax.random.normal(rng, (b, h, s, d), jnp.bfloat16)
+k = jax.random.normal(rng, (b, h, s, d), jnp.bfloat16)
+v = jax.random.normal(rng, (b, h, s, d), jnp.bfloat16)
+
+from rectified_spaattn_tpu.kernels import dense_attention
+from rectified_spaattn_tpu.attention.modes import _windowed_dense_flash
+
+
+def timed(f, n=3):
+    out = f()
+    float(jnp.sum(out.astype(jnp.float32)))
+    t0 = time.perf_counter()
+    for _ in range(n):
+        out = f()
+        float(jnp.sum(out.astype(jnp.float32)))
+    return (time.perf_counter() - t0) / n
+
+
+stock = jax.jit(lambda: dense_attention(q, k, v, mode="flash"))
+t1 = timed(stock)
+log(f"stock flash:            {t1*1e3:.0f} ms ({163e12/t1/1e12:.0f} TF/s)")
+
+tlen = jnp.zeros((b,), jnp.int32)
+windowed = jax.jit(lambda: _windowed_dense_flash(
+    q, k, v, visual_len=s, text_start=None, tlen=tlen))
+t2 = timed(windowed)
+log(f"windowed gather (bm256): {t2*1e3:.0f} ms ({163e12/t2/1e12:.0f} TF/s)")

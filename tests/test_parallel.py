@@ -73,6 +73,27 @@ def test_shard_prompts_matches_reference_interleaving():
     assert shard_prompts(prompts, 1, 2) == ["b", "d", "f"]
 
 
+def test_head_parallel_sparse_attention_matches_single_device(mesh):
+    """Head-sharded rectified attention == single-device result (the mask
+    pipeline is per-head, so tp sharding is collective-free)."""
+    from rectified_spaattn_tpu.sparse import SparseConfig
+    from rectified_spaattn_tpu.attention import rectified_sparse_attention
+    from rectified_spaattn_tpu.attention.sharded import (
+        head_parallel_rectified_attention)
+
+    b, h, d, nq = 2, 4, 32, 2
+    s = nq * 128
+    cfg = SparseConfig(top_k_floor=1, p_remain=0.4, layout="visual")
+    g = np.random.default_rng(12)
+    q, k, v = [jnp.asarray(g.normal(size=(b, h, s, d)).astype(np.float32))
+               for _ in range(3)]
+    want = np.asarray(rectified_sparse_attention(
+        q, k, v, cfg, None, visual_len=s, interpret=True))
+    got = np.asarray(head_parallel_rectified_attention(
+        mesh, q, k, v, cfg, None, visual_len=s, interpret=True))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
 def test_graft_dryrun_multichip():
     """The driver's multi-chip validation path."""
     import __graft_entry__ as g
