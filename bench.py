@@ -52,12 +52,20 @@ def main():
     v = jax.random.normal(kv, (b, h, s, d), jnp.bfloat16)
     tlen = jnp.full((b,), text_len, jnp.int32)
 
+    from rectified_spaattn_tpu.attention.modes import _windowed_dense_flash
+
     sparse_fn = jax.jit(lambda q, k, v: rectified_sparse_attention(
         q, k, v, cfg, neighbors, visual_len=sv, text_len_rt=tlen))
     dense_fn = jax.jit(lambda q, k, v: dense_attention(q, k, v,
                                                        mode="flash"))
+    # our own dense implementation (gather kernel, 256-row q tiles) —
+    # measured ~1.9x faster than the stock flash kernel at this scale;
+    # reported for transparency, the ratio uses the platform-standard
+    # dense flash like the reference used flash-attn 2
+    dense_ours_fn = jax.jit(lambda q, k, v: _windowed_dense_flash(
+        q, k, v, visual_len=sv, text_start=sv, tlen=tlen))
 
-    def timed(f, n=3):
+    def timed(f, n=4):
         out = f(q, k, v)
         float(jnp.sum(out.astype(jnp.float32)))   # forced sync readback
         t0 = time.perf_counter()
@@ -68,6 +76,7 @@ def main():
 
     t_sparse = timed(sparse_fn)
     t_dense = timed(dense_fn)
+    t_dense_ours = timed(dense_ours_fn)
     speedup = t_dense / t_sparse
 
     print(json.dumps({
@@ -76,8 +85,10 @@ def main():
         "unit": "x",
         "vs_baseline": round(speedup / BASELINE_SPEEDUP, 3),
         "detail": {
-            "dense_ms": round(t_dense * 1e3, 1),
+            "dense_stock_flash_ms": round(t_dense * 1e3, 1),
+            "dense_ours_ms": round(t_dense_ours * 1e3, 1),
             "sparse_ms": round(t_sparse * 1e3, 1),
+            "speedup_vs_our_dense": round(t_dense_ours / t_sparse, 3),
             "tokens": s, "heads": h, "sa_drop_rate": 0.8,
         },
     }))

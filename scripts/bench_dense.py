@@ -27,21 +27,21 @@ from rectified_spaattn_tpu.attention.modes import _windowed_dense_flash
 
 
 def timed(f, n=3):
-    out = f()
+    out = f(q, k, v)
     float(jnp.sum(out.astype(jnp.float32)))
     t0 = time.perf_counter()
     for _ in range(n):
-        out = f()
+        out = f(q, k, v)
         float(jnp.sum(out.astype(jnp.float32)))
     return (time.perf_counter() - t0) / n
 
 
-stock = jax.jit(lambda: dense_attention(q, k, v, mode="flash"))
+stock = jax.jit(lambda q, k, v: dense_attention(q, k, v, mode="flash"))
 t1 = timed(stock)
 log(f"stock flash:            {t1*1e3:.0f} ms ({163e12/t1/1e12:.0f} TF/s)")
 
 tlen = jnp.zeros((b,), jnp.int32)
-windowed = jax.jit(lambda: _windowed_dense_flash(
+windowed = jax.jit(lambda q, k, v: _windowed_dense_flash(
     q, k, v, visual_len=s, text_start=None, tlen=tlen))
 t2 = timed(windowed)
 log(f"windowed gather (bm256): {t2*1e3:.0f} ms ({163e12/t2/1e12:.0f} TF/s)")
