@@ -59,18 +59,19 @@ def _sparse_attn_kernel(
     kv_hbm,          # [BH, S, 2*D]  ANY — lane-packed K/V, manually DMA'd
     # outputs
     o_ref,           # [1, bm, D]    VMEM
-    # scratch
-    kv_buf,          # [2, G, bn, 2*D] VMEM — double-buffered chunk gather
-    sems,            # DMA sems (2, G)
-    *,
+    *maybe_stats,    # with return_stats: (m_ref, l_ref) [1, bm, 128] VMEM,
+                     # then scratch; else just scratch
     block_n: int,
     chunk_blocks: int,
     sm_scale: float,
     visual_len: int,     # static: tokens < visual_len are valid
     text_start: int | None,  # static: text region offset (None = no text)
-    num_heads: int,
+    return_stats: bool = False,
 ):
-    del num_heads
+    if return_stats:
+        m_ref, l_ref, kv_buf, sems = maybe_stats
+    else:
+        kv_buf, sems = maybe_stats
     bh = pl.program_id(0)
     count = counts_ref[0, 0, 0, 0]
     tlen = tlen_ref[0, 0, 0]
@@ -150,9 +151,13 @@ def _sparse_attn_kernel(
             p.astype(v.dtype), v, preferred_element_type=jnp.float32)
         return m_next, l_next, acc
 
-    _, l, acc = jax.lax.fori_loop(0, num_chunks, body, init)
+    m, l, acc = jax.lax.fori_loop(0, num_chunks, body, init)
     l_inv = jnp.where(l == 0.0, 1.0, 1.0 / l)
     o_ref[0] = (acc * l_inv).astype(o_ref.dtype)
+    if return_stats:
+        bm = q_ref.shape[1]
+        m_ref[0] = jnp.broadcast_to(m, (bm, 128))
+        l_ref[0] = jnp.broadcast_to(l, (bm, 128))
 
 
 def _sparse_attn_kernel_paired(
@@ -352,7 +357,8 @@ def block_sparse_flash_attention_paired(
 @functools.partial(
     jax.jit,
     static_argnames=("block_m", "block_n", "sm_scale", "visual_len",
-                     "text_start", "chunk_blocks", "interpret"))
+                     "text_start", "chunk_blocks", "interpret",
+                     "return_stats"))
 def block_sparse_flash_attention(
     q: jax.Array,          # [B, H, Sq, D]   (Sq % block_m == 0)
     k: jax.Array,          # [B, H, S,  D]
@@ -368,11 +374,16 @@ def block_sparse_flash_attention(
     chunk_blocks: int = 16,
     sm_scale: float | None = None,
     interpret: bool = False,
-) -> jax.Array:
+    return_stats: bool = False,
+):
     """Run masked flash attention over the selected key blocks.
 
     Returns [B, H, Sq, D] in q.dtype — the softmax-normalised sparse
     output (rectification is applied by the caller, attention/rectified.py).
+    With ``return_stats`` also returns the per-row online-softmax running
+    max m and sum l ([B, H, Sq] fp32) so partial results over disjoint key
+    sets can be merged exactly (ring sequence parallelism,
+    attention/ring.py).
     """
     b, h, sq, d = q.shape
     s = k.shape[2]
@@ -396,12 +407,25 @@ def block_sparse_flash_attention(
         sm_scale=sm_scale,
         visual_len=visual_len,
         text_start=text_start,
-        num_heads=h,
+        return_stats=return_stats,
     )
+
+    tile_spec = pl.BlockSpec((1, block_m, d), lambda i, j: (i, j, 0),
+                             memory_space=pltpu.VMEM)
+    stat_spec = pl.BlockSpec((1, block_m, 128), lambda i, j: (i, j, 0),
+                             memory_space=pltpu.VMEM)
+    out_shape = jax.ShapeDtypeStruct((bh, sq, d), q.dtype)
+    if return_stats:
+        out_shape = (out_shape,
+                     jax.ShapeDtypeStruct((bh, sq, 128), jnp.float32),
+                     jax.ShapeDtypeStruct((bh, sq, 128), jnp.float32))
+        out_specs = (tile_spec, stat_spec, stat_spec)
+    else:
+        out_specs = tile_spec
 
     out = pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((bh, sq, d), q.dtype),
+        out_shape=out_shape,
         grid=(bh, nq),
         in_specs=[
             pl.BlockSpec((1, 1, 1, 1), lambda i, j: (i, j, 0, 0),
@@ -414,8 +438,7 @@ def block_sparse_flash_attention(
                          memory_space=pltpu.VMEM),            # q
             pl.BlockSpec(memory_space=pl.ANY),                # packed KV
         ],
-        out_specs=pl.BlockSpec((1, block_m, d), lambda i, j: (i, j, 0),
-                               memory_space=pltpu.VMEM),
+        out_specs=out_specs,
         scratch_shapes=[
             pltpu.VMEM((2, chunk_blocks, block_n, 2 * d), k.dtype),
             pltpu.SemaphoreType.DMA((2, chunk_blocks)),
@@ -425,6 +448,11 @@ def block_sparse_flash_attention(
         ),
         interpret=interpret,
     )(counts_f, tlen_f, idx_f, qf, kv)
+    if return_stats:
+        o, m, l = out
+        return (o.reshape(b, h, sq, d),
+                m[..., 0].reshape(b, h, sq),
+                l[..., 0].reshape(b, h, sq))
     return out.reshape(b, h, sq, d)
 
 

@@ -155,7 +155,9 @@ def mask_to_indices(mask: jax.Array):
         indices, jnp.maximum(counts - 1, 0)[..., None].astype(jnp.int32), axis=-1)
     slot = col[(None,) * (mask.ndim - 1)]
     indices = jnp.where(slot < counts[..., None], indices, last_valid)
-    return indices, counts
+    # rows with zero selected blocks would otherwise point at column nb
+    # (out of range → the kernel prologue would DMA past the array)
+    return jnp.minimum(indices, nb - 1), counts
 
 
 def pair_rows(mask: jax.Array):

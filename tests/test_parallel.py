@@ -94,6 +94,34 @@ def test_head_parallel_sparse_attention_matches_single_device(mesh):
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
 
 
+def test_ring_sequence_parallel_matches_single_device(mesh):
+    """Ring sp attention == single-device rectified output: the global
+    mask plan is rebuilt identically from all-gathered pooled stats and the
+    partial softmaxes merge exactly."""
+    from rectified_spaattn_tpu.sparse import SparseConfig
+    from rectified_spaattn_tpu.attention import rectified_sparse_attention
+    from rectified_spaattn_tpu.attention.ring import (
+        ring_rectified_sparse_attention)
+    from rectified_spaattn_tpu.parallel import make_mesh
+
+    ring_mesh = make_mesh(dp=1, tp=2, sp=4)
+    b, h, d = 1, 2, 32
+    s = 8 * 128                    # 2 blocks per sp shard
+    cfg = SparseConfig(top_k_floor=1, p_remain=0.4, layout="visual",
+                       first_frame_blocks=1)
+    g = np.random.default_rng(13)
+    q, k, v = [jnp.asarray(g.normal(size=(b, h, s, d)).astype(np.float32))
+               for _ in range(3)]
+    nb = s // 128
+    neighbors = jnp.asarray(np.eye(nb, dtype=bool))
+
+    want = np.asarray(rectified_sparse_attention(
+        q, k, v, cfg, neighbors, visual_len=s, interpret=True))
+    got = np.asarray(ring_rectified_sparse_attention(
+        ring_mesh, q, k, v, cfg, neighbors, interpret=True))
+    np.testing.assert_allclose(got, want, rtol=2e-3, atol=2e-3)
+
+
 def test_graft_dryrun_multichip():
     """The driver's multi-chip validation path."""
     import __graft_entry__ as g
