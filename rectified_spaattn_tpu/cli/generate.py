@@ -175,9 +175,11 @@ def build_cogvideox(args):
     from ..models.cogvideox import CogVideoXConfig, CogVideoXDiT
     from ..pipelines import CogVideoXPipeline
     s = args.scale
+    hidden = max(128, int(3072 * s) // 64 * 64)
     cfg = CogVideoXConfig(
-        hidden_dim=max(128, int(3072 * s) // 64 * 64),
-        heads=max(1, int(48 * s)), num_blocks=max(2, int(42 * s)),
+        hidden_dim=hidden,
+        heads=hidden // 64,        # keep head_dim 64 = rope_axes_dim sum
+        num_blocks=max(2, int(42 * s)),
         text_dim=512, time_embed_dim=256)
     model = CogVideoXDiT(cfg)
     text, _ = _random_text(args.prompt, 256, cfg.text_dim)
