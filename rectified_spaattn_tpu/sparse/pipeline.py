@@ -92,7 +92,6 @@ def build_sparse_plan(
             q_blocks, k_vis_blocks, q_pool, k_pool_vis,
             scores_unscaled[..., :nq])
         probs = ops.ipar_reallocate(probs_tok, nq, bn)         # [B,H,NQ,NQ+1]
-        num_sel_cols = nq + 1
     else:
         nb_vis = key.shape[2] // bn
         if nb_vis > nq:  # cross-shaped grids never occur; keep parity anyway
@@ -101,11 +100,10 @@ def build_sparse_plan(
         probs = jax.nn.softmax(scores_unscaled * sm_scale, axis=-1)
         nogapr = ops.estimate_pr_gain(
             q_blocks, _blockify(key, bn), q_pool, k_pool_vis, scores_unscaled)
-        num_sel_cols = k_pool_vis.shape[-2]
 
     # Top-p with top-k floor over the (IPAR'd) probabilities.
     onehot_sel = ops.topp_threshold_onehot(
-        probs, cfg.p_remain, cfg.top_k_floor)   # [B,H,NQ,num_sel_cols]
+        probs, cfg.p_remain, cfg.top_k_floor)
 
     # Assemble the kernel-visible mask over all key blocks.
     nb_total = key.shape[2] // bn

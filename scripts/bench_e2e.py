@@ -32,6 +32,8 @@ def main():
     ap.add_argument("--width", type=int, default=1280)
     ap.add_argument("--frame", type=int, default=128)
     ap.add_argument("--sa_drop_rate", type=float, default=0.8)
+    ap.add_argument("--teacache", action="store_true",
+                    help="also time sparse+TeaCache (forced mid-step skips)")
     args = ap.parse_args()
 
     from rectified_spaattn_tpu.models.hunyuan import (
@@ -70,6 +72,23 @@ def main():
         log(f"{mode}: {per_step:.2f}s/step")
     log(f"e2e speedup ({args.dual}+{args.single} blocks): "
         f"{results['flash'] / results['sparse']:.2f}x")
+
+    if args.teacache:
+        # +TeaCache tier: huge threshold forces every eligible mid step to
+        # reuse the cached residual — measures the mechanism's best case
+        # (real skip rates are data/threshold dependent)
+        pipe = HunyuanVideoPipeline(
+            model=model, params=params, height=args.height,
+            width=args.width, frames=args.frame, num_steps=args.steps,
+            sa_drop_rate=args.sa_drop_rate, mode="sparse",
+            enable_teacache=True, rel_l1_thresh=1e9)
+        pipe(text, mask, seed=1, num_steps=1)
+        steps = max(args.steps, 4)
+        pipe(text, mask, seed=1, num_steps=steps)
+        per_step = pipe.denoise_seconds / steps
+        log(f"sparse+teacache: {per_step:.2f}s/step "
+            f"(skipped {pipe.teacache_stats['skipped']}/{steps}); "
+            f"vs dense: {results['flash'] / per_step:.2f}x")
     full_sparse = results["sparse"] * 60 / (args.dual + args.single)
     full_dense = results["flash"] * 60 / (args.dual + args.single)
     log(f"extrapolated full 60-block model: dense {full_dense * 50:.0f}s, "
