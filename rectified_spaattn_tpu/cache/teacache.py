@@ -145,7 +145,10 @@ class TeaCache:
             else:
                 compute = True
                 st.accumulated = 0.0
-        st.previous_modulated = modulated
+        # store in bf16: the reference keeps these in model dtype; halves
+        # the resident TeaCache footprint (signal + residual are
+        # activation-sized at video scale)
+        st.previous_modulated = modulated.astype(jnp.bfloat16)
         if compute:
             st.computed_steps += 1
         else:
@@ -165,9 +168,9 @@ class TeaCache:
                         ctx_out=None):
         stream = (self._call_count - 1) % self.cfg_streams
         st = self.states[stream]
-        st.previous_residual = hidden_out - hidden_in
+        st.previous_residual = (hidden_out - hidden_in).astype(jnp.bfloat16)
         if ctx_in is not None and ctx_out is not None:
-            st.previous_residual_ctx = ctx_out - ctx_in
+            st.previous_residual_ctx = (ctx_out - ctx_in).astype(jnp.bfloat16)
 
     def stats(self) -> dict:
         return {
