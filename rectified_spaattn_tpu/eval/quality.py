@@ -75,6 +75,53 @@ def clip_score(image_paths: Sequence[str], prompts: Sequence[str]) -> dict:
             "n": len(scores)}
 
 
+def image_reward(image_paths: Sequence[str], prompts: Sequence[str]) -> dict:
+    """ImageReward scoring (reference vendors THUDM/ImageReward,
+    eval/image/evaluation/metrics/ImageReward)."""
+    try:
+        import ImageReward as ir
+    except Exception:
+        return {"available": False, "reason": "ImageReward not installed"}
+    try:
+        model = ir.load("ImageReward-v1.0")
+    except Exception:
+        return {"available": False, "reason": "ImageReward weights unavailable"}
+    scores = [float(model.score(p, img))
+              for img, p in zip(image_paths, prompts)]
+    return {"available": True, "image_reward": float(np.mean(scores)),
+            "n": len(scores)}
+
+
+def pick_score(image_paths: Sequence[str], prompts: Sequence[str]) -> dict:
+    """PickScore preference scoring (reference vendors PickScore,
+    eval/image/evaluation/metrics/PickScore)."""
+    try:
+        import torch
+        from transformers import AutoModel, AutoProcessor
+        from PIL import Image
+    except Exception:
+        return {"available": False, "reason": "pickscore deps not installed"}
+    name = os.environ.get("RSA_TPU_PICKSCORE",
+                          "yuvalkirstain/PickScore_v1")
+    try:
+        proc = AutoProcessor.from_pretrained(
+            "laion/CLIP-ViT-H-14-laion2B-s32B-b79K")
+        model = AutoModel.from_pretrained(name)
+    except Exception:
+        return {"available": False, "reason": "pickscore weights unavailable"}
+    scores = []
+    for path, prompt in zip(image_paths, prompts):
+        inputs = proc(text=[prompt], images=Image.open(path),
+                      return_tensors="pt", padding=True, truncation=True)
+        with torch.no_grad():
+            out = model(**inputs)
+        img = out.image_embeds / out.image_embeds.norm(dim=-1, keepdim=True)
+        txt = out.text_embeds / out.text_embeds.norm(dim=-1, keepdim=True)
+        scores.append(float(model.logit_scale.exp() * (img * txt).sum()))
+    return {"available": True, "pick_score": float(np.mean(scores)),
+            "n": len(scores)}
+
+
 def fid_score(dir_a: str, dir_b: str) -> dict:
     """Inception FID between two image folders (reference:
     eval/image/evaluation/fid_score.py)."""
