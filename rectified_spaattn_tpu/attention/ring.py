@@ -26,7 +26,7 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 
 from ..sparse import SparseConfig
 from ..sparse import ops
@@ -147,5 +147,5 @@ def ring_rectified_sparse_attention(
     spec = P(None, None, seq_axis, None)
     fn = shard_map(local, mesh=mesh,
                    in_specs=(spec, spec, spec, P(None, None)),
-                   out_specs=spec, check_rep=False)
+                   out_specs=spec, check_vma=False)
     return fn(q, k, v, neighbor_mask)

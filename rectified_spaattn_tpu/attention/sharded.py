@@ -7,8 +7,8 @@ kernel, rectification all act on disjoint head shards.  This wraps
 each device runs the full single-chip path on its heads.
 
 Batch (dp) sharding composes for free (leading-axis split).  Sequence
-parallelism (sp) is a roadmap item (ROADMAP.md) — it requires
-all-gathering pooled block stats and ring-gathering selected KV blocks.
+parallelism (sp) is implemented in attention/ring.py: ring-rotated KV
+shards with exact online-softmax merging via the kernel's return_stats.
 """
 
 from __future__ import annotations
@@ -18,7 +18,7 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 
 from ..sparse import SparseConfig
 from .rectified import rectified_sparse_attention
@@ -59,12 +59,12 @@ def head_parallel_rectified_attention(
                 text_len_rt=tl, interpret=interpret)
         fn = shard_map(local_no_nb, mesh=mesh,
                        in_specs=(qkv_spec, qkv_spec, qkv_spec, tl_spec),
-                       out_specs=qkv_spec, check_rep=False)
+                       out_specs=qkv_spec, check_vma=False)
         args = (q, k, v)
     else:
         fn = shard_map(local, mesh=mesh,
                        in_specs=tuple(in_specs), out_specs=qkv_spec,
-                       check_rep=False)
+                       check_vma=False)
         args = (q, k, v, neighbor_mask)
     default_tl = cfg.text_len if cfg.layout == "joint" else 0
     tl = (text_len_rt.astype(jnp.int32) if text_len_rt is not None

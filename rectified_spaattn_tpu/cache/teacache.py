@@ -140,15 +140,17 @@ class TeaCache:
         else:
             raw = float(rel_l1_signal(modulated, st.previous_modulated))
             st.accumulated += float(self._poly(raw))
-            if abs(st.accumulated) < self.thresh:
+            # signed comparison, matching the reference
+            # (main_hunyuan.py:121): rescale polynomials go negative for
+            # some checkpoints, and the reference keeps skipping there
+            if st.accumulated < self.thresh:
                 compute = False
             else:
                 compute = True
                 st.accumulated = 0.0
-        # store in bf16: the reference keeps these in model dtype; halves
-        # the resident TeaCache footprint (signal + residual are
-        # activation-sized at video scale)
-        st.previous_modulated = modulated.astype(jnp.bfloat16)
+        # kept in the incoming (model) dtype, as the reference does — a
+        # downcast here would perturb the rel-L1 signal near threshold
+        st.previous_modulated = modulated
         if compute:
             st.computed_steps += 1
         else:
@@ -159,8 +161,9 @@ class TeaCache:
         stream = (self._call_count - 1) % self.cfg_streams
         st = self.states[stream]
         hidden = hidden + st.previous_residual
-        if ctx is not None and st.previous_residual_ctx is not None:
-            ctx = ctx + st.previous_residual_ctx
+        if ctx is not None:
+            if st.previous_residual_ctx is not None:
+                ctx = ctx + st.previous_residual_ctx
             return hidden, ctx
         return hidden
 

@@ -60,6 +60,8 @@ def parse_args(argv=None):
     p.add_argument("--out_dir", type=str, default="./outputs")
     p.add_argument("--scale", type=float, default=1.0,
                    help="model-size scale for random-weight smoke runs")
+    p.add_argument("--profile", type=str, default=None, metavar="LOG_DIR",
+                   help="write a jax.profiler trace of the run to LOG_DIR")
     return p.parse_args(argv)
 
 
@@ -73,6 +75,11 @@ def _random_text(prompt: str, length: int, dim: int, batch: int = 1):
     mask = jnp.zeros((batch, length), bool).at[:, :n].set(True)
     return emb * mask[..., None], mask
 
+
+def _interpret() -> bool:
+    """Pallas kernels need interpret mode off-TPU (CPU dev boxes)."""
+    import jax
+    return jax.default_backend() == "cpu"
 
 def build_hunyuan(args):
     import jax.numpy as jnp
@@ -98,7 +105,7 @@ def build_hunyuan(args):
             p_remain_rates=args.p_remain_rates,
             mode="flash" if args.mode == "torch" else args.mode,
             enable_teacache=args.enable_teacache,
-            rel_l1_thresh=args.teacache_thresh)
+            rel_l1_thresh=args.teacache_thresh, interpret=_interpret())
         return pipe, (text, mask)
     else:
         s = args.scale
@@ -123,7 +130,7 @@ def build_hunyuan(args):
         sa_drop_rate=args.sa_drop_rate, p_remain_rates=args.p_remain_rates,
         mode="flash" if args.mode == "torch" else args.mode,
         enable_teacache=args.enable_teacache,
-        rel_l1_thresh=args.teacache_thresh)
+        rel_l1_thresh=args.teacache_thresh, interpret=_interpret())
     return pipe, (text, mask)
 
 
@@ -159,7 +166,7 @@ def build_wan(args):
             enable_teacache=args.enable_teacache,
             teacache_thresh=args.teacache_thresh,
             use_ret_steps=args.use_ret_steps, vae_stride=vae_stride,
-            is_i2v=is_i2v,
+            is_i2v=is_i2v, interpret=_interpret(),
             warm_last_layers=2 if args.model in ("wan22-t2v", "wan22-i2v")
             else 0,
             scheduler="euler" if is_22 else "unipc")
@@ -194,7 +201,7 @@ def build_cogvideox(args):
         mode="flash" if args.mode == "torch" else args.mode,
         enable_teacache=args.enable_teacache,
         teacache_thresh=args.teacache_thresh,
-        is_i2v=args.model.endswith("i2v"))
+        is_i2v=args.model.endswith("i2v"), interpret=_interpret())
     return pipe, (text, neg)
 
 
@@ -225,7 +232,7 @@ def build_flux(args):
             p_remain_rates=args.p_remain_rates,
             mode="flash" if args.mode == "torch" else args.mode,
             enable_teacache=args.enable_teacache,
-            rel_l1_thresh=args.teacache_thresh)
+            rel_l1_thresh=args.teacache_thresh, interpret=_interpret())
 
     base = mk(args.height // 4, args.width // 4, args.num_steps)
     up = mk(args.height, args.width, args.num_steps)
@@ -241,8 +248,26 @@ def main(argv=None):
         args.teacache_thresh = tea
 
     from ..utils import set_seed
+    from ..utils.timing import profiler_trace
     set_seed(args.seed)
 
+    with profiler_trace(args.profile):
+        latents, pipe = _generate(args)
+
+    os.makedirs(args.out_dir, exist_ok=True)
+    stamp = datetime.fromtimestamp(time.time()).strftime("%m-%d-%H:%M:%S")
+    # elapsed denoise seconds in the filename, as the reference does
+    path = os.path.join(
+        args.out_dir, f"{stamp}_{args.model}_{pipe.denoise_seconds:.0f}s.npy")
+    np.save(path, np.asarray(latents))
+    print(json.dumps({
+        "output": path,
+        "denoise_seconds": round(pipe.denoise_seconds, 2),
+        "teacache": getattr(pipe, "teacache_stats", None),
+    }))
+
+
+def _generate(args):
     if args.model == "hunyuan":
         pipe, inputs = build_hunyuan(args)
         latents = pipe(*inputs, seed=args.seed)
@@ -266,18 +291,7 @@ def main(argv=None):
         pipe = pipe.up   # report the high-res stage's timing
     else:
         raise SystemExit(f"unknown model {args.model}")
-
-    os.makedirs(args.out_dir, exist_ok=True)
-    stamp = datetime.fromtimestamp(time.time()).strftime("%m-%d-%H:%M:%S")
-    # elapsed denoise seconds in the filename, as the reference does
-    path = os.path.join(
-        args.out_dir, f"{stamp}_{args.model}_{pipe.denoise_seconds:.0f}s.npy")
-    np.save(path, np.asarray(latents))
-    print(json.dumps({
-        "output": path,
-        "denoise_seconds": round(pipe.denoise_seconds, 2),
-        "teacache": getattr(pipe, "teacache_stats", None),
-    }))
+    return latents, pipe
 
 
 if __name__ == "__main__":

@@ -95,7 +95,13 @@ def _sparse_attn_kernel(
             pos = jnp.minimum(base + lane, nb - 1)
             block_dma(buf_slot, lane, idx_ref[0, 0, 0, pos]).start()
 
-    start_chunk(0, 0)
+    # Zero-count rows (ring SP shards can own none of a row's blocks) must
+    # not issue prologue DMAs: the fori_loop below never runs, so nothing
+    # would wait them and the scratch semaphores would carry stale
+    # completions into the next grid cell.
+    @pl.when(count > 0)
+    def _():
+        start_chunk(0, 0)
 
     q = q_ref[0].astype(jnp.float32) * sm_scale
     q = q.astype(kv_buf.dtype)
@@ -207,7 +213,10 @@ def _sparse_attn_kernel_paired(
             pos = jnp.minimum(base + lane, nb - 1)
             block_dma(buf_slot, lane, idx_ref[0, 0, 0, pos]).start()
 
-    start_chunk(0, 0)
+    # see _sparse_attn_kernel: no prologue DMA for zero-count rows
+    @pl.when(count > 0)
+    def _():
+        start_chunk(0, 0)
 
     q = q_ref[0].astype(jnp.float32) * sm_scale
     q = q.astype(kv_buf.dtype)

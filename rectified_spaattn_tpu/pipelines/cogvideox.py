@@ -103,17 +103,20 @@ class CogVideoXPipeline:
                 x, ctx, temb, rope = self._embed(self.params, latents, ts,
                                                  text, ofs)
                 if tea.enabled and not tea.should_compute(temb):
-                    x = tea.apply_residual(x)
+                    # the head concatenates ctx with x (norm_final), so the
+                    # encoder residual must be re-applied too (reference:
+                    # main_cogvideox.py:129-143 previous_residual_encoder)
+                    x, ctx = tea.apply_residual(x, ctx)
                 else:
-                    x_in = x
+                    x_in, ctx_in = x, ctx
                     sparse_now = use_sparse and call >= self.sparse_warm_calls
                     x, ctx = self._blocks(self.params, x, ctx, temb, rope,
                                           tlen, sparse_now)
                     if tea.enabled:
-                        tea.record_residual(x_in, x)
+                        tea.record_residual(x_in, x, ctx_in, ctx)
                 outs.append(self._head(self.params, x, ctx, temb))
                 call += 1
-            g = (dynamic_cfg_scale(self.guidance_scale, i, steps)
+            g = (dynamic_cfg_scale(self.guidance_scale, float(t), steps)
                  if self.use_dynamic_cfg else self.guidance_scale)
             v = classifier_free_guidance(outs[0], outs[1], g)
             latents = sched.step(v, latents, i)

@@ -174,15 +174,30 @@ class UniPCScheduler:
         return x_t_ - a_t * hh * corr
 
 
+def _rescale_zero_terminal_snr(alphas_cum: np.ndarray) -> np.ndarray:
+    """Zero-terminal-SNR beta rescale (Lin et al.; diffusers
+    CogVideoXDDIMScheduler.rescale_zero_terminal_snr): shift/scale
+    sqrt(alpha_bar) so the last timestep has alpha_bar exactly 0."""
+    ab_sqrt = np.sqrt(alphas_cum)
+    ab0, abT = ab_sqrt[0], ab_sqrt[-1]
+    ab_sqrt = (ab_sqrt - abT) * ab0 / (ab0 - abT)
+    return ab_sqrt ** 2
+
+
 @dataclasses.dataclass
 class CogVideoXDDIMScheduler:
-    """DDIM (eta=0) over the CogVideoX scaled-linear betas with dynamic CFG
-    handled by the pipeline (reference: main_cogvideox.py:274-288)."""
+    """DDIM (eta=0) over the CogVideoX scaled-linear betas, matching the
+    checkpoint's scheduler config the reference pipeline loads
+    (THUDM/CogVideoX1.5-5B scheduler_config.json: trailing timestep
+    spacing, rescale_betas_zero_snr, set_alpha_to_one, snr_shift_scale 1.0,
+    v_prediction; reference driver: main_cogvideox.py:274-288)."""
     num_steps: int
     num_train_timesteps: int = 1000
     beta_start: float = 0.00085
     beta_end: float = 0.012
     snr_shift_scale: float = 1.0    # CogVideoX 1.5 uses 1.0
+    rescale_betas_zero_snr: bool = True
+    timestep_spacing: str = "trailing"
 
     def __post_init__(self):
         betas = np.linspace(self.beta_start ** 0.5, self.beta_end ** 0.5,
@@ -191,9 +206,17 @@ class CogVideoXDDIMScheduler:
         if self.snr_shift_scale != 1.0:
             alphas_cum = alphas_cum / (
                 self.snr_shift_scale + (1 - self.snr_shift_scale) * alphas_cum)
+        if self.rescale_betas_zero_snr:
+            alphas_cum = _rescale_zero_terminal_snr(alphas_cum)
         self.alphas_cum = alphas_cum
-        step = self.num_train_timesteps // self.num_steps
-        self._timesteps = (np.arange(self.num_steps) * step)[::-1].copy()
+        self.final_alpha_cum = 1.0     # set_alpha_to_one
+        if self.timestep_spacing == "trailing":
+            ratio = self.num_train_timesteps / self.num_steps
+            self._timesteps = np.round(np.arange(
+                self.num_train_timesteps, 0, -ratio)).astype(np.int64) - 1
+        else:  # leading
+            step = self.num_train_timesteps // self.num_steps
+            self._timesteps = (np.arange(self.num_steps) * step)[::-1].copy()
 
     @property
     def timesteps(self) -> np.ndarray:
@@ -203,15 +226,20 @@ class CogVideoXDDIMScheduler:
         t = int(self._timesteps[i])
         prev_t = t - self.num_train_timesteps // self.num_steps
         a_t = self.alphas_cum[t]
-        a_prev = self.alphas_cum[prev_t] if prev_t >= 0 else 1.0
+        a_prev = (self.alphas_cum[prev_t] if prev_t >= 0
+                  else self.final_alpha_cum)
         # v-prediction (CogVideoX): x0 = sqrt(a) x - sqrt(1-a) v
         x0 = (a_t ** 0.5) * sample - ((1 - a_t) ** 0.5) * model_out
         eps = (a_t ** 0.5) * model_out + ((1 - a_t) ** 0.5) * sample
         return (a_prev ** 0.5) * x0 + ((1 - a_prev) ** 0.5) * eps
 
 
-def dynamic_cfg_scale(base_scale: float, step: int, num_steps: int) -> float:
-    """CogVideoX dynamic guidance: 1 + g*(1-cos(pi*(t/T)))/2 ramp
-    (diffusers use_dynamic_cfg)."""
-    return 1.0 + (base_scale - 1.0) * (
-        (1.0 - math.cos(math.pi * ((num_steps - step) / num_steps) ** 5.0)) / 2.0)
+def dynamic_cfg_scale(base_scale: float, timestep: float,
+                      num_steps: int) -> float:
+    """CogVideoX dynamic guidance, replicating diffusers'
+    pipeline_cogvideox.py use_dynamic_cfg expression verbatim — it is
+    keyed on the RAW scheduler timestep (0..999), not the step index:
+    1 + g * (1 - cos(pi * ((steps - t)/steps)^5)) / 2."""
+    return 1.0 + base_scale * (
+        (1.0 - math.cos(math.pi * (
+            (num_steps - float(timestep)) / num_steps) ** 5.0)) / 2.0)

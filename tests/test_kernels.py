@@ -116,6 +116,39 @@ def test_single_block_rows():
     np.testing.assert_allclose(out, want, rtol=2e-4, atol=2e-5)
 
 
+def test_zero_count_rows_produce_zero_output():
+    """Ring SP shards can own NONE of a row's selected blocks: count == 0
+    rows must emit zeros (and issue no DMAs — the TPU path guards the
+    prologue with pl.when(count > 0) so scratch semaphores stay clean)."""
+    b, h, nq, nb, d = 1, 2, 3, 4, 64
+    q, k, v = make_inputs(13, b, h, nq, nb, d)
+    mask = np.zeros((b, h, nq, nb), bool)
+    mask[:, :, 0, :2] = True       # row 0 keeps two blocks, rows 1-2 none
+    out = run_sparse(q, k, v, mask, np.zeros(b), visual_len=nb * BN,
+                     text_start=None)
+    want_row0 = np.asarray(block_sparse_attention_reference(
+        jnp.asarray(q[:, :, :BM]), jnp.asarray(k), jnp.asarray(v),
+        jnp.asarray(mask[:, :, :1]), jnp.ones((b, nb * BN), bool),
+        block_m=BM, block_n=BN))
+    np.testing.assert_allclose(out[:, :, :BM], want_row0, rtol=2e-4,
+                               atol=2e-5)
+    np.testing.assert_array_equal(out[:, :, BM:], 0.0)
+
+
+def test_zero_count_rows_stats_are_mergeable():
+    """return_stats for an empty row must merge as a no-op: l == 0."""
+    b, h, nq, nb, d = 1, 1, 2, 3, 64
+    q, k, v = make_inputs(14, b, h, nq, nb, d)
+    mask = np.zeros((b, h, nq, nb), bool)
+    mask[:, :, 0, 1] = True
+    idx, counts = mask_to_indices(jnp.asarray(mask))
+    _, m, l = block_sparse_flash_attention(
+        jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), idx, counts,
+        jnp.zeros((b,), jnp.int32), visual_len=nb * BN, text_start=None,
+        block_m=BM, block_n=BN, interpret=True, return_stats=True)
+    np.testing.assert_array_equal(np.asarray(l)[:, :, BM:], 0.0)
+
+
 def test_paired_kernel_matches_reference():
     from rectified_spaattn_tpu.kernels import (
         block_sparse_flash_attention_paired)

@@ -64,11 +64,33 @@ def test_ddim_terminal_recovers_x0_for_consistent_v():
                                atol=1e-4)
 
 
-def test_dynamic_cfg_ramps():
-    lo = dynamic_cfg_scale(6.0, 0, 50)
-    hi = dynamic_cfg_scale(6.0, 49, 50)
-    assert 1.0 <= lo <= 6.0 and 1.0 <= hi <= 6.0
-    assert hi < lo  # guidance decays as steps progress (t -> 0)
+def test_cog_ddim_trailing_spacing_and_zero_snr():
+    """Checkpoint scheduler config parity (THUDM/CogVideoX1.5-5B):
+    trailing spacing gives timesteps 999, 979, ..., 19 for 50 steps and
+    zero-SNR rescaling zeroes the terminal alpha_bar."""
+    s = CogVideoXDDIMScheduler(50)
+    ts = s.timesteps
+    assert ts[0] == 999 and ts[-1] == 19 and len(ts) == 50
+    assert np.all(np.diff(ts) == -20)
+    assert s.alphas_cum[-1] == 0.0
+    assert abs(s.alphas_cum[0] - (1 - 0.00085)) < 1e-4
+    # final step walks to prev_t = -1 -> final_alpha_cum = 1 (set_alpha_to_one)
+    assert s.final_alpha_cum == 1.0
+
+
+def test_dynamic_cfg_matches_diffusers_expression():
+    # transliteration of diffusers pipeline_cogvideox.py use_dynamic_cfg:
+    # 1 + g * (1 - cos(pi * ((steps - t)/steps)^5)) / 2, keyed on the RAW
+    # scheduler timestep
+    import math
+
+    def diffusers_expr(g, t, n):
+        return 1 + g * ((1 - math.cos(math.pi * ((n - t) / n) ** 5.0)) / 2)
+
+    for t in (999.0, 499.0, 19.0, 0.0):
+        assert dynamic_cfg_scale(6.0, t, 50) == diffusers_expr(6.0, t, 50)
+    # at the final raw timestep of trailing spacing guidance is near 1
+    assert dynamic_cfg_scale(6.0, 19.0, 50) < dynamic_cfg_scale(6.0, 0.0, 50)
 
 
 def test_flux_mu_shift_monotone_in_seq_len():

@@ -73,3 +73,46 @@ def test_rel_l1_signal_value():
     a = jnp.full((4,), 2.0)
     b = jnp.full((4,), 1.0)
     assert abs(float(rel_l1_signal(a, b)) - 1.0) < 1e-6
+
+
+def test_negative_accumulated_keeps_skipping():
+    """Reference compares the SIGNED accumulated value (main_hunyuan.py:121):
+    rescale polynomials that go negative keep the skip streak alive."""
+    tc = TeaCache(thresh=0.05, num_steps=10, coefficients=[-1.0, 0.0])
+    vals = [1.0, 1.5, 2.0, 2.5, 3.0, 3.5, 4.0, 4.5, 5.0, 5.5]
+    d = [tc.should_compute(sig(v)) for v in vals]
+    # big raw deltas, but the polynomial maps them negative -> accumulated
+    # only grows more negative -> everything inside the window skips
+    assert d[0] is True and d[-1] is True
+    assert d[1:9] == [False] * 8
+
+
+def test_state_keeps_model_dtype():
+    """previous_modulated must stay in the incoming dtype (reference keeps
+    model dtype) so the rel-L1 signal is not perturbed by a downcast."""
+    tc = TeaCache(thresh=0.1, num_steps=6, coefficients="identity")
+    tc.should_compute(sig(1.0).astype(jnp.float32))
+    assert tc.states[0].previous_modulated.dtype == jnp.float32
+    tc2 = TeaCache(thresh=0.1, num_steps=6, coefficients="identity")
+    tc2.should_compute(sig(1.0).astype(jnp.bfloat16))
+    assert tc2.states[0].previous_modulated.dtype == jnp.bfloat16
+
+
+def test_skip_schedule_matches_fp32_state_trace():
+    """For a bf16-model signal trace, storing the state verbatim (model
+    dtype, as the reference does) yields the exact same skip schedule as
+    keeping the state in fp32 — bf16→fp32 upcasting is lossless, so our
+    state handling adds zero deviation."""
+    g = np.random.default_rng(7)
+    base = g.normal(size=(64,)).astype(np.float32)
+    # smooth multiplicative drift like a denoise trajectory
+    trace = [jnp.asarray(
+        base * (1.0 + 0.01 * t + 0.002 * g.normal()), jnp.bfloat16)
+        for t in range(20)]
+    tc_model = TeaCache(thresh=0.08, num_steps=20, coefficients="identity")
+    tc_fp32 = TeaCache(thresh=0.08, num_steps=20, coefficients="identity")
+    sched_model = [tc_model.should_compute(x) for x in trace]
+    sched_fp32 = [tc_fp32.should_compute(x.astype(jnp.float32))
+                  for x in trace]
+    assert sched_model == sched_fp32
+    assert tc_model.states[0].previous_modulated.dtype == jnp.bfloat16
