@@ -25,9 +25,9 @@ import jax
 import jax.numpy as jnp
 
 from ..sparse import SparseConfig, build_sparse_plan
-from ..sparse.ops import pair_rows
+from ..sparse.ops import group_rows
 from ..kernels import (block_sparse_flash_attention,
-                       block_sparse_flash_attention_paired)
+                       block_sparse_flash_attention_grouped)
 
 
 def kv_validity(batch: int, seq_len: int, visual_len: int,
@@ -99,29 +99,33 @@ def rectified_sparse_attention(
     plan = build_sparse_plan(q_vis, k, v, cfg, neighbor_mask=neighbor_mask,
                              text_valid=text_valid)
 
-    if cfg.paired_rows:
-        # Paired-row execution: two query blocks per program over the union
+    if cfg.group_rows > 1:
+        # Grouped-row execution: G query blocks per program over the union
         # of their key sets — wins when adjacent curve blocks select
         # overlapping keys (the kernel is DMA-bound at one row/program).
-        # Odd NQ pads an empty row whose outputs are dropped.
-        row_pad = nq % 2
+        # Non-multiple NQ pads empty rows whose outputs are dropped.
+        gr = cfg.group_rows
+        row_pad = (-nq) % gr
         pmask = plan.block_mask
         q_kern = q_vis
         if row_pad:
-            pmask = jnp.pad(pmask, ((0, 0), (0, 0), (0, 1), (0, 0)))
-            q_kern = jnp.pad(q_vis, ((0, 0), (0, 0), (0, bm), (0, 0)))
-        u_idx, u_counts, rowbits = pair_rows(pmask)
-        sparse_out = block_sparse_flash_attention_paired(
-            q_kern, k, v, u_idx, u_counts, rowbits, tlen,
+            pmask = jnp.pad(pmask, ((0, 0), (0, 0), (0, row_pad), (0, 0)))
+            q_kern = jnp.pad(q_vis,
+                             ((0, 0), (0, 0), (0, row_pad * bm), (0, 0)))
+        u_idx, u_counts, rowbits = group_rows(pmask, gr)
+        sparse_out = block_sparse_flash_attention_grouped(
+            q_kern, k, v, u_idx, u_counts, rowbits, tlen, group=gr,
             visual_len=visual_len, text_start=text_start,
-            block_m=bm, block_n=cfg.block_n, interpret=interpret)
+            block_m=bm, block_n=cfg.block_n,
+            chunk_blocks=cfg.kernel_chunk_blocks, interpret=interpret)
         if row_pad:
             sparse_out = sparse_out[:, :, :sv_pad]
     else:
         sparse_out = block_sparse_flash_attention(
             q_vis, k, v, plan.indices, plan.counts, tlen,
             visual_len=visual_len, text_start=text_start,
-            block_m=bm, block_n=cfg.block_n, interpret=interpret)
+            block_m=bm, block_n=cfg.block_n,
+            chunk_blocks=cfg.kernel_chunk_blocks, interpret=interpret)
 
     # Apply R/comp by broadcast at block granularity (the reference
     # repeat_interleaves to token level, rectified_hunyuan_attn.py:352,357

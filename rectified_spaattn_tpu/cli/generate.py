@@ -62,7 +62,31 @@ def parse_args(argv=None):
                    help="model-size scale for random-weight smoke runs")
     p.add_argument("--profile", type=str, default=None, metavar="LOG_DIR",
                    help="write a jax.profiler trace of the run to LOG_DIR")
+    p.add_argument("--image", type=str, default=None,
+                   help="conditioning image for I2V/TI2V models (png/jpg; "
+                        "npy accepted for headless runs)")
     return p.parse_args(argv)
+
+
+def _load_image(path: str, height: int, width: int):
+    """[1, 3, H, W] float32 in [-1, 1]."""
+    import jax.numpy as jnp
+    if path.endswith(".npy"):
+        arr = np.load(path).astype(np.float32)
+        if arr.ndim == 3:
+            arr = arr[None]
+        if arr.shape[-1] in (3, 4):       # HWC -> CHW
+            arr = arr[..., :3].transpose(0, 3, 1, 2)
+        if arr.max() > 1.5:
+            arr = arr / 127.5 - 1.0
+    else:
+        from PIL import Image
+        img = Image.open(path).convert("RGB").resize((width, height))
+        arr = (np.asarray(img, np.float32) / 127.5 - 1.0)
+        arr = arr.transpose(2, 0, 1)[None]
+    import jax
+    t = jnp.asarray(arr)
+    return jax.image.resize(t, (1, 3, height, width), "linear")
 
 
 def _random_text(prompt: str, length: int, dim: int, batch: int = 1):
@@ -134,6 +158,38 @@ def build_hunyuan(args):
     return pipe, (text, mask)
 
 
+def _demo_vae_encoder(zc, grid, video=True):
+    """Random-weight tiny VAEEncoder closure for checkpoint-less demos:
+    pixels [B,3,(F,)H,W] -> latents [B,zc,*grid]."""
+    import jax
+    import jax.numpy as jnp
+    from ..models import VAEConfig, VAEEncoder
+
+    cfg = VAEConfig.tiny(video=video)
+    cfg = VAEConfig(latent_channels=zc,
+                    block_out_channels=cfg.block_out_channels,
+                    layers_per_block=1,
+                    temporal_upsample=cfg.temporal_upsample,
+                    spatial_upsample=cfg.spatial_upsample,
+                    video=video, mid_attention=False)
+    enc = VAEEncoder(cfg)
+    params = {}
+
+    def encode(video_px):
+        nonlocal params
+        # the tiny encoder downsamples 2x spatial / 2x temporal; resize the
+        # input so its OUTPUT lands exactly on the latent grid
+        b = video_px.shape[0]
+        tgt = (b, video_px.shape[1], 2 * grid[0] - 1,
+               2 * grid[1], 2 * grid[2])
+        px = jax.image.resize(video_px.astype(jnp.float32), tgt, "linear")
+        if not params:
+            params = enc.init(jax.random.PRNGKey(17), px)
+        return enc.apply(params, px)
+
+    return encode
+
+
 def build_wan(args):
     import jax
     import jax.numpy as jnp
@@ -142,12 +198,19 @@ def build_wan(args):
     s = args.scale
     is_22 = args.model.startswith("wan22")
     is_i2v = args.model.endswith("i2v") and args.model != "wan22-ti2v"
+    ti2v_image = args.model == "wan22-ti2v" and args.image is not None
     vae_stride = (4, 32, 32) if args.model == "wan22-ti2v" else (4, 16, 16)
+    latent_ch = 16
     cfg = WanConfig(
+        # I2V transformers take [noise 16 | mask 4 | image latents 16]
+        # (reference: main_wan21i2v.py feeds an in_channels-36 model)
+        in_channels=latent_ch + 4 + latent_ch if is_i2v else latent_ch,
+        out_channels=latent_ch,
         hidden_dim=max(128, int(5120 * s) // 128 * 128),
         heads=max(1, int(40 * s)), num_blocks=max(2, int(40 * s)),
         ffn_dim=max(256, int(13824 * s)), text_dim=512, freq_dim=256,
-        image_cross=is_i2v and not is_22)
+        image_cross=is_i2v and not is_22,
+        per_token_timesteps=ti2v_image)
     model = WanDiT(cfg)
     text, _ = _random_text(args.prompt, 512, cfg.text_dim)
     neg, _ = _random_text("", 512, cfg.text_dim)
@@ -155,8 +218,14 @@ def build_wan(args):
     def make_pipe():
         lat = jnp.zeros((1, cfg.in_channels, 2 * cfg.patch_size[0],
                          8 * cfg.patch_size[1], 8 * cfg.patch_size[2]))
-        params = model.init(jax.random.PRNGKey(0), lat, jnp.array([0.0]),
-                            text)
+        # per-token timesteps: one per TOKEN of the init latents
+        pt_, ph_, pw_ = cfg.patch_size
+        n_tok0 = 2 * 8 * 8            # (2*pt/pt) * (8*ph/ph) * (8*pw/pw)
+        t0 = (jnp.zeros((1, n_tok0)) if cfg.per_token_timesteps
+              else jnp.array([0.0]))
+        img_emb0 = (jnp.zeros((1, 257, cfg.image_dim))
+                    if cfg.image_cross else None)
+        params = model.init(jax.random.PRNGKey(0), lat, t0, text, img_emb0)
         return WanPipeline(
             model=model, params=params, height=args.height,
             width=args.width, frames=args.frame, num_steps=args.num_steps,
@@ -171,9 +240,29 @@ def build_wan(args):
             else 0,
             scheduler="euler" if is_22 else "unipc")
 
+    extra = {}
+    pipe0 = make_pipe()
+    if args.image is not None and (is_i2v or ti2v_image):
+        from ..pipelines.wan import i2v_condition, ti2v_first_frame
+        enc = _demo_vae_encoder(latent_ch, pipe0.grid, video=True)
+        img = _load_image(args.image, args.height, args.width)
+        if ti2v_image:
+            enc1 = _demo_vae_encoder(cfg.in_channels,
+                                     (1, *pipe0.grid[1:]), video=True)
+            extra["first_frame"] = ti2v_first_frame(img, enc1)
+        else:
+            extra["condition"] = i2v_condition(
+                img, args.frame, enc, lt=pipe0.grid[0])
+        if is_i2v and not is_22:
+            # CLIP-vision features for the 2.1 I2V cross branch (random
+            # projection stand-in without a real encoder checkpoint)
+            extra["image_emb"] = jax.random.normal(
+                jax.random.PRNGKey(5), (1, 257, cfg.image_dim))
     if args.model in ("wan22-t2v", "wan22-i2v"):
-        return Wan22A14BPipeline(high=make_pipe(), low=make_pipe()), (text, neg)
-    return make_pipe(), (text, neg)
+        pipe = Wan22A14BPipeline(high=pipe0, low=make_pipe())
+        extra.pop("image_emb", None)
+        return pipe, (text, neg), extra
+    return pipe0, (text, neg), extra
 
 
 def build_cogvideox(args):
@@ -272,16 +361,19 @@ def _generate(args):
         pipe, inputs = build_hunyuan(args)
         latents = pipe(*inputs, seed=args.seed)
     elif args.model.startswith("wan"):
-        pipe, inputs = build_wan(args)
+        pipe, inputs, extra = build_wan(args)
         if hasattr(pipe, "high"):   # A14B dual transformer
             import jax, jax.numpy as jnp
             cfgm = pipe.high.model.cfg
+            cond = extra.get("condition")
+            noise_ch = cfgm.in_channels - (
+                cond.shape[1] if cond is not None else 0)
             rng = jax.random.PRNGKey(args.seed)
             lat = jax.random.normal(
-                rng, (1, cfgm.in_channels, *pipe.high.grid), jnp.float32)
-            latents = pipe.denoise(lat, *inputs)
+                rng, (1, noise_ch, *pipe.high.grid), jnp.float32)
+            latents = pipe.denoise(lat, *inputs, condition=cond)
         else:
-            latents = pipe(*inputs, seed=args.seed)
+            latents = pipe(*inputs, seed=args.seed, **extra)
     elif args.model.startswith("cogvideox"):
         pipe, inputs = build_cogvideox(args)
         latents = pipe(*inputs, seed=args.seed)

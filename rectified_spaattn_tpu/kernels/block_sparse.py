@@ -166,21 +166,22 @@ def _sparse_attn_kernel(
         l_ref[0] = jnp.broadcast_to(l, (bm, 128))
 
 
-def _sparse_attn_kernel_paired(
+def _sparse_attn_kernel_grouped(
     # SMEM inputs
     counts_ref,      # [1, 1, 1, 1]  int32  — union kept-block count
     tlen_ref,        # [1, 1, 1]     int32
     idx_ref,         # [1, 1, 1, NB] int32  — union block indices
-    rowbits_ref,     # [1, 1, 1, NB] int32  — bit0: even row, bit1: odd row
+    rowbits_ref,     # [1, 1, 1, NB] int32  — bit r set: row r's planned set
     # VMEM / HBM inputs
-    q_ref,           # [1, 2*bm, D]  VMEM — two query blocks
+    q_ref,           # [1, G*bm, D]  VMEM — G query blocks
     kv_hbm,          # [BH, S, 2*D]  ANY
     # outputs
-    o_ref,           # [1, 2*bm, D]  VMEM
+    o_ref,           # [1, G*bm, D]  VMEM
     # scratch
-    kv_buf,          # [2, G, bn, 2*D] VMEM
+    kv_buf,          # [2, g, bn, 2*D] VMEM
     sems,
     *,
+    group: int,
     block_m: int,
     block_n: int,
     chunk_blocks: int,
@@ -188,17 +189,21 @@ def _sparse_attn_kernel_paired(
     visual_len: int,
     text_start: int | None,
 ):
-    """Two query-block rows per program over the UNION of their planned key
-    sets; per-row membership is re-imposed on the score tile, so the
-    executed mask equals the planned mask exactly.  Halves HBM traffic per
-    MXU flop vs one row per program (the kernel is DMA-bound there)."""
+    """``group`` query-block rows per program over the UNION of their
+    planned key sets; per-row membership is re-imposed on the score tile,
+    so the executed mask equals the planned mask exactly.  The kernel is
+    DMA-bound at one row per program — adjacent Gilbert rows select
+    heavily overlapping key sets (shared neighborhoods, forced text,
+    correlated top-p picks), so fetching the union once divides HBM
+    traffic by ~group/union_growth while the extra MXU work rides idle
+    compute."""
     bh = pl.program_id(0)
     count = counts_ref[0, 0, 0, 0]
     tlen = tlen_ref[0, 0, 0]
     d = q_ref.shape[2]
     g = chunk_blocks
     nb = idx_ref.shape[-1]
-    rows = 2 * block_m
+    rows = group * block_m
     num_chunks = (count + g - 1) // g
 
     def block_dma(buf_slot, lane, block_idx):
@@ -220,8 +225,11 @@ def _sparse_attn_kernel_paired(
 
     q = q_ref[0].astype(jnp.float32) * sm_scale
     q = q.astype(kv_buf.dtype)
-    row_is_even = jax.lax.broadcasted_iota(
-        jnp.int32, (rows, 1), 0) < block_m
+    # per-row membership bit, static by construction (row r -> 1 << (r//bm));
+    # built by concatenation because a traced shift hits Mosaic limits
+    need_bit = jnp.concatenate(
+        [jnp.full((block_m, 1), 1 << r, jnp.int32) for r in range(group)],
+        axis=0)                                             # [rows, 1]
 
     init = (
         jnp.full((rows, 1), -jnp.inf, jnp.float32),
@@ -266,7 +274,6 @@ def _sparse_attn_kernel_paired(
             ((cols >= text_start) & (cols < text_start + tlen)))
         # per-row planned-set membership via integer bit test (bool select
         # with broadcast hits a Mosaic truncation limitation)
-        need_bit = jnp.where(row_is_even, 1, 2)             # [rows, 1] i32
         row_valid = (bits_vec & need_bit) > 0               # [rows, g*bn]
         s = jnp.where(valid_tok & row_valid, s, MASK_VALUE)
 
@@ -286,17 +293,19 @@ def _sparse_attn_kernel_paired(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("block_m", "block_n", "sm_scale", "visual_len",
-                     "text_start", "chunk_blocks", "interpret"))
-def block_sparse_flash_attention_paired(
-    q: jax.Array,          # [B, H, Sq, D]  (Sq % (2*block_m) == 0)
+    static_argnames=("group", "block_m", "block_n", "sm_scale",
+                     "visual_len", "text_start", "chunk_blocks",
+                     "interpret"))
+def block_sparse_flash_attention_grouped(
+    q: jax.Array,          # [B, H, Sq, D]  (Sq % (group*block_m) == 0)
     k: jax.Array,
     v: jax.Array,
-    indices: jax.Array,    # [B, H, NQ/2, NB] union block ids
-    counts: jax.Array,     # [B, H, NQ/2]
-    rowbits: jax.Array,    # [B, H, NQ/2, NB] int32 membership bits
+    indices: jax.Array,    # [B, H, NQ/G, NB] union block ids
+    counts: jax.Array,     # [B, H, NQ/G]
+    rowbits: jax.Array,    # [B, H, NQ/G, NB] int32 membership bits
     text_len: jax.Array,   # [B] int32
     *,
+    group: int,
     visual_len: int,
     text_start: int | None,
     block_m: int = 128,
@@ -305,25 +314,27 @@ def block_sparse_flash_attention_paired(
     sm_scale: float | None = None,
     interpret: bool = False,
 ) -> jax.Array:
-    """Paired-row variant: see sparse/ops.py::pair_rows."""
+    """Grouped-row variant: see sparse/ops.py::group_rows."""
     b, h, sq, d = q.shape
     s = k.shape[2]
-    npair = indices.shape[2]
+    ngrp = indices.shape[2]
     nb = indices.shape[-1]
-    assert sq == npair * 2 * block_m, (sq, npair, block_m)
+    assert sq == ngrp * group * block_m, (sq, ngrp, group, block_m)
+    assert 1 <= group <= 32, group    # rowbits is int32
     if sm_scale is None:
         sm_scale = 1.0 / math.sqrt(d)
 
     bh = b * h
     qf = q.reshape(bh, sq, d)
     kv = jnp.concatenate([k.reshape(bh, s, d), v.reshape(bh, s, d)], axis=2)
-    idx_f = indices.reshape(bh, npair, 1, nb)
-    bits_f = rowbits.reshape(bh, npair, 1, nb)
-    counts_f = counts.reshape(bh, npair, 1, 1)
+    idx_f = indices.reshape(bh, ngrp, 1, nb)
+    bits_f = rowbits.reshape(bh, ngrp, 1, nb)
+    counts_f = counts.reshape(bh, ngrp, 1, 1)
     tlen_f = jnp.repeat(text_len.astype(jnp.int32), h).reshape(bh, 1, 1)
 
     kernel = functools.partial(
-        _sparse_attn_kernel_paired,
+        _sparse_attn_kernel_grouped,
+        group=group,
         block_m=block_m,
         block_n=block_n,
         chunk_blocks=chunk_blocks,
@@ -332,10 +343,11 @@ def block_sparse_flash_attention_paired(
         text_start=text_start,
     )
 
+    rows = group * block_m
     out = pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((bh, sq, d), q.dtype),
-        grid=(bh, npair),
+        grid=(bh, ngrp),
         in_specs=[
             pl.BlockSpec((1, 1, 1, 1), lambda i, j: (i, j, 0, 0),
                          memory_space=pltpu.SMEM),            # counts
@@ -345,11 +357,11 @@ def block_sparse_flash_attention_paired(
                          memory_space=pltpu.SMEM),            # indices
             pl.BlockSpec((1, 1, 1, nb), lambda i, j: (i, j, 0, 0),
                          memory_space=pltpu.SMEM),            # rowbits
-            pl.BlockSpec((1, 2 * block_m, d), lambda i, j: (i, j, 0),
-                         memory_space=pltpu.VMEM),            # q (2 rows)
+            pl.BlockSpec((1, rows, d), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),            # q (G rows)
             pl.BlockSpec(memory_space=pl.ANY),                # packed KV
         ],
-        out_specs=pl.BlockSpec((1, 2 * block_m, d), lambda i, j: (i, j, 0),
+        out_specs=pl.BlockSpec((1, rows, d), lambda i, j: (i, j, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
             pltpu.VMEM((2, chunk_blocks, block_n, 2 * d), k.dtype),
@@ -361,6 +373,14 @@ def block_sparse_flash_attention_paired(
         interpret=interpret,
     )(counts_f, tlen_f, idx_f, bits_f, qf, kv)
     return out.reshape(b, h, sq, d)
+
+
+def block_sparse_flash_attention_paired(q, k, v, indices, counts, rowbits,
+                                        text_len, **kw):
+    """Two rows per program — the group=2 special case (kept as the name
+    the round-1 API exported)."""
+    return block_sparse_flash_attention_grouped(
+        q, k, v, indices, counts, rowbits, text_len, group=2, **kw)
 
 
 @functools.partial(

@@ -2,7 +2,7 @@ from .hunyuan import HunyuanVideoConfig, HunyuanVideoDiT
 from .wan import WanConfig, WanDiT
 from .flux import FluxConfig, FluxDiT
 from .cogvideox import CogVideoXConfig, CogVideoXDiT
-from .vae import VAEConfig, VAEDecoder, tiled_decode
+from .vae import VAEConfig, VAEDecoder, VAEEncoder, tiled_decode
 from .encoders import HashEncoder, TransformersTextEncoder, make_text_encoder
 from . import layers, weights
 
@@ -11,7 +11,7 @@ __all__ = [
     "WanConfig", "WanDiT",
     "FluxConfig", "FluxDiT",
     "CogVideoXConfig", "CogVideoXDiT",
-    "VAEConfig", "VAEDecoder", "tiled_decode",
+    "VAEConfig", "VAEDecoder", "VAEEncoder", "tiled_decode",
     "HashEncoder", "TransformersTextEncoder", "make_text_encoder",
     "layers", "weights",
 ]

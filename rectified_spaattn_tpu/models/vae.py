@@ -33,13 +33,42 @@ class VAEConfig:
     spatial_upsample: tuple = (True, True, True, False)
     causal: bool = True            # causal temporal convs (video VAEs)
     video: bool = True             # 5-D [B,C,T,H,W] vs 4-D [B,C,H,W]
+    mid_attention: bool = True     # spatial self-attn in the mid block
+                                   # (every diffusers family in scope has it)
     scaling_factor: float = 0.476986
+    # per-channel latent normalisation (AutoencoderKLWan latents_mean/std;
+    # None = scalar scaling_factor only)
+    latents_mean: tuple | None = None
+    latents_std: tuple | None = None
 
     @classmethod
-    def tiny(cls, video=True):
+    def tiny(cls, video=True, **kw):
+        kw.setdefault("mid_attention", False)
         return cls(latent_channels=4, block_out_channels=(8, 16),
                    layers_per_block=1, temporal_upsample=(True, False),
-                   spatial_upsample=(True, False), video=video)
+                   spatial_upsample=(True, False), video=video, **kw)
+
+
+def normalize_latents(z, cfg: VAEConfig):
+    """Raw encoder output → model latent space (diffusers: subtract
+    latents_mean, multiply by 1/latents_std, or multiply scaling_factor)."""
+    if cfg.latents_mean is not None:
+        mean = jnp.asarray(cfg.latents_mean).reshape(
+            1, -1, *([1] * (z.ndim - 2)))
+        std = jnp.asarray(cfg.latents_std).reshape(
+            1, -1, *([1] * (z.ndim - 2)))
+        return (z - mean) / std
+    return z * cfg.scaling_factor
+
+
+def denormalize_latents(z, cfg: VAEConfig):
+    if cfg.latents_mean is not None:
+        mean = jnp.asarray(cfg.latents_mean).reshape(
+            1, -1, *([1] * (z.ndim - 2)))
+        std = jnp.asarray(cfg.latents_std).reshape(
+            1, -1, *([1] * (z.ndim - 2)))
+        return z * std + mean
+    return z / cfg.scaling_factor
 
 
 class CausalConv3d(nn.Module):
@@ -85,6 +114,29 @@ class ResnetBlock(nn.Module):
                        name=name)
 
 
+class MidAttention(nn.Module):
+    """Single-head spatial self-attention over each frame — the diffusers
+    mid-block Attention every VAE family in scope carries
+    (AutoencoderKL / KLHunyuanVideo / KLWan mid_block.attentions[0])."""
+    features: int
+
+    @nn.compact
+    def __call__(self, x):              # [..., H, W, C] (frames batched)
+        lead = x.shape[:-3]
+        hh, ww, cc = x.shape[-3:]
+        h = nn.GroupNorm(num_groups=min(32, cc), name="group_norm")(x)
+        h = h.reshape(*lead, hh * ww, cc)
+        q = nn.Dense(self.features, name="to_q")(h)
+        k = nn.Dense(self.features, name="to_k")(h)
+        v = nn.Dense(self.features, name="to_v")(h)
+        a = jax.nn.softmax(
+            jnp.einsum("...qc,...kc->...qk", q, k) * (self.features ** -0.5),
+            axis=-1)
+        o = jnp.einsum("...qk,...kc->...qc", a, v)
+        o = nn.Dense(self.features, name="to_out")(o)
+        return x + o.reshape(*lead, hh, ww, cc)
+
+
 class VAEDecoder(nn.Module):
     cfg: VAEConfig
 
@@ -93,7 +145,7 @@ class VAEDecoder(nn.Module):
         """latents: [B, C, T, H, W] (video) or [B, C, H, W] (image) →
         pixels in [-1, 1] with the configured up-sampling factors."""
         c = self.cfg
-        x = latents / c.scaling_factor
+        x = denormalize_latents(latents, c)
         # channels-last internally
         x = jnp.moveaxis(x, 1, -1)
         ch = list(reversed(c.block_out_channels))
@@ -104,6 +156,8 @@ class VAEDecoder(nn.Module):
 
         x = conv(ch[0], "conv_in")(x)
         x = ResnetBlock(ch[0], c.video, c.causal, name="mid_res1")(x)
+        if c.mid_attention:
+            x = MidAttention(ch[0], name="mid_attn")(x)
         x = ResnetBlock(ch[0], c.video, c.causal, name="mid_res2")(x)
 
         for i, f in enumerate(ch):
@@ -128,6 +182,74 @@ class VAEDecoder(nn.Module):
         x = nn.silu(x)
         x = conv(c.out_channels, "conv_out")(x)
         return jnp.moveaxis(x, -1, 1)
+
+
+class Downsample(nn.Module):
+    """Stride-2 conv downsample; causal temporal stride maps T=2t-1 -> t
+    (the exact inverse of the decoder's causal repeat-and-trim)."""
+    features: int
+    video: bool
+    causal: bool
+    t_down: bool
+    s_down: bool
+
+    @nn.compact
+    def __call__(self, x):
+        if self.video:
+            st = 2 if self.t_down else 1
+            ss = 2 if self.s_down else 1
+            pad_t = (2, 0) if (self.t_down and self.causal) else (1, 1)
+            x = jnp.pad(x, ((0, 0), pad_t if self.t_down else (1, 1),
+                            (1, 1), (1, 1), (0, 0)),
+                        mode="edge" if self.causal else "constant")
+            return nn.Conv(self.features, (3, 3, 3), strides=(st, ss, ss),
+                           padding="VALID", name="conv")(x)
+        x = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
+        return nn.Conv(self.features, (3, 3), strides=(2, 2),
+                       padding="VALID", name="conv")(x)
+
+
+class VAEEncoder(nn.Module):
+    """Pixel → latent encoder, mirror of VAEDecoder (the conditioning spine
+    for every image-to-video path: the reference pipelines call
+    ``vae.encode(video_condition)`` — diffusers WanImageToVideoPipeline /
+    CogVideoXImageToVideoPipeline; driver: main_wan21i2v.py:230-248)."""
+    cfg: VAEConfig
+
+    @nn.compact
+    def __call__(self, pixels):
+        """pixels: [B, C, T, H, W] (video) or [B, C, H, W] in [-1, 1] →
+        NORMALISED latents [B, latent_C, t, h, w] (distribution mode)."""
+        c = self.cfg
+        x = jnp.moveaxis(pixels, 1, -1)
+        ch = list(c.block_out_channels)
+        n = len(ch)
+        conv = (lambda f, name: CausalConv3d(f, causal=c.causal, name=name)
+                ) if c.video else (
+                lambda f, name: nn.Conv(f, (3, 3), padding="SAME", name=name))
+
+        x = conv(ch[0], "conv_in")(x)
+        for i, f in enumerate(ch):
+            for j in range(c.layers_per_block):
+                x = ResnetBlock(f, c.video, c.causal,
+                                name=f"down{i}_res{j}")(x)
+            # mirror the decoder: up-block (n-1-i) upsamples these flags
+            s_dn = c.spatial_upsample[n - 1 - i]
+            t_dn = c.video and c.temporal_upsample[n - 1 - i]
+            if s_dn or t_dn:
+                x = Downsample(f, c.video, c.causal, t_dn, s_dn,
+                               name=f"down{i}_down")(x)
+
+        x = ResnetBlock(ch[-1], c.video, c.causal, name="mid_res1")(x)
+        if c.mid_attention:
+            x = MidAttention(ch[-1], name="mid_attn")(x)
+        x = ResnetBlock(ch[-1], c.video, c.causal, name="mid_res2")(x)
+
+        x = nn.GroupNorm(num_groups=min(32, x.shape[-1]), name="norm_out")(x)
+        x = nn.silu(x)
+        x = conv(2 * c.latent_channels, "conv_out")(x)
+        mean = jnp.moveaxis(x, -1, 1)[:, :c.latent_channels]
+        return normalize_latents(mean, c)
 
 
 def tiled_decode(decoder_apply, latents, tile: int = 32, overlap: int = 4):

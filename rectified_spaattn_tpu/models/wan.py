@@ -47,7 +47,9 @@ class WanConfig:
     @classmethod
     def tiny(cls, **kw):
         kw.setdefault("image_dim", 16)
-        return cls(in_channels=4, out_channels=4, hidden_dim=64, heads=2,
+        kw.setdefault("in_channels", 4)
+        kw.setdefault("out_channels", 4)
+        return cls(hidden_dim=64, heads=2,
                    head_dim=32, num_blocks=2, ffn_dim=128, text_dim=32,
                    freq_dim=32, rope_axes_dim=(12, 10, 10), **kw)
 

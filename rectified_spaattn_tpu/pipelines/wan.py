@@ -29,6 +29,46 @@ from .base import build_site, classifier_free_guidance
 from .schedulers import UniPCScheduler, FlowMatchEulerScheduler
 
 
+def i2v_condition(image, frames: int, vae_encode, lt: int,
+                  temporal_stride: int = 4):
+    """Wan I2V conditioning channels (diffusers WanImageToVideoPipeline
+    prepare_latents; reference driver main_wan21i2v.py:230-248 feeds the
+    resulting in_channels-36 transformer).
+
+    The conditioning image is VAE-encoded as a video whose first frame is
+    the image and the rest zeros; a 4-channel mask marks the first latent
+    frame.  Returns [B, 4 + Cz, lt, lh, lw] to concatenate onto the noise
+    channels every denoise call.
+
+    Args:
+      image: [B, 3, H, W] pixels in [-1, 1].
+      frames: pixel-frame count F (lt = (F + 3) // temporal_stride).
+      vae_encode: pixels [B,3,F,H,W] -> normalised latents [B,Cz,lt,lh,lw].
+    """
+    b = image.shape[0]
+    video = jnp.concatenate(
+        [image[:, :, None],
+         jnp.zeros((b, image.shape[1], frames - 1, *image.shape[2:]),
+                   image.dtype)], axis=2)
+    z = vae_encode(video)
+    assert z.shape[2] == lt, (z.shape, lt)
+    # 4-channel mask: ones on the first latent frame (temporal_stride
+    # pixel-frame flags folded into channels), zeros after
+    mask = jnp.zeros((b, temporal_stride, lt, *z.shape[3:]), z.dtype)
+    mask = mask.at[:, :, 0].set(1.0)
+    return jnp.concatenate([mask, z], axis=1)
+
+
+def ti2v_first_frame(image, vae_encode):
+    """Wan2.2 TI2V-5B image mode: the encoded image becomes the FIRST
+    latent frame, which is held fixed during denoising while its tokens
+    get per-token timestep 0 (diffusers WanImageToVideoPipeline
+    expand_timesteps branch for the 5B checkpoint).
+
+    Returns [B, Cz, 1, lh, lw]."""
+    return vae_encode(image[:, :, None])
+
+
 @dataclasses.dataclass
 class WanPipeline:
     """Wan2.1 T2V/I2V and Wan2.2 TI2V-5B (single transformer)."""
@@ -128,9 +168,16 @@ class WanPipeline:
         return FlowMatchEulerScheduler(steps, shift=self.flow_shift)
 
     def denoise(self, latents, text_cond, text_uncond, image_emb=None,
+                condition=None, first_frame=None,
                 num_steps: Optional[int] = None):
         """CFG loop: cond (even) and uncond (odd) calls per step with
-        dual-stream TeaCache, matching the reference call pattern."""
+        dual-stream TeaCache, matching the reference call pattern.
+
+        ``condition``: I2V channels from :func:`i2v_condition`, concatenated
+        onto the noise channels every call (in_channels-36 models).
+        ``first_frame``: TI2V image mode — the first latent frame is held
+        at this value and its tokens denoise at timestep 0 (requires
+        ``cfg.per_token_timesteps``)."""
         steps = num_steps or self.num_steps
         sched = self._scheduler(steps)
         use_sparse = self.mode == "sparse"
@@ -142,15 +189,33 @@ class WanPipeline:
                           else steps * 2 - 2),
             cfg_streams=2)
 
+        b = latents.shape[0]
+        ff_tokens = 0
+        if first_frame is not None:
+            assert self.model.cfg.per_token_timesteps, \
+                "TI2V image mode needs per_token_timesteps"
+            latents = latents.at[:, :, :1].set(first_frame)
+            # linear token order: latent frame 0 occupies the first
+            # lh*lw // (ph*pw) tokens (patch_size[0] == 1 for Wan)
+            ph, pw = self.model.cfg.patch_size[1:]
+            ff_tokens = (self.grid[1] // ph) * (self.grid[2] // pw)
+            n_tok = ff_tokens * self.lt
+
         device_sync()
         t0 = time.perf_counter()
         call = 0
         for i, t in enumerate(sched.timesteps):
-            ts = jnp.full((latents.shape[0],), float(t))
+            if first_frame is not None:
+                ts = jnp.full((b, n_tok), float(t))
+                ts = ts.at[:, :ff_tokens].set(0.0)
+            else:
+                ts = jnp.full((b,), float(t))
+            model_in = (latents if condition is None
+                        else jnp.concatenate([latents, condition], axis=1))
             outs = []
             for text in (text_cond, text_uncond):
                 x, ctx, ctx_img, temb, temb6, rope = self._embed(
-                    self.params, latents, ts, text, image_emb)
+                    self.params, model_in, ts, text, image_emb)
                 # reference: timestep_proj if use_ret_steps else temb
                 # (main_wan21t2v.py:103)
                 sig = temb6 if self.use_ret_steps else temb
@@ -169,20 +234,25 @@ class WanPipeline:
             v = classifier_free_guidance(outs[0], outs[1],
                                          self.guidance_scale)
             latents = sched.step(v, latents, i)
+            if first_frame is not None:
+                latents = latents.at[:, :, :1].set(first_frame)
         device_sync(latents)
         self.denoise_seconds = time.perf_counter() - t0
         self.teacache_stats = tea.stats()
         return latents
 
     def __call__(self, text_cond, text_uncond, image_emb=None,
+                 condition=None, first_frame=None,
                  seed: int = 42, num_steps: Optional[int] = None):
         cfg = self.model.cfg
         rng = jax.random.PRNGKey(seed)
         b = text_cond.shape[0]
+        noise_ch = cfg.in_channels - (
+            condition.shape[1] if condition is not None else 0)
         latents = jax.random.normal(
-            rng, (b, cfg.in_channels, *self.grid), jnp.float32)
+            rng, (b, noise_ch, *self.grid), jnp.float32)
         latents = self.denoise(latents, text_cond, text_uncond, image_emb,
-                               num_steps)
+                               condition, first_frame, num_steps)
         if self.vae_decode is not None:
             return self.vae_decode(latents)
         return latents
@@ -205,8 +275,12 @@ class Wan22A14BPipeline:
     boundary_ratio: float = 0.875
     num_train_timesteps: int = 1000
 
-    def denoise(self, latents, text_cond, text_uncond,
+    def denoise(self, latents, text_cond, text_uncond, condition=None,
                 num_steps: Optional[int] = None):
+        """``condition``: I2V-A14B conditioning channels (i2v_condition) —
+        the A14B I2V transformer is in_channels-36 with NO CLIP image
+        branch (reference: scripts/main_wan22i2v.py uses
+        WanImageToVideoPipeline on Wan2.2-I2V-A14B)."""
         steps = num_steps or self.high.num_steps
         sched = self.high._scheduler(steps)
         boundary = self.boundary_ratio * self.num_train_timesteps
@@ -232,10 +306,12 @@ class Wan22A14BPipeline:
             tea = tea_h if is_high else tea_l
             use_sparse = use_sparse_h if is_high else use_sparse_l
             ts = jnp.full((latents.shape[0],), float(t))
+            model_in = (latents if condition is None
+                        else jnp.concatenate([latents, condition], axis=1))
             outs = []
             for text in (text_cond, text_uncond):
                 x, ctx, ctx_img, temb, temb6, rope = pipe._embed(
-                    pipe.params, latents, ts, text, None)
+                    pipe.params, model_in, ts, text, None)
                 if tea.enabled and not tea.should_compute(temb):
                     x = tea.apply_residual(x)
                 else:

@@ -38,12 +38,17 @@ class SparseConfig:
     layout: str = "joint"
     text_len: int = 0
     first_frame_blocks: int = 0
-    # Execute TWO query blocks per kernel program over the union of their
-    # key sets (kernels/block_sparse.py::block_sparse_flash_attention_paired).
-    # Wins when adjacent curve blocks select overlapping keys (real model
-    # data: smooth pooled attention + shared neighborhoods); loses on
-    # uncorrelated masks, so off by default.
-    paired_rows: bool = False
+    # Execute ``group_rows`` query blocks per kernel program over the UNION
+    # of their key sets (kernels/block_sparse.py::
+    # block_sparse_flash_attention_grouped).  Wins when adjacent curve
+    # blocks select overlapping keys (real model data: smooth pooled
+    # attention + shared neighborhoods + forced text columns) because the
+    # kernel is HBM-bound; 1 disables grouping.
+    group_rows: int = 1
+    # KV blocks per online-softmax chunk inside the kernel (VMEM budget:
+    # the fp32 score tile is group_rows*128 x chunk_blocks*128).  0 picks
+    # a VMEM-safe default per group size.
+    chunk_blocks: int = 0
 
     def __post_init__(self):
         if self.layout not in ("joint", "visual"):
@@ -52,6 +57,16 @@ class SparseConfig:
             raise ValueError("text_len must be padded to a multiple of block_n")
         if self.block_m != self.block_n:
             raise ValueError("block_m != block_n is not supported")
+        if not 1 <= self.group_rows <= 32:
+            raise ValueError("group_rows must be in [1, 32]")
+
+    @property
+    def kernel_chunk_blocks(self) -> int:
+        if self.chunk_blocks:
+            return self.chunk_blocks
+        # measured: 16 optimal at group<=4; the fp32 score tile caps
+        # larger groups (group*128 x chunk*128 x 4B must stay << VMEM)
+        return 16 if self.group_rows <= 4 else max(2, 64 // self.group_rows)
 
     @property
     def text_blocks(self) -> int:

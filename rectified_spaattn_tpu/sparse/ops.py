@@ -160,28 +160,37 @@ def mask_to_indices(mask: jax.Array):
     return jnp.minimum(indices, nb - 1), counts
 
 
-def pair_rows(mask: jax.Array):
-    """Pair adjacent query-block rows for the 2-rows-per-program kernel.
+def group_rows(mask: jax.Array, group: int):
+    """Group ``group`` adjacent query-block rows for the
+    G-rows-per-program kernel.
 
     Adjacent Gilbert-curve query blocks select highly overlapping key sets
-    (shared 26-neighborhoods + correlated top-p picks), so iterating the
-    UNION once with per-row predication halves HBM traffic per MXU flop —
-    the kernel is DMA-bound at one row per program.
+    (shared 26-neighborhoods, forced text columns, correlated top-p
+    picks), so iterating the UNION once with per-row predication divides
+    HBM traffic by ~group/union_growth — the kernel is DMA-bound at one
+    row per program.
 
-    mask: [B, H, NQ, NB] bool (NQ even).
-    Returns (indices [B,H,NQ/2,NB], counts [B,H,NQ/2], rowbits
-    [B,H,NQ/2,NB] int32) where rowbits bit0/bit1 say whether the gathered
-    block belongs to the even/odd row's planned set.
+    mask: [B, H, NQ, NB] bool (NQ % group == 0).
+    Returns (indices [B,H,NQ/G,NB], counts [B,H,NQ/G], rowbits
+    [B,H,NQ/G,NB] int32) where rowbits bit r says whether the gathered
+    block belongs to row r's planned set (r = 0..group-1 within the
+    group).
     """
     b, h, nq, nb = mask.shape
-    assert nq % 2 == 0, nq
-    m_even = mask[..., 0::2, :]
-    m_odd = mask[..., 1::2, :]
-    union = m_even | m_odd
+    assert nq % group == 0, (nq, group)
+    assert 1 <= group <= 32, group
+    mg = mask.reshape(b, h, nq // group, group, nb)
+    union = jnp.any(mg, axis=-2)
     indices, counts = mask_to_indices(union)
-    bits = m_even.astype(jnp.int32) + 2 * m_odd.astype(jnp.int32)
+    weights = (1 << jnp.arange(group, dtype=jnp.int32))[:, None]
+    bits = jnp.sum(mg.astype(jnp.int32) * weights, axis=-2)
     rowbits = jnp.take_along_axis(bits, indices, axis=-1)
     return indices, counts, rowbits
+
+
+def pair_rows(mask: jax.Array):
+    """group_rows with group=2 (the round-1 name)."""
+    return group_rows(mask, 2)
 
 
 def rectification(probs: jax.Array, partial_mask: jax.Array,

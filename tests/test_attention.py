@@ -88,6 +88,29 @@ def test_visual_layout_end_to_end():
     np.testing.assert_allclose(got, want, rtol=2e-3, atol=2e-3)
 
 
+def test_grouped_rows_equals_ungrouped():
+    """cfg.group_rows is a pure execution-strategy knob: outputs must be
+    identical to the one-row-per-program kernel (the executed mask always
+    equals the planned mask).  nq=3 with group 4 also exercises the
+    empty-row padding path."""
+    b, h, d = 1, 2, 64
+    nq, text_blocks = 3, 1
+    s = nq * BM + text_blocks * BM
+    q, k, v = make(5, b, h, s, d)
+    neighbors = np.eye(nq, dtype=bool)
+    tlen = jnp.asarray(np.array([77]), jnp.int32)
+    outs = {}
+    for gr in (1, 2, 4):
+        cfg = SparseConfig(top_k_floor=1, p_remain=0.3, layout="joint",
+                           text_len=text_blocks * BM, group_rows=gr)
+        outs[gr] = np.asarray(rectified_sparse_attention(
+            jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), cfg,
+            jnp.asarray(neighbors), visual_len=nq * BM,
+            text_len_rt=tlen, interpret=True))
+    np.testing.assert_allclose(outs[2], outs[1], rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(outs[4], outs[1], rtol=2e-5, atol=2e-5)
+
+
 def test_dense_modes_dispatch():
     b, h, s, d = 1, 2, 256, 64
     q, k, v = make(2, b, h, s, d)

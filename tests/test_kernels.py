@@ -174,6 +174,54 @@ def test_paired_kernel_matches_reference():
     np.testing.assert_allclose(out, want, rtol=2e-4, atol=2e-5)
 
 
+def test_grouped_kernel_matches_reference():
+    from rectified_spaattn_tpu.kernels import (
+        block_sparse_flash_attention_grouped)
+    from rectified_spaattn_tpu.sparse.ops import group_rows
+
+    b, h, nq, nb, d = 1, 2, 8, 6, 64
+    q, k, v = make_inputs(21, b, h, nq, nb, d)
+    g = np.random.default_rng(22)
+    mask = g.uniform(size=(b, h, nq, nb)) < 0.4
+    mask[..., 0] = True
+    visual_len = nb * BN - 50
+    for grp in (2, 4, 8):
+        idx, counts, rowbits = group_rows(jnp.asarray(mask), grp)
+        out = np.asarray(block_sparse_flash_attention_grouped(
+            jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), idx, counts,
+            rowbits, jnp.zeros((b,), jnp.int32), group=grp,
+            visual_len=visual_len, text_start=None, block_m=BM, block_n=BN,
+            interpret=True))
+        kv_valid = np.zeros((b, nb * BN), bool)
+        kv_valid[:, :visual_len] = True
+        want = np.asarray(block_sparse_attention_reference(
+            jnp.asarray(q), jnp.asarray(k), jnp.asarray(v),
+            jnp.asarray(mask), jnp.asarray(kv_valid), block_m=BM,
+            block_n=BN))
+        np.testing.assert_allclose(out, want, rtol=2e-4, atol=2e-5,
+                                   err_msg=f"group={grp}")
+
+
+def test_group_rows_membership_bits():
+    from rectified_spaattn_tpu.sparse.ops import group_rows
+    g = np.random.default_rng(23)
+    mask = g.uniform(size=(1, 1, 8, 9)) < 0.4
+    mask[..., 0] = True
+    idx, counts, rowbits = map(
+        np.asarray, group_rows(jnp.asarray(mask), 4))
+    for p in range(2):
+        rows = mask[0, 0, 4 * p: 4 * p + 4]
+        union = np.where(rows.any(axis=0))[0]
+        n = counts[0, 0, p]
+        assert n == len(union)
+        np.testing.assert_array_equal(idx[0, 0, p, :n], union)
+        for s_ in range(n):
+            col = idx[0, 0, p, s_]
+            for r in range(4):
+                assert bool(rowbits[0, 0, p, s_] & (1 << r)) == bool(
+                    rows[r, col])
+
+
 def test_pair_rows_membership():
     from rectified_spaattn_tpu.sparse.ops import pair_rows
     import jax.numpy as jnp

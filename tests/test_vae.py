@@ -40,3 +40,57 @@ def test_tiled_decode_matches_full_for_linear_decoder():
     full = dec(lat)
     tiled = tiled_decode(dec, lat, tile=16, overlap=4)
     np.testing.assert_allclose(tiled, full, rtol=1e-6)
+
+
+def test_encoder_decoder_roundtrip_shapes():
+    """encode(decode-shaped pixels) returns the latent grid the decoder
+    upsamples from — the conditioning spine for every I2V path."""
+    import jax
+    import jax.numpy as jnp
+    from rectified_spaattn_tpu.models import VAEConfig, VAEEncoder
+
+    cfg = VAEConfig.tiny(video=True)
+    enc = VAEEncoder(cfg)
+    # decoder tiny: temporal_upsample (True, False), spatial (True, False)
+    # -> pixel T = 2t-1, H = 2h, W = 2w
+    t, h, w = 3, 4, 4
+    pix = jnp.zeros((1, 3, 2 * t - 1, 2 * h, 2 * w))
+    # encoder in_channels = pixel channels; VAEConfig.out_channels is the
+    # DECODER output (pixels); encoder input is likewise pixels
+    params = enc.init(jax.random.PRNGKey(0), pix)
+    z = enc.apply(params, pix)
+    assert z.shape == (1, cfg.latent_channels, t, h, w)
+
+
+def test_encoder_mid_attention_params_present():
+    import jax
+    import jax.numpy as jnp
+    from rectified_spaattn_tpu.models import VAEConfig, VAEEncoder, VAEDecoder
+
+    cfg = VAEConfig(latent_channels=4, block_out_channels=(8, 16),
+                    layers_per_block=1, temporal_upsample=(True, False),
+                    spatial_upsample=(True, False), video=True,
+                    mid_attention=True)
+    enc = VAEEncoder(cfg)
+    pix = jnp.zeros((1, 3, 3, 8, 8))
+    p = enc.init(jax.random.PRNGKey(0), pix)
+    assert "mid_attn" in p["params"]
+    dec = VAEDecoder(cfg)
+    lat = jnp.zeros((1, 4, 2, 4, 4))
+    pd = dec.init(jax.random.PRNGKey(0), lat)
+    assert "mid_attn" in pd["params"]
+
+
+def test_latents_mean_std_normalisation_roundtrip():
+    import numpy as np
+    import jax.numpy as jnp
+    from rectified_spaattn_tpu.models.vae import (
+        VAEConfig, normalize_latents, denormalize_latents)
+
+    cfg = VAEConfig(latent_channels=4,
+                    latents_mean=(0.1, -0.2, 0.3, 0.0),
+                    latents_std=(2.0, 1.0, 0.5, 3.0))
+    z = jnp.asarray(np.random.default_rng(0).normal(size=(1, 4, 2, 4, 4)))
+    back = denormalize_latents(normalize_latents(z, cfg), cfg)
+    np.testing.assert_allclose(np.asarray(back), np.asarray(z), rtol=1e-6,
+                               atol=1e-6)
