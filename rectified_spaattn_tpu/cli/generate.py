@@ -271,8 +271,13 @@ def build_cogvideox(args):
     from ..models.cogvideox import CogVideoXConfig, CogVideoXDiT
     from ..pipelines import CogVideoXPipeline
     s = args.scale
+    is_i2v = args.model.endswith("i2v")
+    latent_ch = 16
     hidden = max(128, int(3072 * s) // 64 * 64)
     cfg = CogVideoXConfig(
+        # I2V: image latents concatenated along channels -> in_channels 32
+        in_channels=2 * latent_ch if is_i2v else latent_ch,
+        out_channels=latent_ch,
         hidden_dim=hidden,
         heads=hidden // 64,        # keep head_dim 64 = rope_axes_dim sum
         num_blocks=max(2, int(42 * s)),
@@ -290,8 +295,14 @@ def build_cogvideox(args):
         mode="flash" if args.mode == "torch" else args.mode,
         enable_teacache=args.enable_teacache,
         teacache_thresh=args.teacache_thresh,
-        is_i2v=args.model.endswith("i2v"), interpret=_interpret())
-    return pipe, (text, neg)
+        is_i2v=is_i2v, interpret=_interpret())
+    extra = {}
+    if is_i2v and args.image is not None:
+        from ..pipelines.cogvideox import cog_i2v_condition
+        img = _load_image(args.image, args.height, args.width)
+        enc = _demo_vae_encoder(latent_ch, (1, *pipe.grid[1:]), video=True)
+        extra["condition"] = cog_i2v_condition(img, enc, pipe.grid)
+    return pipe, (text, neg), extra
 
 
 def build_flux(args):
@@ -375,8 +386,8 @@ def _generate(args):
         else:
             latents = pipe(*inputs, seed=args.seed, **extra)
     elif args.model.startswith("cogvideox"):
-        pipe, inputs = build_cogvideox(args)
-        latents = pipe(*inputs, seed=args.seed)
+        pipe, inputs, extra = build_cogvideox(args)
+        latents = pipe(*inputs, seed=args.seed, **extra)
     elif args.model == "flux-upscale":
         pipe, inputs = build_flux(args)
         latents = pipe(*inputs, seed=args.seed)

@@ -23,6 +23,20 @@ from .base import build_site, classifier_free_guidance
 from .schedulers import CogVideoXDDIMScheduler, dynamic_cfg_scale
 
 
+def cog_i2v_condition(image, vae_encode, grid):
+    """CogVideoX I2V conditioning channels (diffusers
+    CogVideoXImageToVideoPipeline: image latents concatenated along the
+    CHANNEL dim every call → in_channels 32; reference driver:
+    main_cogvideox.py:213-222,274-288).
+
+    The conditioning image is VAE-encoded into the first latent frame;
+    the remaining frames are zeros.  Returns [B, Cz, *grid]."""
+    z0 = vae_encode(image[:, :, None])          # [B, Cz, 1, h, w]
+    b, cz = z0.shape[:2]
+    rest = jnp.zeros((b, cz, grid[0] - 1, *grid[1:]), z0.dtype)
+    return jnp.concatenate([z0[:, :, :1], rest], axis=2)
+
+
 @dataclasses.dataclass
 class CogVideoXPipeline:
     model: CogVideoXDiT
@@ -81,8 +95,11 @@ class CogVideoXPipeline:
         self._blocks = jax.jit(blocks, static_argnames=("sparse",))
         self._head = jax.jit(head)
 
-    def denoise(self, latents, text_cond, text_uncond,
+    def denoise(self, latents, text_cond, text_uncond, condition=None,
                 num_steps: Optional[int] = None):
+        """``condition``: I2V image-latent channels (cog_i2v_condition),
+        concatenated along channels every call; I2V also sets the ofs
+        embedding input to 2.0 (diffusers: ofs_emb fill_value=2.0)."""
         steps = num_steps or self.num_steps
         sched = CogVideoXDDIMScheduler(steps)
         tea = TeaCache(
@@ -91,16 +108,20 @@ class CogVideoXPipeline:
         use_sparse = self.mode == "sparse"
         b = latents.shape[0]
         tlen = jnp.full((b,), min(226, self.text_len), jnp.int32)
-        ofs = jnp.zeros((b,)) if self.model.cfg.use_ofs_embed else None
+        ofs_val = 2.0 if (condition is not None or self.is_i2v) else 0.0
+        ofs = (jnp.full((b,), ofs_val)
+               if self.model.cfg.use_ofs_embed else None)
 
         device_sync()
         t0 = time.perf_counter()
         call = 0
         for i, t in enumerate(sched.timesteps):
             ts = jnp.full((b,), float(t))
+            model_in = (latents if condition is None
+                        else jnp.concatenate([latents, condition], axis=1))
             outs = []
             for text in (text_cond, text_uncond):
-                x, ctx, temb, rope = self._embed(self.params, latents, ts,
+                x, ctx, temb, rope = self._embed(self.params, model_in, ts,
                                                  text, ofs)
                 if tea.enabled and not tea.should_compute(temb):
                     # the head concatenates ctx with x (norm_final), so the
@@ -125,14 +146,17 @@ class CogVideoXPipeline:
         self.teacache_stats = tea.stats()
         return latents
 
-    def __call__(self, text_cond, text_uncond, seed: int = 42,
-                 num_steps: Optional[int] = None):
+    def __call__(self, text_cond, text_uncond, condition=None,
+                 seed: int = 42, num_steps: Optional[int] = None):
         cfg = self.model.cfg
         rng = jax.random.PRNGKey(seed)
         b = text_cond.shape[0]
+        noise_ch = cfg.in_channels - (
+            condition.shape[1] if condition is not None else 0)
         latents = jax.random.normal(
-            rng, (b, cfg.in_channels, *self.grid), jnp.float32)
-        latents = self.denoise(latents, text_cond, text_uncond, num_steps)
+            rng, (b, noise_ch, *self.grid), jnp.float32)
+        latents = self.denoise(latents, text_cond, text_uncond, condition,
+                               num_steps)
         if self.vae_decode is not None:
             return self.vae_decode(latents)
         return latents

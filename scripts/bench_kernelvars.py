@@ -20,6 +20,39 @@ import numpy as np
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 
+def piece_lengths(indices, counts, chunk: int, max_run: int):
+    """Per-slot DMA piece lengths for run-coalesced gathering.
+
+    A piece starts where the compacted index list breaks contiguity, at
+    chunk boundaries, and every ``max_run`` slots within a run; its length
+    covers the contiguous slots it spans (0 on covered/invalid slots)."""
+    import jax
+    import jax.numpy as jnp
+    nb = indices.shape[-1]
+    s = jnp.arange(nb, dtype=jnp.int32)
+    valid = s < counts[..., None]
+    adj = jnp.concatenate(
+        [jnp.zeros((*indices.shape[:-1], 1), bool),
+         indices[..., 1:] == indices[..., :-1] + 1], axis=-1)
+    adj = adj & ((s % chunk) != 0) & valid
+    is_start = valid & ~adj
+    ax = indices.ndim - 1
+    run_start = jax.lax.cummax(jnp.where(is_start, s, -1), axis=ax)
+    pos = s - run_start
+    piece_start = valid & (pos % max_run == 0)
+    starts_pos = jnp.where(is_start, s, 2 * nb)
+    nxt = jax.lax.cummin(starts_pos[..., ::-1], axis=ax)[..., ::-1]
+    nxt_after = jnp.concatenate(
+        [nxt[..., 1:], jnp.full((*indices.shape[:-1], 1), 2 * nb,
+                                jnp.int32)], axis=-1)
+    run_end = jnp.minimum(nxt_after, counts[..., None])
+    # chunk boundary also ends a piece
+    chunk_end = (s // chunk + 1) * chunk
+    run_end = jnp.minimum(run_end, chunk_end)
+    return jnp.where(piece_start,
+                     jnp.minimum(run_end - s, max_run), 0).astype(jnp.int32)
+
+
 def build_variant_kernel(variant, block_n, chunk_blocks, sm_scale,
                          visual_len, text_start):
     import jax
@@ -116,6 +149,172 @@ def build_variant_kernel(variant, block_n, chunk_blocks, sm_scale,
     return kernel
 
 
+def build_runs_kernel(block_n, chunk_blocks, sm_scale, visual_len,
+                      text_start, max_run):
+    """Run-coalesced gather: contiguous selected blocks are fetched with
+    ONE DMA descriptor (static-size ladder 1..max_run), cutting issue/wait
+    overhead — the decomposition shows the kernel is DMA-skeleton bound."""
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+    from rectified_spaattn_tpu.kernels.block_sparse import MASK_VALUE
+
+    def kernel(counts_ref, tlen_ref, idx_ref, plen_ref, q_ref, kv_hbm,
+               o_ref, kv_buf, sems):
+        bh = pl.program_id(0)
+        count = counts_ref[0, 0, 0, 0]
+        tlen = tlen_ref[0, 0, 0]
+        bm = q_ref.shape[1]
+        d = q_ref.shape[2]
+        g = chunk_blocks
+        nb = idx_ref.shape[-1]
+        num_chunks = (count + g - 1) // g
+
+        def piece_dma(buf_slot, lane, block_idx, size):
+            return pltpu.make_async_copy(
+                kv_hbm.at[bh, pl.ds(block_idx * block_n, size * block_n)],
+                kv_buf.at[buf_slot, pl.ds(lane * block_n, size * block_n)],
+                sems.at[buf_slot, lane])
+
+        def chunk_pieces(buf_slot, chunk_idx, action):
+            base = chunk_idx * g
+            for lane in range(g):
+                pos = jnp.minimum(base + lane, nb - 1)
+                plen = plen_ref[0, 0, 0, pos]
+                idx = idx_ref[0, 0, 0, pos]
+                for size in range(1, max_run + 1):
+                    @pl.when(plen == size)
+                    def _(lane=lane, idx=idx, size=size):
+                        getattr(piece_dma(buf_slot, lane, idx, size),
+                                action)()
+
+        chunk_pieces(0, 0, "start")
+
+        q = (q_ref[0].astype(jnp.float32) * sm_scale).astype(kv_buf.dtype)
+        init = (jnp.full((bm, 1), -jnp.inf, jnp.float32),
+                jnp.zeros((bm, 1), jnp.float32),
+                jnp.zeros((bm, d), jnp.float32))
+
+        def body(c, carry):
+            m_prev, l_prev, acc = carry
+            buf_slot = jax.lax.rem(c, 2)
+            base = c * g
+
+            @pl.when(c + 1 < num_chunks)
+            def _():
+                chunk_pieces(1 - buf_slot, c + 1, "start")
+
+            lane_cols = []
+            for lane in range(g):
+                pos = jnp.minimum(base + lane, nb - 1)
+                idx = idx_ref[0, 0, 0, pos]
+                lane_cols.append(idx * block_n + jax.lax.broadcasted_iota(
+                    jnp.int32, (1, block_n), 1))
+            chunk_pieces(buf_slot, c, "wait")
+            cols = jnp.concatenate(lane_cols, axis=1)
+            kv = kv_buf[buf_slot]                     # [g*bn, 2D]
+            k = kv[:, :d]
+            v = kv[:, d:]
+            s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                                    preferred_element_type=jnp.float32)
+            slot_ids = base + jax.lax.broadcasted_iota(
+                jnp.int32, (1, g * block_n), 1) // block_n
+            valid = slot_ids < count
+            valid &= cols < visual_len if text_start is None else (
+                (cols < visual_len) |
+                ((cols >= text_start) & (cols < text_start + tlen)))
+            s = jnp.where(valid, s, MASK_VALUE)
+            m_cur = jnp.max(s, axis=1, keepdims=True)
+            m_next = jnp.maximum(m_prev, m_cur)
+            alpha = jnp.exp(m_prev - m_next)
+            p = jnp.exp(s - m_next)
+            l_next = alpha * l_prev + jnp.sum(p, axis=1, keepdims=True)
+            acc = acc * alpha + jax.lax.dot(
+                p.astype(v.dtype), v, preferred_element_type=jnp.float32)
+            return m_next, l_next, acc
+
+        m, l, acc = jax.lax.fori_loop(0, num_chunks, body, init)
+        l_inv = jnp.where(l == 0.0, 1.0, 1.0 / l)
+        o_ref[0] = (acc * l_inv).astype(o_ref.dtype)
+
+    return kernel
+
+
+def run_runs_variant(q, k, v, indices, counts, tlen, visual_len,
+                     text_start, chunk_blocks=16, max_run=4, iters=4,
+                     check=False):
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    b, h, sq, d = q.shape
+    s = k.shape[2]
+    nq = sq // 128
+    nb = indices.shape[-1]
+    bh = b * h
+    qf = q.reshape(bh, sq, d)
+    kv = jnp.concatenate([k.reshape(bh, s, d), v.reshape(bh, s, d)], axis=2)
+    plen = piece_lengths(indices, counts, chunk_blocks, max_run)
+    idx_f = indices.reshape(bh, nq, 1, nb)
+    plen_f = plen.reshape(bh, nq, 1, nb)
+    counts_f = counts.reshape(bh, nq, 1, 1)
+    tlen_f = jnp.repeat(tlen.astype(jnp.int32), h).reshape(bh, 1, 1)
+    print("pieces/row:", float(jnp.mean(jnp.sum(plen > 0, axis=-1))),
+          "blocks/row:", float(jnp.mean(counts)), flush=True)
+
+    kern = build_runs_kernel(128, chunk_blocks, d ** -0.5, visual_len,
+                             text_start, max_run)
+
+    @jax.jit
+    def call(qf, kv, counts_f, tlen_f, idx_f, plen_f):
+        return pl.pallas_call(
+            kern,
+            out_shape=jax.ShapeDtypeStruct((bh, sq, d), q.dtype),
+            grid=(bh, nq),
+            in_specs=[
+                pl.BlockSpec((1, 1, 1, 1), lambda i, j: (i, j, 0, 0),
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec((1, 1, 1), lambda i, j: (i, 0, 0),
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec((1, 1, 1, nb), lambda i, j: (i, j, 0, 0),
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec((1, 1, 1, nb), lambda i, j: (i, j, 0, 0),
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec((1, 128, d), lambda i, j: (i, j, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pl.ANY),
+            ],
+            out_specs=pl.BlockSpec((1, 128, d), lambda i, j: (i, j, 0),
+                                   memory_space=pltpu.VMEM),
+            scratch_shapes=[
+                pltpu.VMEM((2, chunk_blocks * 128, 2 * d), k.dtype),
+                pltpu.SemaphoreType.DMA((2, chunk_blocks)),
+            ],
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel", "arbitrary")),
+        )(counts_f, tlen_f, idx_f, plen_f, qf, kv)
+
+    def sync(x):
+        float(jnp.sum(x.astype(jnp.float32).ravel()[:8]))
+
+    out = call(qf, kv, counts_f, tlen_f, idx_f, plen_f)
+    sync(out)
+    if check:
+        from rectified_spaattn_tpu.kernels import block_sparse_flash_attention
+        want = block_sparse_flash_attention(
+            q, k, v, indices, counts, tlen, visual_len=visual_len,
+            text_start=text_start)
+        err = float(jnp.max(jnp.abs(out.astype(jnp.float32).reshape(want.shape)
+                                    - want.astype(jnp.float32))))
+        print("runs-vs-base max abs err:", err, flush=True)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        sync(call(qf, kv, counts_f, tlen_f, idx_f, plen_f))
+    return (time.perf_counter() - t0) / iters
+
+
 def run_variant(variant, q, k, v, indices, counts, tlen, visual_len,
                 text_start, chunk_blocks=16, iters=4):
     import jax
@@ -181,6 +380,9 @@ def main():
                     default="base,dma,compute,nomask,noexp")
     ap.add_argument("--drop", type=float, default=0.8)
     ap.add_argument("--chunk", type=int, default=16)
+    ap.add_argument("--check", action="store_true",
+                    help="verify runs-variant output against the library "
+                         "kernel before timing")
     args = ap.parse_args()
 
     import jax
@@ -214,9 +416,16 @@ def main():
 
     results = {}
     for variant in args.variants.split(","):
-        t = run_variant(variant, q[:, :, :sv], k, v, indices, counts, tlen,
-                        visual_len=sv, text_start=sv,
-                        chunk_blocks=args.chunk)
+        if variant.startswith("runs"):
+            max_run = int(variant[4:]) if len(variant) > 4 else 4
+            t = run_runs_variant(q[:, :, :sv], k, v, indices, counts, tlen,
+                                 visual_len=sv, text_start=sv,
+                                 chunk_blocks=args.chunk, max_run=max_run,
+                                 check=args.check)
+        else:
+            t = run_variant(variant, q[:, :, :sv], k, v, indices, counts,
+                            tlen, visual_len=sv, text_start=sv,
+                            chunk_blocks=args.chunk)
         results[variant] = round(t * 1e3, 1)
         print(f"{variant}: {t*1e3:.1f} ms", flush=True)
     print(json.dumps(results))

@@ -241,3 +241,48 @@ def test_wan_ti2v_image_mode_holds_first_frame():
     np.testing.assert_allclose(np.asarray(out[:, :, :1]), np.asarray(ff),
                                rtol=1e-5, atol=1e-6)
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_cogvideox_i2v_condition_consumed():
+    """CogVideoX I2V: channel-concat image latents change the output
+    (reference main_cogvideox.py:213-222; diffusers channel concat)."""
+    from rectified_spaattn_tpu.models.cogvideox import (CogVideoXConfig,
+                                                        CogVideoXDiT)
+    from rectified_spaattn_tpu.pipelines import CogVideoXPipeline
+    from rectified_spaattn_tpu.pipelines.cogvideox import cog_i2v_condition
+
+    zc = 4
+    cfg = CogVideoXConfig.tiny()
+    import dataclasses as dc
+    cfg = dc.replace(cfg, in_channels=2 * zc, out_channels=zc)
+    model = CogVideoXDiT(cfg)
+    rng = jax.random.PRNGKey(5)
+    text_c = jax.random.normal(rng, (1, 128, cfg.text_dim))
+    text_u = jnp.zeros_like(text_c)
+    height, width, frames = 32, 32, 9
+    lt = (frames - 1) // 8 + 1
+    grid = (lt, height // 16 * cfg.patch_size, width // 16 * cfg.patch_size)
+    lat = jnp.zeros((1, cfg.in_channels, *grid))
+    params = model.init(rng, lat, jnp.array([0.0]), text_c)
+    pipe = CogVideoXPipeline(
+        model=model, params=params, height=height, width=width,
+        frames=frames, num_steps=2, sa_drop_rate=0.5, mode="vanilla",
+        text_len=128, is_i2v=True, interpret=True)
+
+    def enc(video):
+        b, c, f, hh, ww = video.shape
+        z = jax.image.resize(video, (b, c, 1, *grid[1:]), "linear")
+        return jnp.tile(z, (1, 2, 1, 1, 1))[:, :zc]
+
+    outs = []
+    for s_ in (0, 1):
+        img = jax.random.normal(jax.random.PRNGKey(s_),
+                                (1, 3, height, width))
+        cond = cog_i2v_condition(img, enc, grid)
+        assert cond.shape == (1, zc, *grid)
+        # only the first latent frame carries the image
+        assert float(jnp.abs(cond[:, :, 1:]).max()) == 0.0
+        outs.append(np.asarray(pipe(text_c, text_u, condition=cond,
+                                    seed=3)))
+    assert np.isfinite(outs[0]).all()
+    assert np.abs(outs[0] - outs[1]).max() > 1e-6
