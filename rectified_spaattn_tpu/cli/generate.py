@@ -336,7 +336,25 @@ def build_flux(args):
 
     base = mk(args.height // 4, args.width // 4, args.num_steps)
     up = mk(args.height, args.width, args.num_steps)
-    return FluxUpscalePipeline(base=base, up=up), (text, mask, pooled)
+    # ControlNet conditioning network (reference: jasperai upscaler,
+    # main_upflux.py:300-305).  Random-weight demo: the zero-init output
+    # projections are nudged off zero so the conditioned path is exercised.
+    from ..models.flux import FluxControlNet, FluxControlNetConfig
+    cn_cfg = FluxControlNetConfig(
+        in_channels=cfg.in_channels, cond_channels=cfg.in_channels,
+        hidden_dim=cfg.hidden_dim, heads=cfg.heads,
+        num_dual_blocks=max(1, int(5 * s)), text_dim=cfg.text_dim,
+        pooled_dim=cfg.pooled_dim)
+    cn = FluxControlNet(cn_cfg)
+    cn_params = cn.init(jax.random.PRNGKey(21), tokens, tokens,
+                        jnp.array([0.5]), text, pooled, jnp.array([3.5]),
+                        8, 8)
+    cn_params = jax.tree.map(
+        lambda x: x + 0.02 * jax.random.normal(
+            jax.random.PRNGKey(22), x.shape, x.dtype), cn_params)
+    pipe = FluxUpscalePipeline(base=base, up=up, controlnet=cn,
+                               controlnet_params=cn_params)
+    return pipe, (text, mask, pooled)
 
 
 def main(argv=None):

@@ -16,7 +16,8 @@ from typing import Callable, Optional
 import jax
 import jax.numpy as jnp
 
-from ..models.flux import FluxConfig, FluxDiT
+from ..models.flux import (FluxConfig, FluxDiT,
+                           distribute_controlnet_samples)
 from ..cache import TeaCache
 from ..utils.timing import device_sync
 from .base import build_site
@@ -60,7 +61,7 @@ class FluxPipeline:
             return x, ctx, temb, rope, sig
 
         def blocks(params, x, ctx, temb, rope, tlen, sparse: bool,
-                   cn_residuals=None):
+                   cn_dual=None, cn_single=None):
             dense = self.site.attn_fn(
                 "vanilla" if self.interpret else "flash", text_len_rt=tlen,
                 interpret=self.interpret)
@@ -76,7 +77,7 @@ class FluxPipeline:
                 dual_fns = [dense] * n_dual
                 single_fns = [dense] * m.cfg.num_single_blocks
             return m.apply(params, x, ctx, temb, rope, dense, dual_fns,
-                           single_fns, cn_residuals,
+                           single_fns, cn_dual, cn_single,
                            method=FluxDiT.run_blocks)
 
         def head(params, x, temb):
@@ -89,9 +90,12 @@ class FluxPipeline:
     def denoise(self, tokens, text_emb, text_mask, pooled,
                 controlnet_fn: Optional[Callable] = None,
                 num_steps: Optional[int] = None):
-        """``controlnet_fn(tokens, t) -> list of per-dual-block residuals``
-        (already in token layout; this pipeline Hilbert-permutes them,
-        reference: scripts/main_upflux.py:114-116)."""
+        """``controlnet_fn(tokens, t) -> (dual_samples, single_samples)``
+        in the RESIDENT (Hilbert) token order; the samples are interval-
+        distributed over the main blocks (reference applies
+        samples[i // ceil] after each block, main_upflux.py:163-172 — the
+        reference permutes samples because its ControlNet runs in linear
+        order, ours runs Hilbert-resident so no permute is needed)."""
         steps = num_steps or self.num_steps
         mu = flux_mu_shift(self.gh * self.gw)
         sched = FlowMatchEulerScheduler(steps, use_mu=True, mu=mu)
@@ -100,6 +104,7 @@ class FluxPipeline:
         tlen = jnp.sum(text_mask.astype(jnp.int32), axis=1)
         guidance = jnp.full((tokens.shape[0],), self.guidance_scale)
         use_sparse = self.mode == "sparse"
+        m = self.model
 
         device_sync()
         t0 = time.perf_counter()
@@ -107,16 +112,19 @@ class FluxPipeline:
             ts = jnp.full((tokens.shape[0],), float(t) / 1000.0)
             x, ctx, temb, rope, sig = self._embed(
                 self.params, tokens, ts, text_emb, pooled, guidance)
-            cn = None
+            cn_dual = cn_single = None
             if controlnet_fn is not None:
-                cn = [jnp.take(r, self.h2l, axis=1)
-                      for r in controlnet_fn(tokens, float(t))]
+                dual_s, single_s = controlnet_fn(tokens, float(t))
+                cn_dual = distribute_controlnet_samples(
+                    dual_s, m.cfg.num_dual_blocks)
+                cn_single = distribute_controlnet_samples(
+                    single_s, m.cfg.num_single_blocks)
             if tea.enabled and not tea.should_compute(sig):
                 x = tea.apply_residual(x)
             else:
                 x_in = x
                 x, ctx = self._blocks(self.params, x, ctx, temb, rope,
-                                      tlen, use_sparse, cn)
+                                      tlen, use_sparse, cn_dual, cn_single)
                 if tea.enabled:
                     tea.record_residual(x_in, x)
             v = self._head(self.params, x, temb)
@@ -145,27 +153,66 @@ class FluxPipeline:
 @dataclasses.dataclass
 class FluxUpscalePipeline:
     """Two-stage 4× upscale: base generation at base_res, then a high-res
-    ControlNet-guided pass (reference: scripts/main_upflux.py:287-328).
-    The ControlNet model itself is optional — when absent the second stage
-    runs unconditioned (structure preserved via img2img strength)."""
+    ControlNet-conditioned pass (reference: scripts/main_upflux.py:287-328
+    with jasperai/Flux.1-dev-Controlnet-Upscaler).
+
+    With a ControlNet the second stage starts from pure noise and the base
+    image shapes the output through the ControlNet residuals, exactly like
+    the reference's FluxControlNetPipeline.  Without one (no checkpoint),
+    the fallback is conditioned img2img: the upsampled base latents seed
+    the init at ``strength`` < 1 so the base image still shapes the
+    output."""
     base: FluxPipeline
     up: FluxPipeline
-    strength: float = 1.0
+    controlnet: Optional[object] = None   # FluxControlNet module
+    controlnet_params: Optional[dict] = None
+    conditioning_scale: float = 1.0
+    strength: float = 0.7                 # no-ControlNet img2img fallback
+
+    def _controlnet_fn(self, control_tokens, text_emb, pooled):
+        cn, params = self.controlnet, self.controlnet_params
+        up = self.up
+
+        @jax.jit
+        def run(tokens, control, ts, guidance):
+            return cn.apply(params, tokens, control, ts, text_emb, pooled,
+                            guidance, up.gh, up.gw, None,
+                            self.conditioning_scale)
+
+        guidance = jnp.full((control_tokens.shape[0],), up.guidance_scale)
+
+        def fn(tokens, t):
+            ts = jnp.full((tokens.shape[0],), float(t) / 1000.0)
+            return run(tokens, control_tokens, ts, guidance)
+
+        return fn
 
     def __call__(self, text_emb, text_mask, pooled, seed: int = 42,
                  controlnet_fn=None):
         base_tokens = self.base(text_emb, text_mask, pooled, seed=seed)
         b = base_tokens.shape[0]
         # nearest-neighbour latent upsample 4x (2x grid in each dim per
-        # stage-2 resolution config)
+        # stage-2 resolution config); the reference instead decodes to
+        # pixels, resizes, and re-encodes — the CLI does that when a VAE
+        # is wired (vae_decode/vae_encode), this latent path is the
+        # checkpoint-less equivalent
         gh_b, gw_b = self.base.gh, self.base.gw
         gh_u, gw_u = self.up.gh, self.up.gw
         grid = base_tokens.reshape(b, gh_b, gw_b, -1)
         ry, rx = gh_u // gh_b, gw_u // gw_b
         grid = jnp.repeat(jnp.repeat(grid, ry, axis=1), rx, axis=2)
-        init = grid.reshape(b, gh_u * gw_u, -1)
+        control = grid.reshape(b, gh_u * gw_u, -1)
         rng = jax.random.PRNGKey(seed + 1)
-        noise = jax.random.normal(rng, init.shape, init.dtype)
-        init = (1 - self.strength) * init + self.strength * noise
+        noise = jax.random.normal(rng, control.shape, control.dtype)
+        if controlnet_fn is None and self.controlnet is not None:
+            # control tokens enter in Hilbert order (the ControlNet runs
+            # resident-order; see FluxControlNet docstring)
+            control_h = jnp.take(control, self.up.h2l, axis=1)
+            controlnet_fn = self._controlnet_fn(control_h, text_emb,
+                                                pooled)
+        if controlnet_fn is not None:
+            init = noise                    # reference: pure-noise init
+        else:
+            init = (1 - self.strength) * control + self.strength * noise
         return self.up(text_emb, text_mask, pooled, seed=seed,
                        controlnet_fn=controlnet_fn, init_tokens=init)

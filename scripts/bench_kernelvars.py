@@ -72,7 +72,14 @@ def build_variant_kernel(variant, block_n, chunk_blocks, sm_scale,
         nb = idx_ref.shape[-1]
         num_chunks = (count + g - 1) // g
 
+        half = variant == "dmahalf"
+
         def block_dma(buf_slot, lane, block_idx):
+            if half:     # half the rows -> half the bytes, same descriptor
+                return pltpu.make_async_copy(
+                    kv_hbm.at[bh, pl.ds(block_idx * block_n, block_n // 2)],
+                    kv_buf.at[buf_slot, lane, pl.ds(0, block_n // 2)],
+                    sems.at[buf_slot, lane])
             return pltpu.make_async_copy(
                 kv_hbm.at[bh, pl.ds(block_idx * block_n, block_n)],
                 kv_buf.at[buf_slot, lane],
@@ -84,7 +91,7 @@ def build_variant_kernel(variant, block_n, chunk_blocks, sm_scale,
                 pos = jnp.minimum(base + lane, nb - 1)
                 block_dma(buf_slot, lane, idx_ref[0, 0, 0, pos]).start()
 
-        use_dma = variant != "compute"
+        use_dma = not variant.startswith("compute")
         if use_dma:
             @pl.when(count > 0)
             def _():
@@ -111,7 +118,7 @@ def build_variant_kernel(variant, block_n, chunk_blocks, sm_scale,
                     jnp.int32, (1, block_n), 1))
                 if use_dma:
                     block_dma(buf_slot, lane, idx).wait()
-            if variant == "dma":
+            if variant in ("dma", "dmahalf"):
                 # consume one row of the data so copies are not dead-code
                 acc = acc + kv_buf[buf_slot, 0, :1, :d].astype(jnp.float32)
                 return m_prev, l_prev, acc
@@ -121,7 +128,7 @@ def build_variant_kernel(variant, block_n, chunk_blocks, sm_scale,
             v = kv[:, :, d:].reshape(g * block_n, d)
             s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
                                     preferred_element_type=jnp.float32)
-            if variant != "nomask":
+            if variant not in ("nomask", "computenomask"):
                 slot_ids = base + jax.lax.broadcasted_iota(
                     jnp.int32, (1, g * block_n), 1) // block_n
                 valid = slot_ids < count
@@ -131,7 +138,7 @@ def build_variant_kernel(variant, block_n, chunk_blocks, sm_scale,
                 s = jnp.where(valid, s, MASK_VALUE)
             m_cur = jnp.max(s, axis=1, keepdims=True)
             m_next = jnp.maximum(m_prev, m_cur)
-            if variant == "noexp":
+            if variant in ("noexp", "computenoexp"):
                 alpha = m_prev - m_next + 1.0
                 p = s - m_next
             else:
@@ -143,6 +150,117 @@ def build_variant_kernel(variant, block_n, chunk_blocks, sm_scale,
             return m_next, l_next, acc
 
         m, l, acc = jax.lax.fori_loop(0, num_chunks, body, init)
+        l_inv = jnp.where(l == 0.0, 1.0, 1.0 / l)
+        o_ref[0] = (acc * l_inv).astype(o_ref.dtype)
+
+    return kernel
+
+
+def build_twophase_kernel(block_n, chunk_blocks, sm_scale, visual_len,
+                          text_start):
+    """Two-phase chunk loop: ascending compacted indices put every
+    window-sensitive block (padded boundary visual block, text blocks) at
+    the END of the row's list, so chunks made entirely of clean slots need
+    NO masking, NO column coordinates, NO per-lane scalar reads — only the
+    1-2 tail chunks run the fully masked path."""
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+    from rectified_spaattn_tpu.kernels.block_sparse import MASK_VALUE
+
+    def kernel(counts_ref, clean_ref, tlen_ref, idx_ref, q_ref, kv_hbm,
+               o_ref, kv_buf, sems):
+        bh = pl.program_id(0)
+        count = counts_ref[0, 0, 0, 0]
+        clean = clean_ref[0, 0, 0, 0]      # slots < clean are mask-free
+        tlen = tlen_ref[0, 0, 0]
+        bm = q_ref.shape[1]
+        d = q_ref.shape[2]
+        g = chunk_blocks
+        nb = idx_ref.shape[-1]
+        num_chunks = (count + g - 1) // g
+        clean_chunks = clean // g          # fully clean chunks
+
+        def block_dma(buf_slot, lane, block_idx):
+            return pltpu.make_async_copy(
+                kv_hbm.at[bh, pl.ds(block_idx * block_n, block_n)],
+                kv_buf.at[buf_slot, lane],
+                sems.at[buf_slot, lane])
+
+        def start_chunk(buf_slot, chunk_idx):
+            base = chunk_idx * g
+            for lane in range(g):
+                pos = jnp.minimum(base + lane, nb - 1)
+                block_dma(buf_slot, lane, idx_ref[0, 0, 0, pos]).start()
+
+        @pl.when(count > 0)
+        def _():
+            start_chunk(0, 0)
+
+        q = (q_ref[0].astype(jnp.float32) * sm_scale).astype(kv_buf.dtype)
+        init = (jnp.full((bm, 1), -jnp.inf, jnp.float32),
+                jnp.zeros((bm, 1), jnp.float32),
+                jnp.zeros((bm, d), jnp.float32))
+
+        def softmax_update(carry, s, v):
+            m_prev, l_prev, acc = carry
+            m_cur = jnp.max(s, axis=1, keepdims=True)
+            m_next = jnp.maximum(m_prev, m_cur)
+            alpha = jnp.exp(m_prev - m_next)
+            p = jnp.exp(s - m_next)
+            l_next = alpha * l_prev + jnp.sum(p, axis=1, keepdims=True)
+            acc = acc * alpha + jax.lax.dot(
+                p.astype(v.dtype), v, preferred_element_type=jnp.float32)
+            return m_next, l_next, acc
+
+        def body_clean(c, carry):
+            buf_slot = jax.lax.rem(c, 2)
+
+            @pl.when(c + 1 < num_chunks)
+            def _():
+                start_chunk(1 - buf_slot, c + 1)
+            for lane in range(g):
+                block_dma(buf_slot, lane, jnp.int32(0)).wait()
+            kv = kv_buf[buf_slot]
+            k = kv[:, :, :d].reshape(g * block_n, d)
+            v = kv[:, :, d:].reshape(g * block_n, d)
+            s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                                    preferred_element_type=jnp.float32)
+            return softmax_update(carry, s, v)
+
+        def body_tail(c, carry):
+            buf_slot = jax.lax.rem(c, 2)
+            base = c * g
+
+            @pl.when(c + 1 < num_chunks)
+            def _():
+                start_chunk(1 - buf_slot, c + 1)
+            lane_cols = []
+            for lane in range(g):
+                pos = jnp.minimum(base + lane, nb - 1)
+                idx = idx_ref[0, 0, 0, pos]
+                lane_cols.append(idx * block_n + jax.lax.broadcasted_iota(
+                    jnp.int32, (1, block_n), 1))
+                block_dma(buf_slot, lane, idx).wait()
+            cols = jnp.concatenate(lane_cols, axis=1)
+            kv = kv_buf[buf_slot]
+            k = kv[:, :, :d].reshape(g * block_n, d)
+            v = kv[:, :, d:].reshape(g * block_n, d)
+            s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                                    preferred_element_type=jnp.float32)
+            slot_ids = base + jax.lax.broadcasted_iota(
+                jnp.int32, (1, g * block_n), 1) // block_n
+            valid = slot_ids < count
+            valid &= cols < visual_len if text_start is None else (
+                (cols < visual_len) |
+                ((cols >= text_start) & (cols < text_start + tlen)))
+            s = jnp.where(valid, s, MASK_VALUE)
+            return softmax_update(carry, s, v)
+
+        carry = jax.lax.fori_loop(0, clean_chunks, body_clean, init)
+        m, l, acc = jax.lax.fori_loop(clean_chunks, num_chunks, body_tail,
+                                      carry)
         l_inv = jnp.where(l == 0.0, 1.0, 1.0 / l)
         o_ref[0] = (acc * l_inv).astype(o_ref.dtype)
 
@@ -183,7 +301,9 @@ def build_runs_kernel(block_n, chunk_blocks, sm_scale, visual_len,
                 pos = jnp.minimum(base + lane, nb - 1)
                 plen = plen_ref[0, 0, 0, pos]
                 idx = idx_ref[0, 0, 0, pos]
-                for size in range(1, max_run + 1):
+                # pieces never cross the chunk boundary (piece_lengths caps
+                # them), but the slice must be in-bounds at trace time too
+                for size in range(1, min(max_run, g - lane) + 1):
                     @pl.when(plen == size)
                     def _(lane=lane, idx=idx, size=size):
                         getattr(piece_dma(buf_slot, lane, idx, size),
@@ -239,6 +359,85 @@ def build_runs_kernel(block_n, chunk_blocks, sm_scale, visual_len,
         o_ref[0] = (acc * l_inv).astype(o_ref.dtype)
 
     return kernel
+
+
+def run_twophase_variant(q, k, v, indices, counts, tlen, visual_len,
+                         text_start, chunk_blocks=16, iters=4, check=False):
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    b, h, sq, d = q.shape
+    s = k.shape[2]
+    nq = sq // 128
+    nb = indices.shape[-1]
+    bh = b * h
+    qf = q.reshape(bh, sq, d)
+    kv = jnp.concatenate([k.reshape(bh, s, d), v.reshape(bh, s, d)], axis=2)
+    cb = visual_len // 128                 # blocks below cb are clean
+    slot = jnp.arange(nb, dtype=jnp.int32)
+    clean_counts = jnp.sum(
+        (indices < cb) & (slot < counts[..., None]), axis=-1).astype(
+            jnp.int32)
+    print("mean clean frac:",
+          float(jnp.mean(clean_counts / jnp.maximum(counts, 1))),
+          flush=True)
+    idx_f = indices.reshape(bh, nq, 1, nb)
+    counts_f = counts.reshape(bh, nq, 1, 1)
+    clean_f = clean_counts.reshape(bh, nq, 1, 1)
+    tlen_f = jnp.repeat(tlen.astype(jnp.int32), h).reshape(bh, 1, 1)
+
+    kern = build_twophase_kernel(128, chunk_blocks, d ** -0.5, visual_len,
+                                 text_start)
+
+    @jax.jit
+    def call(qf, kv, counts_f, clean_f, tlen_f, idx_f):
+        return pl.pallas_call(
+            kern,
+            out_shape=jax.ShapeDtypeStruct((bh, sq, d), q.dtype),
+            grid=(bh, nq),
+            in_specs=[
+                pl.BlockSpec((1, 1, 1, 1), lambda i, j: (i, j, 0, 0),
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec((1, 1, 1, 1), lambda i, j: (i, j, 0, 0),
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec((1, 1, 1), lambda i, j: (i, 0, 0),
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec((1, 1, 1, nb), lambda i, j: (i, j, 0, 0),
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec((1, 128, d), lambda i, j: (i, j, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pl.ANY),
+            ],
+            out_specs=pl.BlockSpec((1, 128, d), lambda i, j: (i, j, 0),
+                                   memory_space=pltpu.VMEM),
+            scratch_shapes=[
+                pltpu.VMEM((2, chunk_blocks, 128, 2 * d), k.dtype),
+                pltpu.SemaphoreType.DMA((2, chunk_blocks)),
+            ],
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel", "arbitrary")),
+        )(counts_f, clean_f, tlen_f, idx_f, qf, kv)
+
+    def sync(x):
+        float(jnp.sum(x.astype(jnp.float32).ravel()[:8]))
+
+    out = call(qf, kv, counts_f, clean_f, tlen_f, idx_f)
+    sync(out)
+    if check:
+        from rectified_spaattn_tpu.kernels import block_sparse_flash_attention
+        want = block_sparse_flash_attention(
+            q, k, v, indices, counts, tlen, visual_len=visual_len,
+            text_start=text_start)
+        err = float(jnp.max(jnp.abs(
+            out.astype(jnp.float32).reshape(want.shape)
+            - want.astype(jnp.float32))))
+        print("twophase-vs-base max abs err:", err, flush=True)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        sync(call(qf, kv, counts_f, clean_f, tlen_f, idx_f))
+    return (time.perf_counter() - t0) / iters
 
 
 def run_runs_variant(q, k, v, indices, counts, tlen, visual_len,
@@ -416,7 +615,12 @@ def main():
 
     results = {}
     for variant in args.variants.split(","):
-        if variant.startswith("runs"):
+        if variant == "twophase":
+            t = run_twophase_variant(q[:, :, :sv], k, v, indices, counts,
+                                     tlen, visual_len=sv, text_start=sv,
+                                     chunk_blocks=args.chunk,
+                                     check=args.check)
+        elif variant.startswith("runs"):
             max_run = int(variant[4:]) if len(variant) > 4 else 4
             t = run_runs_variant(q[:, :, :sv], k, v, indices, counts, tlen,
                                  visual_len=sv, text_start=sv,

@@ -286,3 +286,65 @@ def test_cogvideox_i2v_condition_consumed():
                                     seed=3)))
     assert np.isfinite(outs[0]).all()
     assert np.abs(outs[0] - outs[1]).max() > 1e-6
+
+
+def test_flux_controlnet_conditions_the_upscale():
+    """Flux upscaler parity (reference main_upflux.py:287-328): with a
+    ControlNet the second stage starts from noise and the BASE IMAGE must
+    shape the 4x output through the residuals; zero-init params make the
+    ControlNet an exact no-op."""
+    from rectified_spaattn_tpu.models.flux import (
+        FluxConfig, FluxDiT, FluxControlNet, FluxControlNetConfig)
+    from rectified_spaattn_tpu.pipelines import (FluxPipeline,
+                                                 FluxUpscalePipeline)
+
+    cfg = FluxConfig.tiny()
+    model = FluxDiT(cfg)
+    rng = jax.random.PRNGKey(6)
+    text = jax.random.normal(rng, (1, 128, cfg.text_dim))
+    mask = jnp.ones((1, 128), bool)
+    pooled = jax.random.normal(rng, (1, cfg.pooled_dim))
+    tokens = jnp.zeros((1, 64, cfg.in_channels))
+    params = model.init(rng, tokens, jnp.array([0.5]), text, pooled,
+                        jnp.array([3.5]), 8, 8)
+
+    cn_cfg = FluxControlNetConfig.tiny()
+    cn = FluxControlNet(cn_cfg)
+    cn_params = cn.init(rng, tokens, tokens, jnp.array([0.5]), text,
+                        pooled, jnp.array([3.5]), 8, 8)
+
+    def mk(hw, steps=2):
+        return FluxPipeline(model=model, params=params, height=hw,
+                            width=hw, num_steps=steps, sa_drop_rate=0.5,
+                            mode="vanilla", text_len=128, interpret=True)
+
+    # zero-init => exact no-op: conditioned == unconditioned (same seed)
+    pipe0 = FluxUpscalePipeline(base=mk(64), up=mk(128), controlnet=cn,
+                                controlnet_params=cn_params)
+    out_cn = np.asarray(pipe0(text, mask, pooled, seed=1))
+    pipe_plain = FluxUpscalePipeline(base=mk(64), up=mk(128))
+    # force the same pure-noise init for a fair comparison
+    pipe_plain.strength = 1.0
+    out_plain = np.asarray(pipe_plain(text, mask, pooled, seed=1))
+    np.testing.assert_allclose(out_cn, out_plain, rtol=1e-5, atol=1e-6)
+
+    # randomized projections => base image shapes the output
+    cn_params2 = jax.tree.map(
+        lambda x: x + 0.05 * jax.random.normal(
+            jax.random.PRNGKey(8), x.shape, x.dtype), cn_params)
+    outs = []
+    for seed_base in (1, 2):
+        # different base seeds -> different control images, same up noise
+        p = FluxUpscalePipeline(base=mk(64), up=mk(128), controlnet=cn,
+                                controlnet_params=cn_params2)
+        base_tokens = p.base(text, mask, pooled, seed=seed_base)
+        b = base_tokens.shape[0]
+        grid = base_tokens.reshape(b, 4, 4, -1)
+        grid = jnp.repeat(jnp.repeat(grid, 2, axis=1), 2, axis=2)
+        control = grid.reshape(b, 64, -1)
+        control_h = jnp.take(control, p.up.h2l, axis=1)
+        fn = p._controlnet_fn(control_h, text, pooled)
+        outs.append(np.asarray(p.up(text, mask, pooled, seed=99,
+                                    controlnet_fn=fn)))
+    assert np.isfinite(outs[0]).all()
+    assert np.abs(outs[0] - outs[1]).max() > 1e-6
