@@ -105,23 +105,47 @@ def _interpret() -> bool:
     import jax
     return jax.default_backend() == "cpu"
 
+
+def _from_ckpt(args, family):
+    """Assemble (cfg, params, encoders, vae_encode, vae_decode) from a
+    local diffusers snapshot (reference: one from_pretrained call gives
+    text-encode -> denoise -> VAE decode -> mp4, main_hunyuan.py:232-292)."""
+    from ..models.pretrained import (load_transformer, load_vae,
+                                     load_text_encoders)
+    cfg, params = load_transformer(family, args.ckpt_dir)
+    video = family != "flux"
+    vae_encode, vae_decode = load_vae(args.ckpt_dir, video=video)
+    encoders = load_text_encoders(family, args.ckpt_dir)
+    return cfg, params, encoders, vae_encode, vae_decode
+
+
+def _encode_prompt(encoders, prompt, dim, max_len, negative=""):
+    """(cond, mask), (uncond, umask) through the primary encoder, or the
+    hash fallback when no checkpoint encoders exist."""
+    import jax.numpy as jnp
+    if encoders:
+        enc = encoders[0]
+        emb, mask = enc(prompt)
+        nemb, nmask = enc(negative)
+        return ((jnp.asarray(emb), jnp.asarray(mask)),
+                (jnp.asarray(nemb), jnp.asarray(nmask)))
+    c = _random_text(prompt, max_len, dim)
+    u = _random_text(negative or "", max_len, dim)
+    return c, u
+
+
 def build_hunyuan(args):
     import jax.numpy as jnp
     from ..models.hunyuan import HunyuanVideoConfig, HunyuanVideoDiT
     from ..pipelines import HunyuanVideoPipeline
     if args.ckpt_dir:
-        # real checkpoint: safetensors snapshot dir (transformer subfolder)
-        import jax
-        from ..models.weights import (load_safetensors_dir, convert_hunyuan,
-                                      assign_dtype)
-        cfg = HunyuanVideoConfig()
+        cfg, params, encoders, _, vae_decode = _from_ckpt(args, "hunyuan")
         model = HunyuanVideoDiT(cfg)
-        sd = load_safetensors_dir(args.ckpt_dir)
-        params = assign_dtype(
-            convert_hunyuan(sd, cfg.num_dual_blocks, cfg.num_single_blocks,
-                            cfg.num_refiner_blocks, cfg.pooled_dim,
-                            cfg.text_dim), jnp.bfloat16)
-        text, mask = _random_text(args.prompt, 256, cfg.text_dim)
+        (text, mask), _ = _encode_prompt(encoders, args.prompt,
+                                         cfg.text_dim, 256)
+        pooled = None
+        if len(encoders) > 1:    # CLIP pooled prompt embeds
+            pooled = jnp.asarray(encoders[1].pooled(args.prompt))
         pipe = HunyuanVideoPipeline(
             model=model, params=params, height=args.height,
             width=args.width, frames=args.frame, num_steps=args.num_steps,
@@ -129,8 +153,9 @@ def build_hunyuan(args):
             p_remain_rates=args.p_remain_rates,
             mode="flash" if args.mode == "torch" else args.mode,
             enable_teacache=args.enable_teacache,
-            rel_l1_thresh=args.teacache_thresh, interpret=_interpret())
-        return pipe, (text, mask)
+            rel_l1_thresh=args.teacache_thresh, interpret=_interpret(),
+            vae_decode=vae_decode)
+        return pipe, (text, mask, pooled)
     else:
         s = args.scale
         cfg = HunyuanVideoConfig(
@@ -201,6 +226,50 @@ def build_wan(args):
     ti2v_image = args.model == "wan22-ti2v" and args.image is not None
     vae_stride = (4, 32, 32) if args.model == "wan22-ti2v" else (4, 16, 16)
     latent_ch = 16
+
+    if args.ckpt_dir:
+        from ..pipelines.wan import i2v_condition, ti2v_first_frame
+        cfg, params, encoders, vae_encode, vae_decode = _from_ckpt(
+            args, "wan")
+        model = WanDiT(cfg)
+        (text, _), (neg, _) = _encode_prompt(encoders, args.prompt,
+                                             cfg.text_dim, 512)
+        pipe = WanPipeline(
+            model=model, params=params, height=args.height,
+            width=args.width, frames=args.frame, num_steps=args.num_steps,
+            sa_drop_rate=args.sa_drop_rate,
+            p_remain_rates=args.p_remain_rates,
+            mode="flash" if args.mode == "torch" else args.mode,
+            enable_teacache=args.enable_teacache,
+            teacache_thresh=args.teacache_thresh,
+            use_ret_steps=args.use_ret_steps, vae_stride=vae_stride,
+            is_i2v=is_i2v, interpret=_interpret(),
+            warm_last_layers=2 if args.model in ("wan22-t2v", "wan22-i2v")
+            else 0,
+            scheduler="euler" if is_22 else "unipc", vae_decode=vae_decode)
+        extra = {}
+        if args.image is not None and vae_encode is not None and (
+                is_i2v or args.model == "wan22-ti2v"):
+            img = _load_image(args.image, args.height, args.width)
+            if args.model == "wan22-ti2v":
+                extra["first_frame"] = ti2v_first_frame(img, vae_encode)
+            else:
+                extra["condition"] = i2v_condition(
+                    img, args.frame, vae_encode, lt=pipe.grid[0])
+        if args.model in ("wan22-t2v", "wan22-i2v"):
+            # A14B: transformer_2 lives beside transformer in the snapshot
+            import dataclasses as _dc
+            import os as _os
+            low = pipe
+            t2 = _os.path.join(args.ckpt_dir, "transformer_2")
+            if _os.path.isdir(t2):
+                from ..models.pretrained import load_transformer
+                cfg2, params2 = load_transformer(
+                    "wan", args.ckpt_dir + "/transformer_2")
+                low = _dc.replace(pipe, model=WanDiT(cfg2), params=params2)
+            return Wan22A14BPipeline(high=pipe, low=low), (text, neg), extra
+        return pipe, (text, neg), extra
+
     cfg = WanConfig(
         # I2V transformers take [noise 16 | mask 4 | image latents 16]
         # (reference: main_wan21i2v.py feeds an in_channels-36 model)
@@ -273,6 +342,30 @@ def build_cogvideox(args):
     s = args.scale
     is_i2v = args.model.endswith("i2v")
     latent_ch = 16
+
+    if args.ckpt_dir:
+        from ..pipelines.cogvideox import cog_i2v_condition
+        cfg, params, encoders, vae_encode, vae_decode = _from_ckpt(
+            args, "cogvideox")
+        model = CogVideoXDiT(cfg)
+        (text, _), (neg, _) = _encode_prompt(encoders, args.prompt,
+                                             cfg.text_dim, 226)
+        pipe = CogVideoXPipeline(
+            model=model, params=params, height=args.height,
+            width=args.width, frames=args.frame, num_steps=args.num_steps,
+            sa_drop_rate=args.sa_drop_rate,
+            p_remain_rates=args.p_remain_rates,
+            mode="flash" if args.mode == "torch" else args.mode,
+            enable_teacache=args.enable_teacache,
+            teacache_thresh=args.teacache_thresh,
+            is_i2v=is_i2v, interpret=_interpret(), vae_decode=vae_decode)
+        extra = {}
+        if is_i2v and args.image is not None and vae_encode is not None:
+            img = _load_image(args.image, args.height, args.width)
+            extra["condition"] = cog_i2v_condition(img, vae_encode,
+                                                   pipe.grid)
+        return pipe, (text, neg), extra
+
     hidden = max(128, int(3072 * s) // 64 * 64)
     cfg = CogVideoXConfig(
         # I2V: image latents concatenated along channels -> in_channels 32
@@ -311,6 +404,30 @@ def build_flux(args):
     from ..models.flux import FluxConfig, FluxDiT
     from ..pipelines import FluxPipeline, FluxUpscalePipeline
     s = args.scale
+
+    if args.ckpt_dir:
+        cfg, params, encoders, _, vae_decode = _from_ckpt(args, "flux")
+        model = FluxDiT(cfg)
+        (text, mask), _ = _encode_prompt(encoders, args.prompt,
+                                         cfg.text_dim, 512)
+        pooled = jnp.zeros((1, cfg.pooled_dim))
+        if len(encoders) > 1:
+            pooled = jnp.asarray(encoders[1].pooled(args.prompt))
+
+        def mk(hh, ww, steps):
+            return FluxPipeline(
+                model=model, params=params, height=hh, width=ww,
+                num_steps=steps, sa_drop_rate=args.sa_drop_rate,
+                p_remain_rates=args.p_remain_rates,
+                mode="flash" if args.mode == "torch" else args.mode,
+                enable_teacache=args.enable_teacache,
+                rel_l1_thresh=args.teacache_thresh, interpret=_interpret(),
+                vae_decode=vae_decode)
+
+        base = mk(args.height // 4, args.width // 4, args.num_steps)
+        up = mk(args.height, args.width, args.num_steps)
+        return FluxUpscalePipeline(base=base, up=up), (text, mask, pooled)
+
     cfg = FluxConfig(
         hidden_dim=max(128, int(3072 * s) // 128 * 128),
         heads=max(1, int(24 * s)), num_dual_blocks=max(1, int(19 * s)),
@@ -375,9 +492,20 @@ def main(argv=None):
     os.makedirs(args.out_dir, exist_ok=True)
     stamp = datetime.fromtimestamp(time.time()).strftime("%m-%d-%H:%M:%S")
     # elapsed denoise seconds in the filename, as the reference does
-    path = os.path.join(
-        args.out_dir, f"{stamp}_{args.model}_{pipe.denoise_seconds:.0f}s.npy")
-    np.save(path, np.asarray(latents))
+    # (main_hunyuan.py:288-292); decoded pixels go to mp4/png, raw
+    # latents to .npy
+    stem = os.path.join(
+        args.out_dir, f"{stamp}_{args.model}_{pipe.denoise_seconds:.0f}s")
+    arr = np.asarray(latents)
+    if arr.ndim == 5 and arr.shape[1] == 3:          # [B,3,F,H,W] pixels
+        from ..utils.video import save_video
+        path = save_video(arr[0].transpose(1, 2, 3, 0), stem + ".mp4")
+    elif arr.ndim == 4 and arr.shape[1] == 3:        # [B,3,H,W] image
+        from ..utils.video import save_image
+        path = save_image(arr[0].transpose(1, 2, 0), stem + ".png")
+    else:
+        path = stem + ".npy"
+        np.save(path, arr)
     print(json.dumps({
         "output": path,
         "denoise_seconds": round(pipe.denoise_seconds, 2),

@@ -52,6 +52,7 @@ def _sparse_attn_kernel(
     # SMEM inputs (trailing block dims equal the array dims — required by
     # the Pallas TPU lowering for sub-(8,128) blocks)
     counts_ref,      # [1, 1, 1, 1]  int32  — kept blocks for this (bh, q)
+    clean_ref,       # [1, 1, 1, 1]  int32  — leading mask-free slot count
     tlen_ref,        # [1, 1, 1]     int32  — runtime effective text length
     idx_ref,         # [1, 1, 1, NB] int32  — compacted key-block indices
     # VMEM / HBM inputs
@@ -68,18 +69,26 @@ def _sparse_attn_kernel(
     text_start: int | None,  # static: text region offset (None = no text)
     return_stats: bool = False,
 ):
+    """Two-phase chunk loop: the ascending compacted index list puts every
+    window-sensitive block (padded boundary visual block, text blocks) at
+    the END, so the leading ``clean`` slots run a mask-free body with no
+    per-lane scalar reads; only the 1-2 tail chunks pay for column
+    coordinates and window tests (measured bit-exact vs the single-phase
+    kernel on realistic masks)."""
     if return_stats:
         m_ref, l_ref, kv_buf, sems = maybe_stats
     else:
         kv_buf, sems = maybe_stats
     bh = pl.program_id(0)
     count = counts_ref[0, 0, 0, 0]
+    clean = clean_ref[0, 0, 0, 0]
     tlen = tlen_ref[0, 0, 0]
     bm = q_ref.shape[1]
     d = q_ref.shape[2]
     g = chunk_blocks
     nb = idx_ref.shape[-1]
     num_chunks = (count + g - 1) // g
+    clean_chunks = clean // g        # chunks fully below the dirty tail
 
     def block_dma(buf_slot, lane, block_idx):
         return pltpu.make_async_copy(
@@ -112,8 +121,36 @@ def _sparse_attn_kernel(
         jnp.zeros((bm, d), jnp.float32),                # output accumulator
     )
 
-    def body(c, carry):
+    def softmax_update(carry, s, v):
         m_prev, l_prev, acc = carry
+        m_cur = jnp.max(s, axis=1, keepdims=True)
+        m_next = jnp.maximum(m_prev, m_cur)
+        alpha = jnp.exp(m_prev - m_next)
+        p = jnp.exp(s - m_next)
+        l_next = alpha * l_prev + jnp.sum(p, axis=1, keepdims=True)
+        acc = acc * alpha + jax.lax.dot(
+            p.astype(v.dtype), v, preferred_element_type=jnp.float32)
+        return m_next, l_next, acc
+
+    def body_clean(c, carry):
+        buf_slot = jax.lax.rem(c, 2)
+
+        @pl.when(c + 1 < num_chunks)
+        def _():
+            start_chunk(1 - buf_slot, c + 1)
+        for lane in range(g):
+            # waits only need the copy SIZE (the semaphore amount), not
+            # the source address — no idx reads in the clean body
+            block_dma(buf_slot, lane, jnp.int32(0)).wait()
+        kv = kv_buf[buf_slot]
+        k = kv[:, :, :d].reshape(g * block_n, d)
+        v = kv[:, :, d:].reshape(g * block_n, d)
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        return softmax_update(carry, s, v)
+
+    def body_tail(c, carry):
         buf_slot = jax.lax.rem(c, 2)
         base = c * g
 
@@ -147,17 +184,11 @@ def _sparse_attn_kernel(
             (cols < visual_len) |
             ((cols >= text_start) & (cols < text_start + tlen)))
         s = jnp.where(valid, s, MASK_VALUE)
+        return softmax_update(carry, s, v)
 
-        m_cur = jnp.max(s, axis=1, keepdims=True)
-        m_next = jnp.maximum(m_prev, m_cur)
-        alpha = jnp.exp(m_prev - m_next)
-        p = jnp.exp(s - m_next)
-        l_next = alpha * l_prev + jnp.sum(p, axis=1, keepdims=True)
-        acc = acc * alpha + jax.lax.dot(
-            p.astype(v.dtype), v, preferred_element_type=jnp.float32)
-        return m_next, l_next, acc
-
-    m, l, acc = jax.lax.fori_loop(0, num_chunks, body, init)
+    carry = jax.lax.fori_loop(0, clean_chunks, body_clean, init)
+    m, l, acc = jax.lax.fori_loop(clean_chunks, num_chunks, body_tail,
+                                  carry)
     l_inv = jnp.where(l == 0.0, 1.0, 1.0 / l)
     o_ref[0] = (acc * l_inv).astype(o_ref.dtype)
     if return_stats:
@@ -429,6 +460,17 @@ def block_sparse_flash_attention(
     counts_f = counts.reshape(bh, nq, 1, 1)
     tlen_f = jnp.repeat(text_len.astype(jnp.int32), h).reshape(bh, 1, 1)
 
+    # Leading mask-free prefix per row (two-phase split): slots whose block
+    # is entirely inside the valid visual window.  Computed as a strict
+    # PREFIX so non-ascending index lists degrade gracefully to the fully
+    # masked path instead of mis-skipping masks.
+    cb = visual_len // block_n
+    slot = jnp.arange(nb, dtype=jnp.int32)
+    dirty = (indices >= cb) | (slot >= counts[..., None])
+    clean = jnp.sum(jnp.cumsum(dirty.astype(jnp.int32), axis=-1) == 0,
+                    axis=-1).astype(jnp.int32)
+    clean_f = clean.reshape(bh, nq, 1, 1)
+
     kernel = functools.partial(
         _sparse_attn_kernel,
         block_n=block_n,
@@ -459,6 +501,8 @@ def block_sparse_flash_attention(
         in_specs=[
             pl.BlockSpec((1, 1, 1, 1), lambda i, j: (i, j, 0, 0),
                          memory_space=pltpu.SMEM),            # counts
+            pl.BlockSpec((1, 1, 1, 1), lambda i, j: (i, j, 0, 0),
+                         memory_space=pltpu.SMEM),            # clean prefix
             pl.BlockSpec((1, 1, 1), lambda i, j: (i, 0, 0),
                          memory_space=pltpu.SMEM),            # text_len
             pl.BlockSpec((1, 1, 1, nb), lambda i, j: (i, j, 0, 0),
@@ -476,7 +520,7 @@ def block_sparse_flash_attention(
             dimension_semantics=("parallel", "arbitrary"),
         ),
         interpret=interpret,
-    )(counts_f, tlen_f, idx_f, qf, kv)
+    )(counts_f, clean_f, tlen_f, idx_f, qf, kv)
     if return_stats:
         o, m, l = out
         return (o.reshape(b, h, sq, d),

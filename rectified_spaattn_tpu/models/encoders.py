@@ -80,6 +80,19 @@ class TransformersTextEncoder:
         mask = toks["attention_mask"].bool().numpy()
         return emb * mask[..., None], mask
 
+    def pooled(self, prompt: str, dim: int = 0, batch: int = 1):
+        """CLIP pooled projection (pooler_output) — the Hunyuan/Flux
+        conditioning-sum input the reference pipelines feed as
+        pooled_prompt_embeds."""
+        import torch
+        self._load()
+        toks = self._tok([prompt] * batch, return_tensors="pt",
+                         padding="max_length", truncation=True,
+                         max_length=self.max_len)
+        with torch.no_grad():
+            out = self._model.text_model(**toks)
+        return out.pooler_output.float().numpy()
+
 
 def make_text_encoder(model_dir: Optional[str], dim: int, max_len: int,
                       kind: str = "t5"):

@@ -35,6 +35,7 @@ class VAEConfig:
     video: bool = True             # 5-D [B,C,T,H,W] vs 4-D [B,C,H,W]
     mid_attention: bool = True     # spatial self-attn in the mid block
                                    # (every diffusers family in scope has it)
+    quant_conv: bool = False       # AutoencoderKL 1x1 (post_)quant_conv
     scaling_factor: float = 0.476986
     # per-channel latent normalisation (AutoencoderKLWan latents_mean/std;
     # None = scalar scaling_factor only)
@@ -154,6 +155,10 @@ class VAEDecoder(nn.Module):
                 ) if c.video else (
                 lambda f, name: nn.Conv(f, (3, 3), padding="SAME", name=name))
 
+        if c.quant_conv:
+            # AutoencoderKL post_quant_conv: 1x1 over latent channels
+            k1 = (1, 1, 1) if c.video else (1, 1)
+            x = nn.Conv(c.latent_channels, k1, name="post_quant_conv")(x)
         x = conv(ch[0], "conv_in")(x)
         x = ResnetBlock(ch[0], c.video, c.causal, name="mid_res1")(x)
         if c.mid_attention:
@@ -161,7 +166,9 @@ class VAEDecoder(nn.Module):
         x = ResnetBlock(ch[0], c.video, c.causal, name="mid_res2")(x)
 
         for i, f in enumerate(ch):
-            for j in range(c.layers_per_block):
+            # diffusers decoder up-blocks carry layers_per_block + 1
+            # resnets (UpDecoderBlock2D convention) — kept for 1:1 weights
+            for j in range(c.layers_per_block + 1):
                 x = ResnetBlock(f, c.video, c.causal,
                                 name=f"up{i}_res{j}")(x)
             s_up = c.spatial_upsample[i]
@@ -248,6 +255,9 @@ class VAEEncoder(nn.Module):
         x = nn.GroupNorm(num_groups=min(32, x.shape[-1]), name="norm_out")(x)
         x = nn.silu(x)
         x = conv(2 * c.latent_channels, "conv_out")(x)
+        if c.quant_conv:
+            k1 = (1, 1, 1) if c.video else (1, 1)
+            x = nn.Conv(2 * c.latent_channels, k1, name="quant_conv")(x)
         mean = jnp.moveaxis(x, -1, 1)[:, :c.latent_channels]
         return normalize_latents(mean, c)
 

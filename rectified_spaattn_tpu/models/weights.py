@@ -443,3 +443,100 @@ def assign_dtype(params, dtype):
     return jax.tree_util.tree_map(
         lambda x: jnp.asarray(x, dtype) if np.issubdtype(
             np.asarray(x).dtype, np.floating) else jnp.asarray(x), params)
+
+
+# ---------------------------------------------------------------------------
+# VAE converters (diffusers AutoencoderKL / KLHunyuanVideo / KLWan /
+# KLCogVideoX family layout: conv_in → mid(resnet, attention, resnet) →
+# up/down blocks → conv_norm_out → conv_out, plus optional quant convs)
+# ---------------------------------------------------------------------------
+
+def _conv(sd, prefix):
+    """torch conv [out, in, *k] → flax Conv kernel [*k, in, out]."""
+    w = np.asarray(sd[prefix + ".weight"])
+    nd = w.ndim
+    perm = tuple(range(2, nd)) + (1, 0)
+    p = {"kernel": np.ascontiguousarray(w.transpose(perm))}
+    if prefix + ".bias" in sd:
+        p["bias"] = np.asarray(sd[prefix + ".bias"])
+    return p
+
+
+def _vae_conv(sd, prefix, video):
+    """Our video convs are CausalConv3d modules with a child nn.Conv
+    named 'conv'; image convs are bare nn.Conv."""
+    c = _conv(sd, prefix)
+    return {"conv": c} if video else c
+
+
+def _vae_resnet(sd, prefix, video):
+    p = {
+        "norm1": _ln(sd, prefix + ".norm1"),
+        "conv1": _vae_conv(sd, prefix + ".conv1", video),
+        "norm2": _ln(sd, prefix + ".norm2"),
+        "conv2": _vae_conv(sd, prefix + ".conv2", video),
+    }
+    if prefix + ".conv_shortcut.weight" in sd:
+        p["conv_shortcut"] = _vae_conv(sd, prefix + ".conv_shortcut", video)
+    return p
+
+
+def _vae_mid(sd, prefix, video, p):
+    p["mid_res1"] = _vae_resnet(sd, prefix + ".resnets.0", video)
+    p["mid_res2"] = _vae_resnet(sd, prefix + ".resnets.1", video)
+    attn = prefix + ".attentions.0"
+    if attn + ".to_q.weight" in sd:
+        p["mid_attn"] = {
+            "group_norm": _ln(sd, attn + ".group_norm"),
+            "to_q": _dense(sd[attn + ".to_q.weight"],
+                           sd.get(attn + ".to_q.bias")),
+            "to_k": _dense(sd[attn + ".to_k.weight"],
+                           sd.get(attn + ".to_k.bias")),
+            "to_v": _dense(sd[attn + ".to_v.weight"],
+                           sd.get(attn + ".to_v.bias")),
+            "to_out": _dense(sd[attn + ".to_out.0.weight"],
+                             sd.get(attn + ".to_out.0.bias")),
+        }
+    return p
+
+
+def convert_vae_decoder(sd: dict, num_up_blocks: int, layers_per_block: int,
+                        video: bool = True) -> dict:
+    """diffusers VAE ``decoder.*`` keys → VAEDecoder params.
+
+    Decoder up-blocks carry layers_per_block + 1 resnets (diffusers
+    UpDecoderBlock convention).  Reference pipelines load these VAEs via
+    ``from_pretrained`` (scripts/main_hunyuan.py:233-238)."""
+    p: dict = {"conv_in": _vae_conv(sd, "decoder.conv_in", video)}
+    _vae_mid(sd, "decoder.mid_block", video, p)
+    for i in range(num_up_blocks):
+        for j in range(layers_per_block + 1):
+            p[f"up{i}_res{j}"] = _vae_resnet(
+                sd, f"decoder.up_blocks.{i}.resnets.{j}", video)
+        up = f"decoder.up_blocks.{i}.upsamplers.0.conv"
+        if up + ".weight" in sd:
+            p[f"up{i}_conv"] = _vae_conv(sd, up, video)
+    p["norm_out"] = _ln(sd, "decoder.conv_norm_out")
+    p["conv_out"] = _vae_conv(sd, "decoder.conv_out", video)
+    if "post_quant_conv.weight" in sd:
+        p["post_quant_conv"] = _conv(sd, "post_quant_conv")
+    return {"params": p}
+
+
+def convert_vae_encoder(sd: dict, num_down_blocks: int,
+                        layers_per_block: int, video: bool = True) -> dict:
+    """diffusers VAE ``encoder.*`` keys → VAEEncoder params."""
+    p: dict = {"conv_in": _vae_conv(sd, "encoder.conv_in", video)}
+    for i in range(num_down_blocks):
+        for j in range(layers_per_block):
+            p[f"down{i}_res{j}"] = _vae_resnet(
+                sd, f"encoder.down_blocks.{i}.resnets.{j}", video)
+        dn = f"encoder.down_blocks.{i}.downsamplers.0.conv"
+        if dn + ".weight" in sd:
+            p[f"down{i}_down"] = {"conv": _conv(sd, dn)}
+    _vae_mid(sd, "encoder.mid_block", video, p)
+    p["norm_out"] = _ln(sd, "encoder.conv_norm_out")
+    p["conv_out"] = _vae_conv(sd, "encoder.conv_out", video)
+    if "quant_conv.weight" in sd:
+        p["quant_conv"] = _conv(sd, "quant_conv")
+    return {"params": p}

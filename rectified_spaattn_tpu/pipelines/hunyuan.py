@@ -58,10 +58,10 @@ class HunyuanVideoPipeline:
         self.timer = StageTimer()
         m = self.model
 
-        def embed(params, latents, t, text, mask, guidance):
+        def embed(params, latents, t, text, mask, guidance, pooled):
             x, ctx, temb, rope = m.apply(
                 params, latents, t, text, mask, guidance, self.h2l,
-                method=HunyuanVideoDiT.embed)
+                pooled, method=HunyuanVideoDiT.embed)
             sig = m.apply(params, x, temb,
                           method=HunyuanVideoDiT.teacache_signal)
             return x, ctx, temb, rope, sig
@@ -82,11 +82,15 @@ class HunyuanVideoPipeline:
         self._head = jax.jit(head)
 
     def denoise(self, latents, text_emb, text_mask, rng=None,
-                num_steps: Optional[int] = None):
+                pooled=None, num_steps: Optional[int] = None):
         """Run the scheduler loop; returns final latents.
 
         latents: [B, C, T', H', W'] initial noise in LATENT grid units.
         text_emb: [B, text_len, text_dim] (padded); text_mask: [B, text_len].
+        pooled: [B, pooled_dim] CLIP pooled prompt embedding — the
+        reference pipeline supplies this to the conditioning sum
+        (HunyuanVideoPipeline pooled_prompt_embeds); None falls back to a
+        learned mean-LLaMA projection for checkpoint-less runs.
         """
         steps = num_steps or self.num_steps
         sched = FlowMatchEulerScheduler(steps, shift=self.flow_shift)
@@ -102,7 +106,8 @@ class HunyuanVideoPipeline:
         for i, t in enumerate(sched.timesteps):
             ts = jnp.full((latents.shape[0],), float(t))
             x, ctx, temb, rope, sig = self._embed(
-                self.params, latents, ts, text_emb, text_mask, guidance)
+                self.params, latents, ts, text_emb, text_mask, guidance,
+                pooled)
             if tea.enabled and not tea.should_compute(sig):
                 x = tea.apply_residual(x)
             else:
@@ -118,7 +123,7 @@ class HunyuanVideoPipeline:
         self.teacache_stats = tea.stats()
         return latents
 
-    def __call__(self, text_emb, text_mask, seed: int = 42,
+    def __call__(self, text_emb, text_mask, pooled=None, seed: int = 42,
                  num_steps: Optional[int] = None):
         cfg = self.model.cfg
         rng = jax.random.PRNGKey(seed)
@@ -126,7 +131,7 @@ class HunyuanVideoPipeline:
         latents = jax.random.normal(
             rng, (b, cfg.in_channels, self.grid[0], self.grid[1],
                   self.grid[2]), jnp.float32)
-        latents = self.denoise(latents, text_emb, text_mask)
+        latents = self.denoise(latents, text_emb, text_mask, pooled=pooled)
         if self.vae_decode is not None:
             return self.vae_decode(latents)
         return latents

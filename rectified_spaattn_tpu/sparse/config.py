@@ -49,6 +49,11 @@ class SparseConfig:
     # the fp32 score tile is group_rows*128 x chunk_blocks*128).  0 picks
     # a VMEM-safe default per group size.
     chunk_blocks: int = 0
+    # top-p/top-k selection implementation: "bisect" replaces the plan
+    # build's dominant [B,H,NQ,NK] value sort with threshold bisection
+    # (same kept set up to sub-float-resolution near-ties); "sort" is the
+    # round-1 implementation kept as an oracle.
+    topp_impl: str = "bisect"
 
     def __post_init__(self):
         if self.layout not in ("joint", "visual"):

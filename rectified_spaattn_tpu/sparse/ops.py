@@ -126,6 +126,53 @@ def topp_threshold_onehot(probs: jax.Array, p_remain: float,
     return probs >= thresh
 
 
+def topp_threshold_onehot_bisect(probs: jax.Array, p_remain: float,
+                                 top_k_floor: int,
+                                 iters: int = 32) -> jax.Array:
+    """Sort-free top-p/top-k selection via threshold bisection.
+
+    Selects the same set as :func:`topp_threshold_onehot` — keep =
+    probs >= t* where t* = min(t_p, t_k), t_p the top-p cut value and t_k
+    the top_k_floor-th largest — but finds t* by bisecting the probability
+    range instead of sorting: both "cumulative mass of {p >= t} exceeds
+    p_remain" and "count of {p >= t} >= floor" are decreasing in t, so
+    their AND bisects as one predicate.  Bit-pattern halvings separate any
+    two distinct fp32 probabilities; exact ties are kept together
+    by construction (>=).  Replaces the plan build's dominant cost (the
+    [B,H,NQ,NK] value sort) with cheap masked reductions.
+    """
+    nk = probs.shape[-1]
+    if p_remain >= 1.0:
+        # total mass never exceeds the threshold -> keep every block
+        # (matches the sort version's counts = nk clip)
+        return jnp.ones(probs.shape, bool)
+    floor = jnp.float32(max(top_k_floor, 1))
+    pf = probs.astype(jnp.float32)
+    # bisect on the fp32 BIT PATTERN: non-negative float bits are order-
+    # isomorphic to their values, so 30 halvings resolve to ADJACENT
+    # floats across all magnitudes (linear bisection cannot separate the
+    # tiny tail probabilities of a peaked softmax)
+    bits = lambda x: jax.lax.bitcast_convert_type(x, jnp.int32)
+    lo = bits(jnp.maximum(jnp.min(pf, axis=-1, keepdims=True), 0.0))
+    hi = bits(jnp.max(pf, axis=-1, keepdims=True)) + 1
+
+    def body(_, lohi):
+        lo, hi = lohi
+        mid = (lo + hi) // 2
+        t = jax.lax.bitcast_convert_type(mid, jnp.float32)
+        ge = pf >= t
+        mass = jnp.sum(jnp.where(ge, pf, 0.0), axis=-1, keepdims=True)
+        cnt = jnp.sum(ge, axis=-1, keepdims=True).astype(jnp.float32)
+        # both predicates are decreasing in t; their AND is true exactly
+        # for t <= min(t_p, t_k) — the combined keep threshold
+        ok = (mass > p_remain) & (cnt >= floor)
+        return jnp.where(ok, mid, lo), jnp.where(ok, hi, mid)
+
+    lo, hi = jax.lax.fori_loop(0, iters, body, (lo, hi))
+    t_final = jax.lax.bitcast_convert_type(lo, jnp.float32)
+    return pf >= t_final
+
+
 def counts_to_onehot(counts: jax.Array, order: jax.Array) -> jax.Array:
     """Scatter the first ``counts`` columns of each row's descending order
     into a boolean mask — the static-shape equivalent of the reference's

@@ -102,8 +102,9 @@ def build_sparse_plan(
             q_blocks, _blockify(key, bn), q_pool, k_pool_vis, scores_unscaled)
 
     # Top-p with top-k floor over the (IPAR'd) probabilities.
-    onehot_sel = ops.topp_threshold_onehot(
-        probs, cfg.p_remain, cfg.top_k_floor)
+    select = (ops.topp_threshold_onehot_bisect
+              if cfg.topp_impl == "bisect" else ops.topp_threshold_onehot)
+    onehot_sel = select(probs, cfg.p_remain, cfg.top_k_floor)
 
     # Assemble the kernel-visible mask over all key blocks.
     nb_total = key.shape[2] // bn

@@ -61,6 +61,8 @@ def build_variant_kernel(variant, block_n, chunk_blocks, sm_scale,
     from jax.experimental.pallas import tpu as pltpu
     from rectified_spaattn_tpu.kernels.block_sparse import MASK_VALUE
 
+    nbuf = 3 if variant.endswith("3") else 2
+
     def kernel(counts_ref, tlen_ref, idx_ref, q_ref, kv_hbm, o_ref,
                kv_buf, sems):
         bh = pl.program_id(0)
@@ -73,6 +75,7 @@ def build_variant_kernel(variant, block_n, chunk_blocks, sm_scale,
         num_chunks = (count + g - 1) // g
 
         half = variant == "dmahalf"
+        big = variant == "dmabig"
 
         def block_dma(buf_slot, lane, block_idx):
             if half:     # half the rows -> half the bytes, same descriptor
@@ -85,8 +88,23 @@ def build_variant_kernel(variant, block_n, chunk_blocks, sm_scale,
                 kv_buf.at[buf_slot, lane],
                 sems.at[buf_slot, lane])
 
+        def chunk_dma(buf_slot, first_idx):
+            # BW-ceiling probe: ONE contiguous g-block (1 MB) copy per
+            # chunk anchored at the chunk's first index (results wrong;
+            # the big variant allocates a flat [g*bn, 2D] buffer)
+            return pltpu.make_async_copy(
+                kv_hbm.at[bh, pl.ds(first_idx * block_n, g * block_n)],
+                kv_buf.at[buf_slot],
+                sems.at[buf_slot, 0])
+
         def start_chunk(buf_slot, chunk_idx):
             base = chunk_idx * g
+            if big:
+                pos = jnp.minimum(base, nb - 1)
+                idx = jnp.minimum(idx_ref[0, 0, 0, pos],
+                                  (kv_hbm.shape[1] // block_n) - g)
+                chunk_dma(buf_slot, idx).start()
+                return
             for lane in range(g):
                 pos = jnp.minimum(base + lane, nb - 1)
                 block_dma(buf_slot, lane, idx_ref[0, 0, 0, pos]).start()
@@ -96,6 +114,10 @@ def build_variant_kernel(variant, block_n, chunk_blocks, sm_scale,
             @pl.when(count > 0)
             def _():
                 start_chunk(0, 0)
+                if nbuf == 3:
+                    @pl.when(num_chunks > 1)
+                    def _():
+                        start_chunk(1, 1)
 
         q = (q_ref[0].astype(jnp.float32) * sm_scale).astype(kv_buf.dtype)
         init = (jnp.full((bm, 1), -jnp.inf, jnp.float32),
@@ -104,12 +126,36 @@ def build_variant_kernel(variant, block_n, chunk_blocks, sm_scale,
 
         def body(c, carry):
             m_prev, l_prev, acc = carry
-            buf_slot = jax.lax.rem(c, 2)
+            buf_slot = jax.lax.rem(c, nbuf)
             base = c * g
             if use_dma:
-                @pl.when(c + 1 < num_chunks)
+                @pl.when(c + (nbuf - 1) < num_chunks)
                 def _():
-                    start_chunk(1 - buf_slot, c + 1)
+                    start_chunk(jax.lax.rem(c + nbuf - 1, nbuf),
+                                c + nbuf - 1)
+            if big:
+                pos = jnp.minimum(base, nb - 1)
+                idx = jnp.minimum(idx_ref[0, 0, 0, pos],
+                                  (kv_hbm.shape[1] // block_n) - g)
+                chunk_dma(buf_slot, idx).wait()
+                acc = acc + kv_buf[buf_slot, :1, :d].astype(jnp.float32)
+                return m_prev, l_prev, acc
+            if variant == "computeclean":
+                # clean-chunk body: no scalar reads, no cols, no masking —
+                # isolates the MXU+softmax cost from the lane machinery
+                kv = kv_buf[buf_slot]
+                k = kv[:, :, :d].reshape(g * block_n, d)
+                v = kv[:, :, d:].reshape(g * block_n, d)
+                s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                                        preferred_element_type=jnp.float32)
+                m_cur = jnp.max(s, axis=1, keepdims=True)
+                m_next = jnp.maximum(m_prev, m_cur)
+                alpha = jnp.exp(m_prev - m_next)
+                p = jnp.exp(s - m_next)
+                l_next = alpha * l_prev + jnp.sum(p, axis=1, keepdims=True)
+                acc = acc * alpha + jax.lax.dot(
+                    p.astype(v.dtype), v, preferred_element_type=jnp.float32)
+                return m_next, l_next, acc
             lane_cols = []
             for lane in range(g):
                 pos = jnp.minimum(base + lane, nb - 1)
@@ -516,6 +562,7 @@ def run_runs_variant(q, k, v, indices, counts, tlen, visual_len,
 
 def run_variant(variant, q, k, v, indices, counts, tlen, visual_len,
                 text_start, chunk_blocks=16, iters=4):
+    nbuf = 3 if variant.endswith("3") else 2
     import jax
     import jax.numpy as jnp
     from jax.experimental import pallas as pl
@@ -555,8 +602,10 @@ def run_variant(variant, q, k, v, indices, counts, tlen, visual_len,
             out_specs=pl.BlockSpec((1, 128, d), lambda i, j: (i, j, 0),
                                    memory_space=pltpu.VMEM),
             scratch_shapes=[
-                pltpu.VMEM((2, chunk_blocks, 128, 2 * d), k.dtype),
-                pltpu.SemaphoreType.DMA((2, chunk_blocks)),
+                (pltpu.VMEM((nbuf, chunk_blocks * 128, 2 * d), k.dtype)
+                 if variant == "dmabig" else
+                 pltpu.VMEM((nbuf, chunk_blocks, 128, 2 * d), k.dtype)),
+                pltpu.SemaphoreType.DMA((nbuf, chunk_blocks)),
             ],
             compiler_params=pltpu.CompilerParams(
                 dimension_semantics=("parallel", "arbitrary")),

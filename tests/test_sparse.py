@@ -251,3 +251,34 @@ def test_plan_jits_without_host_sync():
     f = jax.jit(lambda q, k, v: build_sparse_plan(q, k, v, cfg))
     plan = f(jnp.asarray(q), jnp.asarray(k), jnp.asarray(v))
     assert plan.block_mask.shape[-1] == (sv + st) // BM
+
+
+def test_bisect_topp_matches_sort_topp():
+    """Bisection selection must pick the same block set as the sort
+    implementation (up to sub-float-resolution near-ties) on both peaked
+    and flat distributions."""
+    import jax.numpy as jnp
+    from rectified_spaattn_tpu.sparse.ops import (
+        topp_threshold_onehot, topp_threshold_onehot_bisect)
+    g = np.random.default_rng(3)
+    for temp, floor in ((0.3, 4), (2.0, 4), (0.5, 1), (0.1, 12)):
+        logits = g.standard_normal((2, 3, 24, 40)).astype(np.float32) / temp
+        probs = jnp.asarray(
+            np.exp(logits) / np.exp(logits).sum(-1, keepdims=True))
+        a = np.asarray(topp_threshold_onehot(probs, 0.3, floor))
+        b = np.asarray(topp_threshold_onehot_bisect(probs, 0.3, floor))
+        agree = (a == b).mean()
+        assert agree > 0.999, (temp, floor, agree)
+        # invariants hold exactly: floor respected, top-p mass reached
+        cnt = b.sum(-1)
+        assert (cnt >= floor).all()
+        mass = np.where(np.asarray(b), np.asarray(probs), 0).sum(-1)
+        assert (mass > 0.3).all()
+
+
+def test_bisect_topp_full_density():
+    import jax.numpy as jnp
+    from rectified_spaattn_tpu.sparse.ops import topp_threshold_onehot_bisect
+    probs = jnp.asarray(np.full((1, 1, 4, 8), 1 / 8, np.float32))
+    out = np.asarray(topp_threshold_onehot_bisect(probs, 1.0, 1))
+    assert out.all()

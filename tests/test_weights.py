@@ -322,3 +322,106 @@ def test_cogvideox_converter_roundtrip():
     assert np.isfinite(np.asarray(out)).all()
     ref = model.init(jax.random.PRNGKey(2), latents, jnp.array([0.0]), text)
     assert_same_tree(ref, params)
+
+
+def synth_vae_sd(cfg, rng):
+    """Synthetic diffusers-named VAE state dict for the tiny video cfg."""
+    sd = {}
+    k3 = (3, 3, 3) if cfg.video else (3, 3)
+
+    def conv(name, out_c, in_c, k=None):
+        kk = k or k3
+        sd[name + ".weight"] = rng.standard_normal(
+            (out_c, in_c, *kk)).astype(np.float32) * 0.05
+        sd[name + ".bias"] = np.zeros(out_c, np.float32)
+
+    def gn(name, c):
+        sd[name + ".weight"] = np.ones(c, np.float32)
+        sd[name + ".bias"] = np.zeros(c, np.float32)
+
+    def lin(name, out_f, in_f):
+        sd[name + ".weight"] = rng.standard_normal(
+            (out_f, in_f)).astype(np.float32) * 0.05
+        sd[name + ".bias"] = np.zeros(out_f, np.float32)
+
+    def resnet(prefix, out_c, in_c):
+        gn(prefix + ".norm1", in_c)
+        conv(prefix + ".conv1", out_c, in_c)
+        gn(prefix + ".norm2", out_c)
+        conv(prefix + ".conv2", out_c, out_c)
+        if in_c != out_c:
+            conv(prefix + ".conv_shortcut", out_c, in_c, k=(1,) * len(k3))
+
+    def mid(prefix, c):
+        resnet(prefix + ".resnets.0", c, c)
+        resnet(prefix + ".resnets.1", c, c)
+        if cfg.mid_attention:
+            gn(prefix + ".attentions.0.group_norm", c)
+            for nm in ("to_q", "to_k", "to_v"):
+                lin(f"{prefix}.attentions.0.{nm}", c, c)
+            lin(prefix + ".attentions.0.to_out.0", c, c)
+
+    ch = list(cfg.block_out_channels)
+    rch = list(reversed(ch))
+    # decoder
+    conv("decoder.conv_in", rch[0], cfg.latent_channels)
+    mid("decoder.mid_block", rch[0])
+    prev = rch[0]
+    for i, f in enumerate(rch):
+        for j in range(cfg.layers_per_block + 1):
+            resnet(f"decoder.up_blocks.{i}.resnets.{j}",
+                   f, prev if j == 0 else f)
+            prev = f
+        if cfg.spatial_upsample[i] or (cfg.video and
+                                       cfg.temporal_upsample[i]):
+            conv(f"decoder.up_blocks.{i}.upsamplers.0.conv", f, f)
+    gn("decoder.conv_norm_out", rch[-1])
+    conv("decoder.conv_out", cfg.out_channels, rch[-1])
+    # encoder
+    conv("encoder.conv_in", ch[0], cfg.out_channels)
+    prev = ch[0]
+    n = len(ch)
+    for i, f in enumerate(ch):
+        for j in range(cfg.layers_per_block):
+            resnet(f"encoder.down_blocks.{i}.resnets.{j}",
+                   f, prev if j == 0 else f)
+            prev = f
+        if cfg.spatial_upsample[n - 1 - i] or (
+                cfg.video and cfg.temporal_upsample[n - 1 - i]):
+            conv(f"encoder.down_blocks.{i}.downsamplers.0.conv", f, f)
+    mid("encoder.mid_block", ch[-1])
+    gn("encoder.conv_norm_out", ch[-1])
+    conv("encoder.conv_out", 2 * cfg.latent_channels, ch[-1])
+    return sd
+
+
+def test_vae_converter_round_trip():
+    from rectified_spaattn_tpu.models.vae import (VAEConfig, VAEDecoder,
+                                                  VAEEncoder)
+    from rectified_spaattn_tpu.models.weights import (convert_vae_decoder,
+                                                      convert_vae_encoder)
+    cfg = VAEConfig(latent_channels=4, out_channels=3,
+                    block_out_channels=(8, 16), layers_per_block=1,
+                    temporal_upsample=(True, False),
+                    spatial_upsample=(True, False), video=True,
+                    mid_attention=True)
+    rng = np.random.default_rng(0)
+    sd = synth_vae_sd(cfg, rng)
+
+    dec = VAEDecoder(cfg)
+    lat = jnp.asarray(rng.standard_normal((1, 4, 2, 4, 4)), jnp.float32)
+    ref = dec.init(jax.random.PRNGKey(0), lat)
+    conv = convert_vae_decoder(sd, num_up_blocks=2, layers_per_block=1)
+    assert_same_tree(ref["params"], conv["params"])
+    out = dec.apply(jax.tree.map(jnp.asarray, conv), lat)
+    assert np.isfinite(np.asarray(out)).all()
+    assert out.shape == (1, 3, 3, 8, 8)
+
+    enc = VAEEncoder(cfg)
+    pix = jnp.asarray(rng.standard_normal((1, 3, 3, 8, 8)), jnp.float32)
+    ref_e = enc.init(jax.random.PRNGKey(0), pix)
+    conv_e = convert_vae_encoder(sd, num_down_blocks=2, layers_per_block=1)
+    assert_same_tree(ref_e["params"], conv_e["params"])
+    z = enc.apply(jax.tree.map(jnp.asarray, conv_e), pix)
+    assert np.isfinite(np.asarray(z)).all()
+    assert z.shape == (1, 4, 2, 4, 4)
