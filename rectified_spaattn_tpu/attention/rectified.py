@@ -112,9 +112,10 @@ def rectified_sparse_attention(
             pmask = jnp.pad(pmask, ((0, 0), (0, 0), (0, row_pad), (0, 0)))
             q_kern = jnp.pad(q_vis,
                              ((0, 0), (0, 0), (0, row_pad * bm), (0, 0)))
-        u_idx, u_counts, rowbits = group_rows(pmask, gr)
+        u_idx, u_counts, rowbits, u_clean = group_rows(
+            pmask, gr, clean_blocks=visual_len // cfg.block_n)
         sparse_out = block_sparse_flash_attention_grouped(
-            q_kern, k, v, u_idx, u_counts, rowbits, tlen, group=gr,
+            q_kern, k, v, u_idx, u_counts, rowbits, u_clean, tlen, group=gr,
             visual_len=visual_len, text_start=text_start,
             block_m=bm, block_n=cfg.block_n,
             chunk_blocks=cfg.kernel_chunk_blocks, interpret=interpret)

@@ -40,13 +40,84 @@ def run_vbench(video_dir: str, dimensions: Sequence[str] = VBENCH_DIMENSIONS,
     return {"available": True, "results": results}
 
 
-def run_visionreward(video_paths: Sequence[str]) -> dict:
-    """VisionReward VLM scoring (reference:
-    eval/video/VisionReward/inference-video.py) — requires the
-    THUDM/VisionReward-Video checkpoint."""
-    return {"available": False,
-            "reason": "VisionReward checkpoint not bundled",
-            "videos": len(list(video_paths))}
+def _visionreward_load():
+    """Load the VisionReward VLM + its question list and weight vector.
+    RSA_TPU_VISIONREWARD may point at a local checkpoint dir; the
+    questions/weights default to the files VisionReward ships
+    (reference: inference-video.py:11-20)."""
+    import torch
+    from transformers import AutoModelForCausalLM, AutoTokenizer
+    name = os.environ.get("RSA_TPU_VISIONREWARD", "THUDM/VisionReward-Video")
+    qpath = os.environ.get(
+        "RSA_TPU_VISIONREWARD_QA",
+        os.path.join(name, "VisionReward_video_qa_select.txt"))
+    wpath = os.environ.get("RSA_TPU_VISIONREWARD_WEIGHT",
+                           os.path.join(name, "weight.json"))
+    with open(qpath) as f:
+        questions = [ln.strip() for ln in f if ln.strip()]
+    with open(wpath) as f:
+        weight = np.asarray(json.load(f), dtype=np.float64)
+    tok = AutoTokenizer.from_pretrained(name, trust_remote_code=True)
+    model = AutoModelForCausalLM.from_pretrained(
+        name, torch_dtype=torch.float32, trust_remote_code=True).eval()
+    return model, tok, questions, weight
+
+
+def _sample_video_frames(path: str, num_frames: int = 24):
+    """~1 fps frame sampling capped at num_frames
+    (reference: inference-video.py::load_video 'chat' strategy), via
+    imageio instead of decord."""
+    import imageio.v3 as iio
+    import torch
+    frames = iio.imread(path, plugin="pyav") if path.endswith(".mp4") else \
+        iio.imread(path)
+    idx = np.linspace(0, len(frames) - 1, min(num_frames, len(frames)),
+                      dtype=int)
+    video = torch.from_numpy(np.asarray(frames)[idx])       # [T,H,W,C]
+    return video.permute(3, 0, 1, 2)                        # [C,T,H,W]
+
+
+def run_visionreward(video_paths: Sequence[str],
+                     prompts: Sequence[str] | None = None) -> dict:
+    """VisionReward VLM scoring: each video is asked the checkpoint's
+    yes/no question set; score = mean(weight * ±1 answers)
+    (reference: eval/video/VisionReward/inference-video.py:107-113).
+    Runs whenever the THUDM/VisionReward-Video checkpoint (or a local dir
+    via RSA_TPU_VISIONREWARD) is resolvable."""
+    video_paths = list(video_paths)
+    prompts = list(prompts) if prompts is not None else [""] * len(video_paths)
+    try:
+        model, tok, questions, weight = _visionreward_load()
+    except Exception as e:
+        return {"available": False,
+                "reason": f"VisionReward checkpoint unavailable ({e})",
+                "videos": len(video_paths)}
+    import torch
+    scores = []
+    for path, prompt in zip(video_paths, prompts):
+        video = _sample_video_frames(path)
+        answers = []
+        for q in questions:
+            query = q.replace("[[prompt]]", prompt)
+            inputs = model.build_conversation_input_ids(
+                tokenizer=tok, query=query, images=[video], history=[],
+                template_version="chat")
+            batch = {
+                "input_ids": inputs["input_ids"].unsqueeze(0),
+                "token_type_ids": inputs["token_type_ids"].unsqueeze(0),
+                "attention_mask": inputs["attention_mask"].unsqueeze(0),
+                "images": [[inputs["images"][0].to(torch.float32)]],
+            }
+            with torch.no_grad():
+                out = model.generate(**batch, max_new_tokens=2048,
+                                     pad_token_id=128002, top_k=1,
+                                     do_sample=False)
+                out = out[:, batch["input_ids"].shape[1]]
+            answers.append(1 if tok.decode(out[0]) == "yes" else -1)
+        scores.append(float(np.mean(np.asarray(answers) * weight)))
+    return {"available": True,
+            "vision_reward": float(np.mean(scores)),
+            "per_video": scores, "n": len(scores)}
 
 
 def clip_score(image_paths: Sequence[str], prompts: Sequence[str]) -> dict:
@@ -122,14 +193,103 @@ def pick_score(image_paths: Sequence[str], prompts: Sequence[str]) -> dict:
             "n": len(scores)}
 
 
+def frechet_distance(mu1: np.ndarray, sigma1: np.ndarray,
+                     mu2: np.ndarray, sigma2: np.ndarray,
+                     eps: float = 1e-6) -> float:
+    """Frechet distance between two Gaussians
+    ||mu1-mu2||^2 + Tr(S1 + S2 - 2 sqrt(S1 S2)) — the exact computation of
+    the reference's calculate_frechet_distance
+    (eval/image/evaluation/fid_score.py), with the same eps-jitter retry
+    and imaginary-component tolerance, via an eigendecomposition-based
+    matrix square root (no scipy dependency)."""
+    diff = mu1 - mu2
+
+    def sqrtm_product(s1, s2):
+        # sqrt(S1 S2) is similar to the PSD sqrt(sqrt(S1) S2 sqrt(S1));
+        # only its TRACE is needed, which equals the trace of the latter
+        w1, v1 = np.linalg.eigh(s1)
+        w1 = np.clip(w1, 0, None)
+        root1 = (v1 * np.sqrt(w1)) @ v1.T
+        inner = root1 @ s2 @ root1
+        w = np.linalg.eigvalsh(inner)
+        return np.sqrt(np.clip(w, 0, None)).sum()
+
+    tr_covmean = sqrtm_product(sigma1, sigma2)
+    if not np.isfinite(tr_covmean):
+        offset = np.eye(sigma1.shape[0]) * eps
+        tr_covmean = sqrtm_product(sigma1 + offset, sigma2 + offset)
+    return float(diff @ diff + np.trace(sigma1) + np.trace(sigma2)
+                 - 2 * tr_covmean)
+
+
+def activation_statistics(features: np.ndarray):
+    """(mu, sigma) of an [N, D] activation matrix
+    (reference: fid_score.py::calculate_activation_statistics)."""
+    mu = np.mean(features, axis=0)
+    sigma = np.cov(features, rowvar=False)
+    return mu, np.atleast_2d(sigma)
+
+
+def _inception_features(image_paths: Sequence[str], batch_size: int = 8):
+    """Pool3 activations of InceptionV3 (the FID feature layer).  Gated on
+    torchvision + downloadable/locally-cached weights (RSA_TPU_INCEPTION
+    may point at a state-dict file for air-gapped machines)."""
+    import torch
+    from torchvision.models import inception_v3
+    from torchvision import transforms
+    from PIL import Image
+
+    local = os.environ.get("RSA_TPU_INCEPTION")
+    if local and os.path.exists(local):
+        model = inception_v3(weights=None, init_weights=False, aux_logits=True)
+        model.load_state_dict(torch.load(local, map_location="cpu"))
+    else:
+        model = inception_v3(weights="DEFAULT")
+    model.fc = torch.nn.Identity()
+    model.eval()
+    prep = transforms.Compose([
+        transforms.Resize((299, 299)),
+        transforms.ToTensor(),
+        transforms.Normalize([0.485, 0.456, 0.406], [0.229, 0.224, 0.225]),
+    ])
+    feats = []
+    with torch.no_grad():
+        for i in range(0, len(image_paths), batch_size):
+            batch = torch.stack([
+                prep(Image.open(p).convert("RGB"))
+                for p in image_paths[i:i + batch_size]])
+            feats.append(model(batch).numpy())
+    return np.concatenate(feats, axis=0)
+
+
 def fid_score(dir_a: str, dir_b: str) -> dict:
     """Inception FID between two image folders (reference:
-    eval/image/evaluation/fid_score.py)."""
+    eval/image/evaluation/fid_score.py — same pipeline: pool3 activations
+    → per-folder Gaussian stats → Frechet distance)."""
     try:
         from torchvision.models import inception_v3  # noqa: F401
     except Exception:
         return {"available": False, "reason": "torchvision not installed"}
-    return {"available": False, "reason": "inception weights unavailable"}
+    exts = (".png", ".jpg", ".jpeg", ".bmp", ".webp")
+    paths_a = sorted(os.path.join(dir_a, f) for f in os.listdir(dir_a)
+                     if f.lower().endswith(exts))
+    paths_b = sorted(os.path.join(dir_b, f) for f in os.listdir(dir_b)
+                     if f.lower().endswith(exts))
+    if len(paths_a) < 2 or len(paths_b) < 2:
+        return {"available": False,
+                "reason": f"need >=2 images per folder "
+                          f"({len(paths_a)}/{len(paths_b)})"}
+    try:
+        fa = _inception_features(paths_a)
+        fb = _inception_features(paths_b)
+    except Exception as e:  # weights not cached and no network
+        return {"available": False,
+                "reason": f"inception weights unavailable ({e})"}
+    mu_a, s_a = activation_statistics(fa)
+    mu_b, s_b = activation_statistics(fb)
+    return {"available": True,
+            "fid": frechet_distance(mu_a, s_a, mu_b, s_b),
+            "n_a": len(paths_a), "n_b": len(paths_b)}
 
 
 def write_scores(results: dict, path: str):

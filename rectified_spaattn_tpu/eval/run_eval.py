@@ -6,10 +6,13 @@ eval/video/experiments/multigpu_*.py).
         --model hunyuan --prompts prompts.json --limit 600 \
         --out_dir ./eval_out --loops 1 --mode sparse [--score]
 
-Prompts shard across workers with the reference interleaving
-(prompt_list[i::num_shards]); generation is per-prompt seeded; --score
-runs the gated quality adapters and always writes the diff-metric-ready
-output layout.
+All five driver families run through their real pipelines (the same
+builders as the CLI).  Prompts shard across workers with the reference
+interleaving (prompt_list[i::num_shards]); generation is per-prompt
+seeded with `{prompt}-{loop}` naming.  --score writes a merged
+scores.json in the reference's print_scores.py spirit: the always-live
+dense-vs-sparse diff metrics plus every gated adapter (VBench,
+VisionReward, CLIPScore, FID) with availability status.
 """
 
 from __future__ import annotations
@@ -18,10 +21,135 @@ import argparse
 import json
 import os
 
+import numpy as np
+
+FAMILIES = ("hunyuan", "wan21-t2v", "wan21-i2v", "wan22-t2v", "wan22-i2v",
+            "wan22-ti2v", "cogvideox-t2v", "cogvideox-i2v", "flux-upscale")
+
+
+def make_runner(args):
+    """Build the family's pipeline ONCE and return
+    (run(prompt, seed) -> frames, is_video): text re-encodes per prompt,
+    everything else (params, jit caches) is reused across the batch."""
+    from ..cli import generate as G
+
+    m = args.model
+
+    def to_frames(latents, video=True):
+        arr = np.asarray(latents)
+        if video:
+            if arr.ndim == 5 and arr.shape[1] == 3:      # decoded pixels
+                return arr[0].transpose(1, 2, 3, 0)
+            lat = arr[0].mean(axis=0)[..., None]         # [F,H,W,1]
+        else:
+            if arr.ndim == 4 and arr.shape[1] == 3:
+                return arr[0].transpose(1, 2, 0)
+            lat = arr[0].mean(axis=0)[..., None]         # [H,W,1]
+        lo, hi = lat.min(), lat.max()
+        return (lat - lo) / (hi - lo + 1e-8)
+
+    if m == "hunyuan":
+        pipe, _ = G.build_hunyuan(args)
+        dim = pipe.model.cfg.text_dim
+
+        def run(prompt, seed):
+            text, mask = G._random_text(prompt, 256, dim)
+            return to_frames(pipe(text, mask, seed=seed))
+        return run, True
+
+    if m.startswith("wan"):
+        pipe, (_, neg), extra = G.build_wan(args)
+        ref = pipe.high if hasattr(pipe, "high") else pipe
+        dim = ref.model.cfg.text_dim
+
+        def run(prompt, seed):
+            text = G._random_text(prompt, 512, dim)[0]
+            if hasattr(pipe, "high"):                     # A14B dual
+                import jax
+                import jax.numpy as jnp
+                cond = extra.get("condition")
+                noise_ch = ref.model.cfg.in_channels - (
+                    cond.shape[1] if cond is not None else 0)
+                lat = jax.random.normal(
+                    jax.random.PRNGKey(seed), (1, noise_ch, *ref.grid),
+                    jnp.float32)
+                out = pipe.denoise(lat, text, neg, condition=cond)
+            else:
+                out = pipe(text, neg, seed=seed, **extra)
+            return to_frames(out)
+        return run, True
+
+    if m.startswith("cogvideox"):
+        pipe, (_, neg), extra = G.build_cogvideox(args)
+        dim = pipe.model.cfg.text_dim
+
+        def run(prompt, seed):
+            text = G._random_text(prompt, 256, dim)[0]
+            return to_frames(pipe(text, neg, seed=seed, **extra))
+        return run, True
+
+    if m == "flux-upscale":
+        pipe, (_, mask, pooled) = G.build_flux(args)
+        dim = pipe.up.model.cfg.text_dim
+
+        def run(prompt, seed):
+            text, tmask = G._random_text(prompt, 512, dim)
+            return to_frames(pipe(text, tmask, pooled, seed=seed),
+                             video=False)
+        return run, False
+
+    raise SystemExit(f"unknown model {m}; choose from {FAMILIES}")
+
+
+def score_outputs(args, prompts, sparse_dir):
+    """Merged scoring: live diff metrics (a dense rerun of the same seeds)
+    + every gated adapter, one JSON (reference: print_scores.py)."""
+    from . import quality
+    from .diff_metrics import evaluate_pair
+    from .generation import generate_batch
+
+    results = {}
+
+    # 1. dense-vs-sparse diff metrics — always live (same seeds, both
+    # execution modes, compared pre-encode so codecs don't pollute them)
+    dense_args = argparse.Namespace(**vars(args))
+    dense_args.mode = "flash"
+    run_dense, is_video = make_runner(dense_args)
+    run_sparse, _ = make_runner(args)
+    dense_dir = os.path.join(args.out_dir, "dense_ref")
+    diffs = []
+    for p in prompts[:2]:
+        sparse_frames = run_sparse(p, 0)
+        dense_frames = run_dense(p, 0)
+        d = evaluate_pair(sparse_frames, dense_frames)
+        diffs.append({k: v for k, v in d.items() if v is not None})
+    if not is_video:
+        generate_batch(lambda *i, seed=0: run_dense(*i, seed), prompts[:2],
+                       dense_dir, loops=1, is_video=False,
+                       encode_fn=lambda pr: (pr,))
+    if diffs:
+        results["diff_vs_dense"] = {
+            k: float(np.mean([d[k] for d in diffs])) for k in diffs[0]}
+
+    # 2. gated adapters
+    videos = sorted(
+        os.path.join(sparse_dir, f) for f in os.listdir(sparse_dir)
+        if f.endswith((".mp4", ".png")))
+    results["vbench"] = quality.run_vbench(sparse_dir)
+    results["vision_reward"] = quality.run_visionreward(videos, prompts)
+    if not is_video:
+        results["clip_score"] = quality.clip_score(videos, prompts)
+        results["fid"] = quality.fid_score(sparse_dir, dense_dir)
+    results["live_metrics"] = (
+        list(results.get("diff_vs_dense", {})) +
+        [k for k in ("vbench", "vision_reward", "clip_score", "fid")
+         if results.get(k, {}).get("available")])
+    return results
+
 
 def main(argv=None):
     ap = argparse.ArgumentParser(description=__doc__)
-    ap.add_argument("--model", default="hunyuan")
+    ap.add_argument("--model", default="hunyuan", choices=FAMILIES)
     ap.add_argument("--prompts", required=True,
                     help=".json or .txt prompt list")
     ap.add_argument("--limit", type=int, default=None,
@@ -37,54 +165,39 @@ def main(argv=None):
     ap.add_argument("--shard_index", type=int, default=None)
     ap.add_argument("--num_shards", type=int, default=None)
     ap.add_argument("--score", action="store_true",
-                    help="run gated VBench/CLIP adapters afterwards")
+                    help="diff metrics + gated quality adapters afterwards")
+    ap.add_argument("--image", default=None)
+    ap.add_argument("--seed", type=int, default=42)
     args = ap.parse_args(argv)
 
     from .generation import generate_batch, load_prompts
-    from ..cli.generate import build_hunyuan, DEFAULTS
 
     prompts = load_prompts(args.prompts, limit=args.limit, seed=42)
 
-    class A:
-        pass
-    for k, v in vars(args).items():
-        setattr(A, k, v)
-    A.sa_drop_rate, A.teacache_thresh = DEFAULTS.get(args.model, (0.8, 0.15))
-    A.p_remain_rates = 0.3
-    A.enable_teacache = False
-    A.use_ret_steps = False
-    A.ckpt_dir = None
-    A.prompt = prompts[0] if prompts else ""
+    from ..cli.generate import DEFAULTS
+    args.sa_drop_rate, args.teacache_thresh = DEFAULTS.get(
+        args.model, (0.8, 0.15))
+    args.p_remain_rates = 0.3
+    args.enable_teacache = False
+    args.use_ret_steps = False
+    args.ckpt_dir = None
+    args.prompt = prompts[0] if prompts else ""
+    args.profile = None
 
-    if args.model != "hunyuan":
-        raise SystemExit("run_eval currently wires hunyuan; other families "
-                         "via their pipeline classes")
-    pipe, _ = build_hunyuan(A)
-
-    import numpy as np
-
-    def encode(prompt):
-        from ..cli.generate import _random_text
-        return _random_text(prompt, 256, pipe.model.cfg.text_dim)
-
-    def pipeline(text, mask, seed=0):
-        latents = pipe(text, mask, seed=seed)
-        # latent → displayable frames [T,H,W,1] (no VAE weights here)
-        lat = np.asarray(latents)[0].mean(axis=0)[..., None]
-        lo, hi = lat.min(), lat.max()
-        return (lat - lo) / (hi - lo + 1e-8)
-
+    run, is_video = make_runner(args)
     written = generate_batch(
-        pipeline, prompts, args.out_dir, loops=args.loops,
+        lambda *i, seed=0: run(*i, seed), prompts, args.out_dir,
+        loops=args.loops, is_video=is_video,
         shard_index=args.shard_index, num_shards=args.num_shards,
-        encode_fn=encode)
+        encode_fn=lambda p: (p,))
     print(json.dumps({"generated": len(written), "out_dir": args.out_dir}))
 
     if args.score:
-        from .quality import run_vbench, write_scores
-        res = run_vbench(args.out_dir)
+        from .quality import write_scores
+        res = score_outputs(args, prompts, args.out_dir)
         path = write_scores(res, os.path.join(args.out_dir, "scores.json"))
-        print(json.dumps({"scores": path, "available": res.get("available")}))
+        print(json.dumps({"scores": path,
+                          "live_metrics": res.get("live_metrics")}))
 
 
 if __name__ == "__main__":

@@ -24,12 +24,31 @@ machine mapping tuned for TPU cost structure:
     sublane gather, measured 5× slower than unchunked).
   * Chunk buffers are double-buffered: chunk c+1's DMAs are issued before
     waiting on chunk c.
+  * One 128-token block per DMA descriptor.  Run-coalescing contiguous
+    indices into bigger descriptors was measured and REJECTED: the DMA
+    skeleton runs at ~78% of HBM bandwidth already (it is byte-bound, not
+    descriptor-bound), and the static branch ladder the dynamic run sizes
+    require costs more scalar work than it saves (runs4/8/16 variants:
+    639/778/898 ms vs 531 ms base at the Hunyuan point —
+    scripts/bench_kernelvars.py).
   * Softmax statistics are carried as fori_loop values (m, l, acc in fp32);
     every grid cell is independent ("parallel"-safe).
   * Key validity is evaluated in-kernel from a static visual prefix plus a
     runtime text window, replacing the reference's seqlen prefix test
     (:86-87) which cannot express a padded [visual | pad | text | pad]
     layout.
+  * Two-phase chunk loop: slots are ordered so every window-sensitive
+    block (padded boundary visual block, text blocks) lands at the END;
+    leading chunks run a mask-free body with no per-lane scalar reads.
+  * Grouped-row variant: ``group`` query blocks share one program and
+    gather the UNION of their key sets once — HBM bytes drop by
+    group/union_growth (measured 2/1.154 at G=2 on model-statistics
+    masks) while per-row membership is re-imposed exactly.  Union slots
+    are ordered [all-member ∧ window-clean | rest], so the clean prefix
+    pays NO masking and the tail imposes membership as a per-(row-block,
+    slot) TILE bias (the planned mask is constant over 128×128 tiles) —
+    not the per-element integer test that made the round-1 grouped kernel
+    lose its bandwidth win to VPU work.
 
 Block size 128×128 matches both the algorithm's mask granularity and the
 MXU systolic array.
@@ -86,23 +105,23 @@ def _sparse_attn_kernel(
     bm = q_ref.shape[1]
     d = q_ref.shape[2]
     g = chunk_blocks
-    nb = idx_ref.shape[-1]
     num_chunks = (count + g - 1) // g
     clean_chunks = clean // g        # chunks fully below the dirty tail
 
+    # NB is padded to a chunk multiple by the wrapper (pad slots: idx 0),
+    # so every lane of every issued chunk carries exactly one DMA — no
+    # clamping, and the buffer never holds stale lanes (pad-lane scores
+    # are masked by the slot < count test).
     def block_dma(buf_slot, lane, block_idx):
         return pltpu.make_async_copy(
             kv_hbm.at[bh, pl.ds(block_idx * block_n, block_n)],
-            kv_buf.at[buf_slot, lane],
+            kv_buf.at[buf_slot, pl.ds(lane * block_n, block_n)],
             sems.at[buf_slot, lane])
 
     def start_chunk(buf_slot, chunk_idx):
         base = chunk_idx * g
         for lane in range(g):
-            # clamp: the index tail repeats the last valid block, but the
-            # final chunk may reach past NB itself
-            pos = jnp.minimum(base + lane, nb - 1)
-            block_dma(buf_slot, lane, idx_ref[0, 0, 0, pos]).start()
+            block_dma(buf_slot, lane, idx_ref[0, 0, 0, base + lane]).start()
 
     # Zero-count rows (ring SP shards can own none of a row's blocks) must
     # not issue prologue DMAs: the fori_loop below never runs, so nothing
@@ -143,8 +162,8 @@ def _sparse_attn_kernel(
             # the source address — no idx reads in the clean body
             block_dma(buf_slot, lane, jnp.int32(0)).wait()
         kv = kv_buf[buf_slot]
-        k = kv[:, :, :d].reshape(g * block_n, d)
-        v = kv[:, :, d:].reshape(g * block_n, d)
+        k = kv[:, :d]
+        v = kv[:, d:]
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)
@@ -161,16 +180,15 @@ def _sparse_attn_kernel(
         # Column coordinates of every gathered key, per lane (static unroll).
         lane_cols = []
         for lane in range(g):
-            pos = jnp.minimum(base + lane, nb - 1)
-            idx = idx_ref[0, 0, 0, pos]
+            idx = idx_ref[0, 0, 0, base + lane]
             lane_cols.append(idx * block_n + jax.lax.broadcasted_iota(
                 jnp.int32, (1, block_n), 1))
             block_dma(buf_slot, lane, idx).wait()
         cols = jnp.concatenate(lane_cols, axis=1)        # [1, g*bn]
 
-        kv = kv_buf[buf_slot]                            # [g, bn, 2*D]
-        k = kv[:, :, :d].reshape(g * block_n, d)
-        v = kv[:, :, d:].reshape(g * block_n, d)
+        kv = kv_buf[buf_slot]                            # [g*bn, 2*D]
+        k = kv[:, :d]
+        v = kv[:, d:]
 
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())),
@@ -200,8 +218,9 @@ def _sparse_attn_kernel(
 def _sparse_attn_kernel_grouped(
     # SMEM inputs
     counts_ref,      # [1, 1, 1, 1]  int32  — union kept-block count
+    clean_ref,       # [1, 1, 1, 1]  int32  — all-member ∧ window-clean prefix
     tlen_ref,        # [1, 1, 1]     int32
-    idx_ref,         # [1, 1, 1, NB] int32  — union block indices
+    idx_ref,         # [1, 1, 1, NB] int32  — union block indices (clean 1st)
     rowbits_ref,     # [1, 1, 1, NB] int32  — bit r set: row r's planned set
     # VMEM / HBM inputs
     q_ref,           # [1, G*bm, D]  VMEM — G query blocks
@@ -209,7 +228,7 @@ def _sparse_attn_kernel_grouped(
     # outputs
     o_ref,           # [1, G*bm, D]  VMEM
     # scratch
-    kv_buf,          # [2, g, bn, 2*D] VMEM
+    kv_buf,          # [2, g*bn, 2*D] VMEM
     sems,
     *,
     group: int,
@@ -221,33 +240,36 @@ def _sparse_attn_kernel_grouped(
     text_start: int | None,
 ):
     """``group`` query-block rows per program over the UNION of their
-    planned key sets; per-row membership is re-imposed on the score tile,
-    so the executed mask equals the planned mask exactly.  The kernel is
-    DMA-bound at one row per program — adjacent Gilbert rows select
-    heavily overlapping key sets (shared neighborhoods, forced text,
-    correlated top-p picks), so fetching the union once divides HBM
-    traffic by ~group/union_growth while the extra MXU work rides idle
-    compute."""
+    planned key sets — HBM traffic drops by group/union_growth because
+    adjacent Gilbert rows select heavily overlapping keys, and the DMA
+    skeleton is byte-bound (78% of HBM bandwidth, bench_kernelvars.py).
+
+    Union slots arrive partitioned [all-member ∧ window-clean | tail], so
+    the leading chunks run the mask-free body.  Tail chunks re-impose the
+    planned mask exactly: membership is constant over (row-block,
+    key-block) TILES, so it enters as a [G, g] additive bias broadcast
+    onto the reshaped score tile (scalar work per chunk: G·g bit tests) —
+    token-level window validity is the only per-element test."""
     bh = pl.program_id(0)
     count = counts_ref[0, 0, 0, 0]
+    clean = clean_ref[0, 0, 0, 0]
     tlen = tlen_ref[0, 0, 0]
     d = q_ref.shape[2]
     g = chunk_blocks
-    nb = idx_ref.shape[-1]
     rows = group * block_m
     num_chunks = (count + g - 1) // g
+    clean_chunks = clean // g
 
     def block_dma(buf_slot, lane, block_idx):
         return pltpu.make_async_copy(
             kv_hbm.at[bh, pl.ds(block_idx * block_n, block_n)],
-            kv_buf.at[buf_slot, lane],
+            kv_buf.at[buf_slot, pl.ds(lane * block_n, block_n)],
             sems.at[buf_slot, lane])
 
     def start_chunk(buf_slot, chunk_idx):
         base = chunk_idx * g
         for lane in range(g):
-            pos = jnp.minimum(base + lane, nb - 1)
-            block_dma(buf_slot, lane, idx_ref[0, 0, 0, pos]).start()
+            block_dma(buf_slot, lane, idx_ref[0, 0, 0, base + lane]).start()
 
     # see _sparse_attn_kernel: no prologue DMA for zero-count rows
     @pl.when(count > 0)
@@ -256,11 +278,6 @@ def _sparse_attn_kernel_grouped(
 
     q = q_ref[0].astype(jnp.float32) * sm_scale
     q = q.astype(kv_buf.dtype)
-    # per-row membership bit, static by construction (row r -> 1 << (r//bm));
-    # built by concatenation because a traced shift hits Mosaic limits
-    need_bit = jnp.concatenate(
-        [jnp.full((block_m, 1), 1 << r, jnp.int32) for r in range(group)],
-        axis=0)                                             # [rows, 1]
 
     init = (
         jnp.full((rows, 1), -jnp.inf, jnp.float32),
@@ -268,46 +285,8 @@ def _sparse_attn_kernel_grouped(
         jnp.zeros((rows, d), jnp.float32),
     )
 
-    def body(c, carry):
+    def softmax_update(carry, s, v):
         m_prev, l_prev, acc = carry
-        buf_slot = jax.lax.rem(c, 2)
-        base = c * g
-
-        @pl.when(c + 1 < num_chunks)
-        def _():
-            start_chunk(1 - buf_slot, c + 1)
-
-        lane_cols, lane_bits = [], []
-        for lane in range(g):
-            pos = jnp.minimum(base + lane, nb - 1)
-            idx = idx_ref[0, 0, 0, pos]
-            bits = rowbits_ref[0, 0, 0, pos]
-            lane_cols.append(idx * block_n + jax.lax.broadcasted_iota(
-                jnp.int32, (1, block_n), 1))
-            lane_bits.append(jnp.full((1, block_n), bits, jnp.int32))
-            block_dma(buf_slot, lane, idx).wait()
-        cols = jnp.concatenate(lane_cols, axis=1)          # [1, g*bn]
-        bits_vec = jnp.concatenate(lane_bits, axis=1)      # [1, g*bn]
-
-        kv = kv_buf[buf_slot]
-        k = kv[:, :, :d].reshape(g * block_n, d)
-        v = kv[:, :, d:].reshape(g * block_n, d)
-
-        s = jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32)            # [rows, g*bn]
-
-        slot_ids = base + jax.lax.broadcasted_iota(
-            jnp.int32, (1, g * block_n), 1) // block_n
-        valid_tok = slot_ids < count
-        valid_tok &= cols < visual_len if text_start is None else (
-            (cols < visual_len) |
-            ((cols >= text_start) & (cols < text_start + tlen)))
-        # per-row planned-set membership via integer bit test (bool select
-        # with broadcast hits a Mosaic truncation limitation)
-        row_valid = (bits_vec & need_bit) > 0               # [rows, g*bn]
-        s = jnp.where(valid_tok & row_valid, s, MASK_VALUE)
-
         m_cur = jnp.max(s, axis=1, keepdims=True)
         m_next = jnp.maximum(m_prev, m_cur)
         alpha = jnp.exp(m_prev - m_next)
@@ -317,9 +296,87 @@ def _sparse_attn_kernel_grouped(
             p.astype(v.dtype), v, preferred_element_type=jnp.float32)
         return m_next, l_next, acc
 
-    _, l, acc = jax.lax.fori_loop(0, num_chunks, body, init)
+    def body_clean(c, carry):
+        buf_slot = jax.lax.rem(c, 2)
+
+        @pl.when(c + 1 < num_chunks)
+        def _():
+            start_chunk(1 - buf_slot, c + 1)
+        for lane in range(g):
+            block_dma(buf_slot, lane, jnp.int32(0)).wait()
+        kv = kv_buf[buf_slot]
+        k = kv[:, :d]
+        v = kv[:, d:]
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        return softmax_update(carry, s, v)
+
+    def body_tail(c, carry):
+        buf_slot = jax.lax.rem(c, 2)
+        base = c * g
+
+        @pl.when(c + 1 < num_chunks)
+        def _():
+            start_chunk(1 - buf_slot, c + 1)
+
+        lane_cols = []
+        bias_parts = [[] for _ in range(group)]   # [G][g of [1, bn]]
+        for lane in range(g):
+            pos = base + lane
+            idx = idx_ref[0, 0, 0, pos]
+            bits = rowbits_ref[0, 0, 0, pos]
+            lane_cols.append(idx * block_n + jax.lax.broadcasted_iota(
+                jnp.int32, (1, block_n), 1))
+            for r in range(group):
+                member = (bits & (1 << r)) > 0
+                bias_parts[r].append(jnp.broadcast_to(
+                    jnp.where(member, 0.0, MASK_VALUE), (1, block_n)))
+            block_dma(buf_slot, lane, idx).wait()
+        cols = jnp.concatenate(lane_cols, axis=1)          # [1, g*bn]
+        # [G, 1, g*bn] additive membership bias — lane-major so the score
+        # reshape below splits only the SUBLANE dim (no lane relayout)
+        bias = jnp.stack(
+            [jnp.concatenate(p, axis=1) for p in bias_parts], axis=0)
+
+        kv = kv_buf[buf_slot]
+        k = kv[:, :d]
+        v = kv[:, d:]
+
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)            # [rows, g*bn]
+
+        # planned-set membership: constant per (row-block, key-block) tile
+        s = (s.reshape(group, block_m, g * block_n) + bias).reshape(
+            rows, g * block_n)
+
+        slot_ids = base + jax.lax.broadcasted_iota(
+            jnp.int32, (1, g * block_n), 1) // block_n
+        valid_tok = slot_ids < count
+        valid_tok &= cols < visual_len if text_start is None else (
+            (cols < visual_len) |
+            ((cols >= text_start) & (cols < text_start + tlen)))
+        s = jnp.where(valid_tok, s, MASK_VALUE)
+        return softmax_update(carry, s, v)
+
+    carry = jax.lax.fori_loop(0, clean_chunks, body_clean, init)
+    _, l, acc = jax.lax.fori_loop(clean_chunks, num_chunks, body_tail,
+                                  carry)
     l_inv = jnp.where(l == 0.0, 1.0, 1.0 / l)
     o_ref[0] = (acc * l_inv).astype(o_ref.dtype)
+
+
+def _pad_slots(arrs, chunk_blocks: int):
+    """Pad the slot axis of (indices, ...) to a chunk multiple so every
+    lane of every issued chunk has a slot to read (pad idx 0; pad scores
+    are masked by slot < count)."""
+    nb = arrs[0].shape[-1]
+    pad = (-nb) % chunk_blocks
+    if not pad:
+        return arrs, nb
+    lead = [(0, 0)] * (arrs[0].ndim - 1)
+    return tuple(jnp.pad(a, lead + [(0, pad)]) for a in arrs), nb + pad
 
 
 @functools.partial(
@@ -331,9 +388,10 @@ def block_sparse_flash_attention_grouped(
     q: jax.Array,          # [B, H, Sq, D]  (Sq % (group*block_m) == 0)
     k: jax.Array,
     v: jax.Array,
-    indices: jax.Array,    # [B, H, NQ/G, NB] union block ids
+    indices: jax.Array,    # [B, H, NQ/G, NB] union block ids (clean first)
     counts: jax.Array,     # [B, H, NQ/G]
     rowbits: jax.Array,    # [B, H, NQ/G, NB] int32 membership bits
+    clean: jax.Array,      # [B, H, NQ/G] int32 clean-prefix slot count
     text_len: jax.Array,   # [B] int32
     *,
     group: int,
@@ -349,7 +407,6 @@ def block_sparse_flash_attention_grouped(
     b, h, sq, d = q.shape
     s = k.shape[2]
     ngrp = indices.shape[2]
-    nb = indices.shape[-1]
     assert sq == ngrp * group * block_m, (sq, ngrp, group, block_m)
     assert 1 <= group <= 32, group    # rowbits is int32
     if sm_scale is None:
@@ -358,9 +415,11 @@ def block_sparse_flash_attention_grouped(
     bh = b * h
     qf = q.reshape(bh, sq, d)
     kv = jnp.concatenate([k.reshape(bh, s, d), v.reshape(bh, s, d)], axis=2)
+    (indices, rowbits), nb = _pad_slots((indices, rowbits), chunk_blocks)
     idx_f = indices.reshape(bh, ngrp, 1, nb)
     bits_f = rowbits.reshape(bh, ngrp, 1, nb)
     counts_f = counts.reshape(bh, ngrp, 1, 1)
+    clean_f = clean.astype(jnp.int32).reshape(bh, ngrp, 1, 1)
     tlen_f = jnp.repeat(text_len.astype(jnp.int32), h).reshape(bh, 1, 1)
 
     kernel = functools.partial(
@@ -382,6 +441,8 @@ def block_sparse_flash_attention_grouped(
         in_specs=[
             pl.BlockSpec((1, 1, 1, 1), lambda i, j: (i, j, 0, 0),
                          memory_space=pltpu.SMEM),            # counts
+            pl.BlockSpec((1, 1, 1, 1), lambda i, j: (i, j, 0, 0),
+                         memory_space=pltpu.SMEM),            # clean prefix
             pl.BlockSpec((1, 1, 1), lambda i, j: (i, 0, 0),
                          memory_space=pltpu.SMEM),            # text_len
             pl.BlockSpec((1, 1, 1, nb), lambda i, j: (i, j, 0, 0),
@@ -395,23 +456,23 @@ def block_sparse_flash_attention_grouped(
         out_specs=pl.BlockSpec((1, rows, d), lambda i, j: (i, j, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((2, chunk_blocks, block_n, 2 * d), k.dtype),
+            pltpu.VMEM((2, chunk_blocks * block_n, 2 * d), k.dtype),
             pltpu.SemaphoreType.DMA((2, chunk_blocks)),
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary"),
         ),
         interpret=interpret,
-    )(counts_f, tlen_f, idx_f, bits_f, qf, kv)
+    )(counts_f, clean_f, tlen_f, idx_f, bits_f, qf, kv)
     return out.reshape(b, h, sq, d)
 
 
 def block_sparse_flash_attention_paired(q, k, v, indices, counts, rowbits,
-                                        text_len, **kw):
+                                        clean, text_len, **kw):
     """Two rows per program — the group=2 special case (kept as the name
     the round-1 API exported)."""
     return block_sparse_flash_attention_grouped(
-        q, k, v, indices, counts, rowbits, text_len, group=2, **kw)
+        q, k, v, indices, counts, rowbits, clean, text_len, group=2, **kw)
 
 
 @functools.partial(
@@ -448,7 +509,6 @@ def block_sparse_flash_attention(
     b, h, sq, d = q.shape
     s = k.shape[2]
     nq = sq // block_m
-    nb = indices.shape[-1]
     assert s % block_n == 0 and sq % block_m == 0
     if sm_scale is None:
         sm_scale = 1.0 / math.sqrt(d)
@@ -456,7 +516,6 @@ def block_sparse_flash_attention(
     bh = b * h
     qf = q.reshape(bh, sq, d)
     kv = jnp.concatenate([k.reshape(bh, s, d), v.reshape(bh, s, d)], axis=2)
-    idx_f = indices.reshape(bh, nq, 1, nb)
     counts_f = counts.reshape(bh, nq, 1, 1)
     tlen_f = jnp.repeat(text_len.astype(jnp.int32), h).reshape(bh, 1, 1)
 
@@ -465,11 +524,14 @@ def block_sparse_flash_attention(
     # PREFIX so non-ascending index lists degrade gracefully to the fully
     # masked path instead of mis-skipping masks.
     cb = visual_len // block_n
-    slot = jnp.arange(nb, dtype=jnp.int32)
+    nb0 = indices.shape[-1]
+    slot = jnp.arange(nb0, dtype=jnp.int32)
     dirty = (indices >= cb) | (slot >= counts[..., None])
     clean = jnp.sum(jnp.cumsum(dirty.astype(jnp.int32), axis=-1) == 0,
                     axis=-1).astype(jnp.int32)
     clean_f = clean.reshape(bh, nq, 1, 1)
+    (indices,), nb = _pad_slots((indices,), chunk_blocks)
+    idx_f = indices.reshape(bh, nq, 1, nb)
 
     kernel = functools.partial(
         _sparse_attn_kernel,
@@ -513,7 +575,7 @@ def block_sparse_flash_attention(
         ],
         out_specs=out_specs,
         scratch_shapes=[
-            pltpu.VMEM((2, chunk_blocks, block_n, 2 * d), k.dtype),
+            pltpu.VMEM((2, chunk_blocks * block_n, 2 * d), k.dtype),
             pltpu.SemaphoreType.DMA((2, chunk_blocks)),
         ],
         compiler_params=pltpu.CompilerParams(

@@ -207,37 +207,59 @@ def mask_to_indices(mask: jax.Array):
     return jnp.minimum(indices, nb - 1), counts
 
 
-def group_rows(mask: jax.Array, group: int):
+def group_rows(mask: jax.Array, group: int, clean_blocks: int = 0):
     """Group ``group`` adjacent query-block rows for the
     G-rows-per-program kernel.
 
     Adjacent Gilbert-curve query blocks select highly overlapping key sets
     (shared 26-neighborhoods, forced text columns, correlated top-p
-    picks), so iterating the UNION once with per-row predication divides
-    HBM traffic by ~group/union_growth — the kernel is DMA-bound at one
-    row per program.
+    picks): the union of 2 adjacent rows is only ~1.15x a single row's set
+    on model-statistics masks (scripts/exp_runstats.py::union_growth), so
+    fetching the union once divides the byte-bound kernel's HBM traffic by
+    ~group/union_growth.
+
+    Union slots are PARTITIONED [clean | tail], each part ascending, where
+    clean = selected by ALL group rows ∧ block < ``clean_blocks`` (the
+    fully-valid visual prefix): the kernel's leading chunks then need no
+    masking at all.
 
     mask: [B, H, NQ, NB] bool (NQ % group == 0).
     Returns (indices [B,H,NQ/G,NB], counts [B,H,NQ/G], rowbits
-    [B,H,NQ/G,NB] int32) where rowbits bit r says whether the gathered
-    block belongs to row r's planned set (r = 0..group-1 within the
-    group).
+    [B,H,NQ/G,NB] int32, clean [B,H,NQ/G] int32) where rowbits bit r says
+    whether the gathered block belongs to row r's planned set
+    (r = 0..group-1 within the group) and ``clean`` is the length of the
+    mask-free slot prefix.
     """
     b, h, nq, nb = mask.shape
     assert nq % group == 0, (nq, group)
     assert 1 <= group <= 32, group
     mg = mask.reshape(b, h, nq // group, group, nb)
     union = jnp.any(mg, axis=-2)
-    indices, counts = mask_to_indices(union)
+    allm = jnp.all(mg, axis=-2)
+    col = jnp.arange(nb, dtype=jnp.int32)
+    clean_col = union & allm & (col < clean_blocks)
+    counts = jnp.sum(union, axis=-1).astype(jnp.int32)
+    clean = jnp.sum(clean_col, axis=-1).astype(jnp.int32)
+    # sort key: clean ascending, then dirty-selected ascending, then
+    # unselected; col is recovered by mod nb
+    key = jnp.where(clean_col, col,
+                    jnp.where(union, col + nb, col + 3 * nb))
+    indices = (jnp.sort(key, axis=-1) % nb).astype(jnp.int32)
+    # padding slots repeat the last valid block (kernel DMA safety)
+    last_valid = jnp.take_along_axis(
+        indices, jnp.maximum(counts - 1, 0)[..., None].astype(jnp.int32),
+        axis=-1)
+    slot = col[(None,) * 3]
+    indices = jnp.where(slot < counts[..., None], indices, last_valid)
     weights = (1 << jnp.arange(group, dtype=jnp.int32))[:, None]
     bits = jnp.sum(mg.astype(jnp.int32) * weights, axis=-2)
     rowbits = jnp.take_along_axis(bits, indices, axis=-1)
-    return indices, counts, rowbits
+    return indices, counts, rowbits, clean
 
 
-def pair_rows(mask: jax.Array):
+def pair_rows(mask: jax.Array, clean_blocks: int = 0):
     """group_rows with group=2 (the round-1 name)."""
-    return group_rows(mask, 2)
+    return group_rows(mask, 2, clean_blocks)
 
 
 def rectification(probs: jax.Array, partial_mask: jax.Array,

@@ -57,6 +57,10 @@ def main():
     ap.add_argument("--groups", type=str, default="1,2,4,8")
     ap.add_argument("--iters", type=int, default=4)
     ap.add_argument("--drop", type=float, default=0.8)
+    ap.add_argument("--shared_field", action="store_true",
+                    help="q/k share one smooth field (stronger diagonal "
+                         "structure; union_growth ~1.15 at G=2 vs ~1.45 "
+                         "for independent fields)")
     args = ap.parse_args()
 
     import jax
@@ -86,8 +90,17 @@ def main():
         p_remain=0.3, layout="joint", text_len=text_len)
 
     rng = jax.random.PRNGKey(0)
-    q, k, v = realistic_qkv(rng, b, h, (lt, lh, lw), text_len, d,
-                            jnp.asarray(h2l))
+    if args.shared_field:
+        from exp_runstats import smooth_inputs
+        lin = np.asarray(h2l)
+        tt, hh, ww = np.unravel_index(lin, (lt, lh, lw))
+        coords = jnp.asarray(np.stack([tt / lt, hh / lh, ww / lw], -1),
+                             jnp.float32)
+        q, k = smooth_inputs(rng, b, h, sv, text_len, d, coords, 4.0, 1.0)
+        v = k
+    else:
+        q, k, v = realistic_qkv(rng, b, h, (lt, lh, lw), text_len, d,
+                                jnp.asarray(h2l))
     tlen = jnp.full((b,), text_len, jnp.int32)
 
     def sync(x):

@@ -61,3 +61,30 @@ def test_generate_batch_writes_outputs(tmp_path):
     for p in paths:
         assert p.endswith((".mp4", ".npy"))
     assert safe_name("a dog!") in paths[-1]
+
+
+def test_frechet_distance_math():
+    """FID core math: zero for identical Gaussians; matches the closed
+    form for diagonal covariances (reference: fid_score.py)."""
+    import numpy as np
+    from rectified_spaattn_tpu.eval.quality import (frechet_distance,
+                                                    activation_statistics)
+    g = np.random.default_rng(0)
+    feats = g.normal(size=(64, 5))
+    mu, sigma = activation_statistics(feats)
+    assert abs(frechet_distance(mu, sigma, mu, sigma)) < 1e-8
+    # diagonal case: ||dmu||^2 + sum((sqrt(a)-sqrt(b))^2)
+    a = np.array([1.0, 4.0]); b = np.array([9.0, 1.0])
+    mu1, mu2 = np.zeros(2), np.array([3.0, 0.0])
+    want = 9.0 + (1 - 3) ** 2 + (2 - 1) ** 2
+    got = frechet_distance(mu1, np.diag(a), mu2, np.diag(b))
+    assert abs(got - want) < 1e-8
+
+
+def test_visionreward_and_fid_gate_cleanly(tmp_path):
+    from rectified_spaattn_tpu.eval.quality import run_visionreward, fid_score
+    r = run_visionreward(["nope.mp4"], ["prompt"])
+    assert r["available"] is False and "unavailable" in r["reason"]
+    (tmp_path / "a").mkdir(); (tmp_path / "b").mkdir()
+    r = fid_score(str(tmp_path / "a"), str(tmp_path / "b"))
+    assert r["available"] is False

@@ -161,10 +161,11 @@ def test_paired_kernel_matches_reference():
     mask = g.uniform(size=(b, h, nq, nb)) < 0.5
     mask[..., 0] = True
     visual_len = nb * BN - 30
-    idx, counts, rowbits = pair_rows(jnp.asarray(mask))
+    idx, counts, rowbits, clean = pair_rows(jnp.asarray(mask),
+                                            clean_blocks=visual_len // BN)
     out = np.asarray(block_sparse_flash_attention_paired(
         jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), idx, counts,
-        rowbits, jnp.zeros((b,), jnp.int32), visual_len=visual_len,
+        rowbits, clean, jnp.zeros((b,), jnp.int32), visual_len=visual_len,
         text_start=None, block_m=BM, block_n=BN, interpret=True))
     kv_valid = np.zeros((b, nb * BN), bool)
     kv_valid[:, :visual_len] = True
@@ -186,10 +187,11 @@ def test_grouped_kernel_matches_reference():
     mask[..., 0] = True
     visual_len = nb * BN - 50
     for grp in (2, 4, 8):
-        idx, counts, rowbits = group_rows(jnp.asarray(mask), grp)
+        idx, counts, rowbits, clean = group_rows(
+            jnp.asarray(mask), grp, clean_blocks=visual_len // BN)
         out = np.asarray(block_sparse_flash_attention_grouped(
             jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), idx, counts,
-            rowbits, jnp.zeros((b,), jnp.int32), group=grp,
+            rowbits, clean, jnp.zeros((b,), jnp.int32), group=grp,
             visual_len=visual_len, text_start=None, block_m=BM, block_n=BN,
             interpret=True))
         kv_valid = np.zeros((b, nb * BN), bool)
@@ -207,7 +209,7 @@ def test_group_rows_membership_bits():
     g = np.random.default_rng(23)
     mask = g.uniform(size=(1, 1, 8, 9)) < 0.4
     mask[..., 0] = True
-    idx, counts, rowbits = map(
+    idx, counts, rowbits, _ = map(
         np.asarray, group_rows(jnp.asarray(mask), 4))
     for p in range(2):
         rows = mask[0, 0, 4 * p: 4 * p + 4]
@@ -228,7 +230,7 @@ def test_pair_rows_membership():
     g = np.random.default_rng(11)
     mask = g.uniform(size=(1, 1, 6, 9)) < 0.4
     mask[..., 0] = True
-    idx, counts, rowbits = pair_rows(jnp.asarray(mask))
+    idx, counts, rowbits, _ = pair_rows(jnp.asarray(mask))
     idx, counts, rowbits = map(np.asarray, (idx, counts, rowbits))
     for p in range(3):
         union = np.where(mask[0, 0, 2 * p] | mask[0, 0, 2 * p + 1])[0]
@@ -258,3 +260,23 @@ def test_dense_attention_vanilla_masks_invalid_keys():
         jnp.asarray(q), jnp.asarray(k[:, :, :200]), jnp.asarray(v[:, :, :200]),
         mode="vanilla"))
     np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-5)
+
+
+def test_long_contiguous_runs_match_reference():
+    """Masks with long contiguous block runs exercise every coalesced-DMA
+    class (1/2/4/8/16 blocks per descriptor) across multiple chunks."""
+    b, h, nq, nb, d = 1, 2, 2, 40, 64
+    q, k, v = make_inputs(11, b, h, nq, nb, d)
+    mask = np.zeros((b, h, nq, nb), bool)
+    mask[0, 0, 0, 0:19] = True      # 16+2+1 decomposition
+    mask[0, 0, 0, 21:24] = True
+    mask[0, 0, 1, 5:37] = True      # crosses two chunk boundaries
+    mask[0, 1, 0, 0:40] = True      # full row: 16,16,8
+    mask[0, 1, 1, 39] = True        # single trailing block
+    out = run_sparse(q, k, v, mask, np.zeros(b), visual_len=nb * BN,
+                     text_start=None)
+    kv_valid = jnp.ones((b, nb * BN), bool)
+    want = np.asarray(block_sparse_attention_reference(
+        jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), jnp.asarray(mask),
+        kv_valid, block_m=BM, block_n=BN))
+    np.testing.assert_allclose(out, want, rtol=2e-4, atol=2e-5)
