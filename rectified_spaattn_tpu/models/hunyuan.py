@@ -213,11 +213,19 @@ class HunyuanVideoDiT(nn.Module):
 
     def run_blocks(self, x, ctx, temb, rope, attn_fn: AttnFn):
         """Stage 2 (the TeaCache-skippable hot loop,
-        reference: scripts/main_hunyuan.py:134-157)."""
+        reference: scripts/main_hunyuan.py:134-157).
+
+        The barrier between blocks pins each block's big elementwise
+        temporaries (fp32 RoPE rotation at video scale is ~1.4 GB per
+        projection) to that block's lifetime — without it the XLA
+        scheduler overlaps block prologues and the unrolled deep model
+        OOMs on temps that could never coexist in program order."""
         for blk in self.dual_blocks:
-            x, ctx = blk(x, ctx, temb, rope, attn_fn)
+            x, ctx = jax.lax.optimization_barrier(
+                blk(x, ctx, temb, rope, attn_fn))
         for blk in self.single_blocks:
-            x, ctx = blk(x, ctx, temb, rope, attn_fn)
+            x, ctx = jax.lax.optimization_barrier(
+                blk(x, ctx, temb, rope, attn_fn))
         return x, ctx
 
     def head(self, x, temb, linear_to_hilbert, t, hh, ww):

@@ -96,3 +96,16 @@ def pad_tokens(x: jax.Array, multiple: int, axis: int = 1) -> jax.Array:
 
 def classifier_free_guidance(cond, uncond, scale):
     return uncond + scale * (cond - uncond)
+
+
+def param_compute_dtype(params):
+    """Activation dtype for a parameter tree: bf16 when the params are
+    bf16 (real checkpoints), else fp32.  jnp promotion would otherwise
+    run a bf16 model's video-scale activations in fp32 — 2x the HBM
+    traffic and activation footprint of the reference's bf16 transformer
+    (main_hunyuan.py:233)."""
+    import jax
+    import jax.numpy as jnp
+    leaves = jax.tree_util.tree_leaves(params)
+    bf16 = any(getattr(l, "dtype", None) == jnp.bfloat16 for l in leaves)
+    return jnp.bfloat16 if bf16 else jnp.float32

@@ -71,10 +71,14 @@ class CogVideoXPipeline:
             p_remain=self.p_remain_rates, layout="joint",
             text_len=self.text_len)
         m = self.model
+        from .base import param_compute_dtype
+        self.compute_dtype = param_compute_dtype(self.params)
 
         def embed(params, latents, t, text, ofs):
-            return m.apply(params, latents, t, text, self.h2l, ofs,
-                           method=CogVideoXDiT.embed)
+            x, ctx, temb, rope = m.apply(params, latents, t, text, self.h2l,
+                                         ofs, method=CogVideoXDiT.embed)
+            cd = self.compute_dtype
+            return x.astype(cd), ctx.astype(cd), temb.astype(cd), rope
 
         def blocks(params, x, ctx, temb, rope, tlen, sparse: bool):
             dense = self.site.attn_fn(

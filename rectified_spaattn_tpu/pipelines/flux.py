@@ -52,13 +52,17 @@ class FluxPipeline:
             text_len=self.text_len)
         m = self.model
         n_dual = m.cfg.num_dual_blocks
+        from .base import param_compute_dtype
+        self.compute_dtype = param_compute_dtype(self.params)
 
         def embed(params, tokens, t, text, pooled, guidance):
             x, ctx, temb, rope = m.apply(
                 params, tokens, t, text, pooled, guidance, self.gh,
                 self.gw, self.h2l, method=FluxDiT.embed)
             sig = m.apply(params, x, temb, method=FluxDiT.teacache_signal)
-            return x, ctx, temb, rope, sig
+            cd = self.compute_dtype
+            return (x.astype(cd), ctx.astype(cd), temb.astype(cd), rope,
+                    sig)
 
         def blocks(params, x, ctx, temb, rope, tlen, sparse: bool,
                    cn_dual=None, cn_single=None):

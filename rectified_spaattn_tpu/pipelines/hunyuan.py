@@ -58,13 +58,21 @@ class HunyuanVideoPipeline:
         self.timer = StageTimer()
         m = self.model
 
+        # Activations run in the PARAM dtype (see base.param_compute_dtype);
+        # RoPE tables stay fp32, the rotation upcasts locally
+        # (models/layers.py::apply_rope_interleaved).
+        from .base import param_compute_dtype
+        self.compute_dtype = param_compute_dtype(self.params)
+
         def embed(params, latents, t, text, mask, guidance, pooled):
             x, ctx, temb, rope = m.apply(
                 params, latents, t, text, mask, guidance, self.h2l,
                 pooled, method=HunyuanVideoDiT.embed)
             sig = m.apply(params, x, temb,
                           method=HunyuanVideoDiT.teacache_signal)
-            return x, ctx, temb, rope, sig
+            cd = self.compute_dtype
+            return (x.astype(cd), ctx.astype(cd), temb.astype(cd), rope,
+                    sig)
 
         def blocks(params, x, ctx, temb, rope, tlen, attn_mode: str):
             fn = self.site.attn_fn(attn_mode, text_len_rt=tlen,
@@ -124,14 +132,18 @@ class HunyuanVideoPipeline:
         return latents
 
     def __call__(self, text_emb, text_mask, pooled=None, seed: int = 42,
-                 num_steps: Optional[int] = None):
+                 num_steps: Optional[int] = None, init_latents=None):
         cfg = self.model.cfg
         rng = jax.random.PRNGKey(seed)
         b = text_emb.shape[0]
-        latents = jax.random.normal(
-            rng, (b, cfg.in_channels, self.grid[0], self.grid[1],
-                  self.grid[2]), jnp.float32)
-        latents = self.denoise(latents, text_emb, text_mask, pooled=pooled)
+        if init_latents is not None:
+            latents = init_latents
+        else:
+            latents = jax.random.normal(
+                rng, (b, cfg.in_channels, self.grid[0], self.grid[1],
+                      self.grid[2]), jnp.float32)
+        latents = self.denoise(latents, text_emb, text_mask, pooled=pooled,
+                               num_steps=num_steps)
         if self.vae_decode is not None:
             return self.vae_decode(latents)
         return latents

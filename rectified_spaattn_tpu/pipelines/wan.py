@@ -110,6 +110,8 @@ class WanPipeline:
             p_remain=self.p_remain_rates, layout="visual",
             first_frame_retention=True)
         m = self.model
+        from .base import param_compute_dtype
+        self.compute_dtype = param_compute_dtype(self.params)
 
         bm = self.site.cfg.block_m
         sv_true = self.site.visual_len
@@ -131,7 +133,10 @@ class WanPipeline:
                 if temb6.ndim == 4:
                     temb6 = jnp.pad(temb6,
                                     ((0, 0), (0, pad), (0, 0), (0, 0)))
-            return x, ctx, ctx_img, temb, temb6, rope
+            cd = self.compute_dtype
+            ctx_img = ctx_img.astype(cd) if ctx_img is not None else None
+            return (x.astype(cd), ctx.astype(cd), ctx_img,
+                    temb.astype(cd), temb6.astype(cd), rope)
 
         def blocks(params, x, ctx, ctx_img, temb6, rope, sparse: bool):
             dense = self.site.attn_fn(

@@ -348,3 +348,37 @@ def test_flux_controlnet_conditions_the_upscale():
                                     controlnet_fn=fn)))
     assert np.isfinite(outs[0]).all()
     assert np.abs(outs[0] - outs[1]).max() > 1e-6
+
+
+def test_bf16_params_run_bf16_activations():
+    """bf16 params (real-checkpoint dtype) must run the block stack in
+    bf16 — jnp promotion would silently run video-scale activations in
+    fp32 (2x HBM traffic vs the reference's bf16 transformer)."""
+    import jax
+    import jax.numpy as jnp
+    from rectified_spaattn_tpu.models.hunyuan import (HunyuanVideoConfig,
+                                                      HunyuanVideoDiT)
+    from rectified_spaattn_tpu.pipelines import HunyuanVideoPipeline
+
+    cfg = HunyuanVideoConfig.tiny()
+    model = HunyuanVideoDiT(cfg)
+    rng = jax.random.PRNGKey(0)
+    text = jax.random.normal(rng, (1, 32, cfg.text_dim), jnp.float32)
+    mask = jnp.ones((1, 32), bool)
+    lat = jnp.zeros((1, cfg.in_channels, 2, 16, 16))
+    params = model.init(rng, lat, jnp.array([0.0]), text, mask,
+                        jnp.array([6000.0]), None, None)
+    params = jax.tree_util.tree_map(
+        lambda x: x.astype(jnp.bfloat16)
+        if x.dtype == jnp.float32 else x, params)
+    pipe = HunyuanVideoPipeline(
+        model=model, params=params, height=256, width=256, frames=8,
+        num_steps=2, mode="vanilla", interpret=True)
+    assert pipe.compute_dtype == jnp.bfloat16
+    x, ctx, temb, rope, sig = pipe._embed(
+        params, jax.random.normal(rng, (1, cfg.in_channels, *pipe.grid)),
+        jnp.array([500.0]), text, mask, jnp.array([6000.0]), None)
+    assert x.dtype == jnp.bfloat16 and ctx.dtype == jnp.bfloat16
+    out = pipe(text, mask, seed=0)
+    import numpy as np
+    assert np.isfinite(np.asarray(out, np.float32)).all()
