@@ -71,8 +71,11 @@ class HunyuanVideoPipeline:
             sig = m.apply(params, x, temb,
                           method=HunyuanVideoDiT.teacache_signal)
             cd = self.compute_dtype
+            # sig is STORED by TeaCache as previous_modulated — keep it in
+            # the model dtype like the reference (main_hunyuan.py:126 on a
+            # bf16 transformer); fp32 would double the resident state
             return (x.astype(cd), ctx.astype(cd), temb.astype(cd), rope,
-                    sig)
+                    sig.astype(cd))
 
         def blocks(params, x, ctx, temb, rope, tlen, attn_mode: str):
             fn = self.site.attn_fn(attn_mode, text_len_rt=tlen,

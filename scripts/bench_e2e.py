@@ -163,12 +163,15 @@ def main():
                               / max(computed, 1))
             t_s = max((pipe.denoise_seconds - computed * t_c) / skipped, 0)
             log(f"per-step: compute {t_c:.2f}s, skip {t_s:.2f}s")
+            dense = results.get("flash")
             for frac in (0.5, 0.54):
                 t_tea = (1 - frac) * t_c + frac * t_s
-                log(f"at {frac:.0%} skip rate (reference Hunyuan regime): "
-                    f"{t_tea:.2f}s/step -> "
-                    f"{results.get('flash', float('nan')) / t_tea:.2f}x "
-                    f"vs our dense")
+                msg = (f"at {frac:.0%} skip rate (reference Hunyuan "
+                       f"regime): {t_tea:.2f}s/step")
+                if dense is not None and "sparse" in results:
+                    # only compare when dense was measured at THIS depth
+                    msg += f" -> {dense / t_tea:.2f}x vs our dense"
+                log(msg)
 
 
 if __name__ == "__main__":
