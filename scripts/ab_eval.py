@@ -33,6 +33,10 @@ def main():
     ap.add_argument("--seed", type=int, default=42)
     ap.add_argument("--prompt", type=str,
                     default="several hot air balloons flying over a city.")
+    ap.add_argument("--smooth_init", action="store_true",
+                    help="spatially low-pass initial latents: peaked "
+                         "pooled attention (the real-checkpoint regime, "
+                         "which random weights otherwise flatter)")
     args = ap.parse_args()
 
     from rectified_spaattn_tpu.cli.generate import build_hunyuan
@@ -49,13 +53,18 @@ def main():
 
     A.mode = "flash"
     pipe_d, inputs = build_hunyuan(A)
-    dense = np.asarray(pipe_d(*inputs, seed=args.seed))
+    init = None
+    if args.smooth_init:
+        from bench_e2e import smooth_latents
+        t, hh, ww = pipe_d.grid
+        init = smooth_latents(pipe_d.model.cfg, t, hh, ww, seed=args.seed)
+    dense = np.asarray(pipe_d(*inputs, seed=args.seed, init_latents=init))
     t_dense = pipe_d.denoise_seconds
 
     A.mode = "sparse"
     pipe_s, _ = build_hunyuan(A)
     pipe_s.params = pipe_d.params
-    sparse = np.asarray(pipe_s(*inputs, seed=args.seed))
+    sparse = np.asarray(pipe_s(*inputs, seed=args.seed, init_latents=init))
     t_sparse = pipe_s.denoise_seconds
 
     # latents -> pseudo-images for the image metrics (channel-mean frames)

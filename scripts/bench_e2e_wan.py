@@ -1,0 +1,103 @@
+"""Wan2.1-T2V end-to-end benchmark at full width (hidden 5120 / 40 heads).
+
+Second-family E2E evidence (reference: main_wan21t2v.py, sa_drop 0.75 →
+1.68× sparse / 4.61× +TeaCache vs its torch dense).  Same methodology as
+bench_e2e.py: full 720p·81f token count (75 600 visual + 512 cross-attn
+text), bf16 host-initialised params, configurable depth slice (per-step
+cost linear in depth), UniPC + CFG (two transformer calls per step).
+
+warm_layers/warm_calls are zeroed for the timing slice: the reference
+keeps 2 of 40 layers + the first 10 calls dense, which at an 8-block
+slice would overweight the dense share 5x; the dilution at full depth is
+<3 % of the ratio.
+
+    python scripts/bench_e2e_wan.py --blocks 8 [--steps 2]
+"""
+
+import argparse
+import time
+import sys
+import os
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+
+def log(m):
+    print(f"[{time.strftime('%H:%M:%S')}] {m}", flush=True)
+
+
+def host_bf16_params(model, cfg, seed=0, scale=0.02):
+    rng = jax.random.PRNGKey(seed)
+    text = jnp.zeros((1, 8, cfg.text_dim), jnp.float32)
+    lat = jnp.zeros((1, cfg.in_channels, 2 * cfg.patch_size[0],
+                     8 * cfg.patch_size[1], 8 * cfg.patch_size[2]))
+    shapes = jax.eval_shape(model.init, rng, lat, jnp.array([0.0]), text,
+                            None)
+    g = np.random.default_rng(seed)
+
+    def leaf(sd):
+        if not jnp.issubdtype(sd.dtype, jnp.floating):
+            return jnp.zeros(sd.shape, sd.dtype)
+        return jnp.asarray(
+            g.normal(size=sd.shape, scale=scale).astype(np.float32),
+            jnp.bfloat16)
+
+    return jax.tree_util.tree_map(leaf, shapes)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--blocks", type=int, default=8)
+    ap.add_argument("--steps", type=int, default=2)
+    ap.add_argument("--height", type=int, default=720)
+    ap.add_argument("--width", type=int, default=1280)
+    ap.add_argument("--frame", type=int, default=81)
+    ap.add_argument("--sa_drop_rate", type=float, default=0.75)
+    ap.add_argument("--p_remain", type=float, default=0.05)
+    ap.add_argument("--modes", type=str, default="sparse,flash")
+    args = ap.parse_args()
+
+    from rectified_spaattn_tpu.models.wan import WanConfig, WanDiT
+    from rectified_spaattn_tpu.pipelines import WanPipeline
+
+    cfg = WanConfig(num_blocks=args.blocks)   # full width, sliced depth
+    model = WanDiT(cfg)
+    log(f"host-init bf16 params (hidden {cfg.hidden_dim}, "
+        f"{args.blocks} blocks)...")
+    params = host_bf16_params(model, cfg)
+    n = sum(int(np.prod(x.shape))
+            for x in jax.tree_util.tree_leaves(params))
+    log(f"{n/1e9:.2f}B params ({n*2/1e9:.1f} GB bf16)")
+
+    rng = jax.random.PRNGKey(0)
+    text = jax.random.normal(rng, (1, 512, cfg.text_dim), jnp.float32)
+    neg = jax.random.normal(jax.random.fold_in(rng, 1),
+                            (1, 512, cfg.text_dim), jnp.float32)
+
+    results = {}
+    for mode in [m for m in args.modes.split(",") if m]:
+        pipe = WanPipeline(
+            model=model, params=params, height=args.height,
+            width=args.width, frames=args.frame, num_steps=args.steps,
+            sa_drop_rate=args.sa_drop_rate,
+            p_remain_rates=args.p_remain, mode=mode,
+            warm_layers=0, warm_calls=0)
+        log(f"{mode}: warm-up (compiles)...")
+        pipe(text, neg, seed=1, num_steps=1)
+        log(f"{mode}: timed {args.steps} steps (2 CFG calls each)...")
+        pipe(text, neg, seed=1)
+        per_step = pipe.denoise_seconds / args.steps
+        results[mode] = per_step
+        log(f"{mode}: {per_step:.2f}s/step  (extrapolated full 40-block "
+            f"50-step: {per_step * 40 / args.blocks * 50:.0f}s)")
+    if "sparse" in results and "flash" in results:
+        log(f"Wan2.1-T2V E2E dense->sparse speedup at {args.blocks} blocks:"
+            f" {results['flash'] / results['sparse']:.2f}x")
+
+
+if __name__ == "__main__":
+    main()
