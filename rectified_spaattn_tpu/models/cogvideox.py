@@ -175,7 +175,10 @@ class CogVideoXDiT(nn.Module):
                    attn_fns=None):
         for i, blk in enumerate(self.blocks):
             fn = attn_fns[i] if attn_fns is not None else attn_fn
-            x, ctx = blk(x, ctx, temb, rope, fn)
+            # barrier: pin each block's big elementwise temporaries to its
+            # own lifetime (see models/hunyuan.py::run_blocks)
+            x, ctx = jax.lax.optimization_barrier(
+                blk(x, ctx, temb, rope, fn))
         return x, ctx
 
     def head(self, x, ctx, temb, linear_to_hilbert, t, hh, ww):

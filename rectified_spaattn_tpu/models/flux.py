@@ -125,11 +125,14 @@ class FluxDiT(nn.Module):
             x, ctx = blk(x, ctx, temb, rope, fn)
             if controlnet_dual_residuals is not None:
                 x = x + controlnet_dual_residuals[i]
+            # barrier: see models/hunyuan.py::run_blocks
+            x, ctx = jax.lax.optimization_barrier((x, ctx))
         for i, blk in enumerate(self.single_blocks):
             fn = single_attn_fns[i] if single_attn_fns is not None else attn_fn
             x, ctx = blk(x, ctx, temb, rope, fn)
             if controlnet_single_residuals is not None:
                 x = x + controlnet_single_residuals[i]
+            x, ctx = jax.lax.optimization_barrier((x, ctx))
         return x, ctx
 
     def head(self, x, temb, linear_to_hilbert):

@@ -153,7 +153,10 @@ class WanDiT(nn.Module):
         layers/steps per processor, rectified_wan21_attn.py:467)."""
         for i, blk in enumerate(self.blocks):
             fn = attn_fns[i] if attn_fns is not None else self_attn_fn
-            x = blk(x, ctx, temb6, rope, fn, cross_attn_fn, ctx_img=ctx_img)
+            # barrier: see models/hunyuan.py::run_blocks
+            x = jax.lax.optimization_barrier(
+                blk(x, ctx, temb6, rope, fn, cross_attn_fn,
+                    ctx_img=ctx_img))
         return x
 
     def head(self, x, temb, linear_to_hilbert, t, hh, ww):

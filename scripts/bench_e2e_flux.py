@@ -1,0 +1,100 @@
+"""Flux.1-dev 4096x4096 upscale-stage benchmark at full width.
+
+Fourth-family E2E evidence (reference: main_upflux.py, sa_drop 0.9 →
+1.60× sparse vs its torch dense at 4096²).  The 4096² stage is the
+workload that matters: 65 536 visual tokens + 512 text.  Full width
+(hidden 3072 / 24 heads), depth slice of the 19+38 model (12 B params
+do not fit; per-step cost is linear in depth).
+
+    python scripts/bench_e2e_flux.py --dual 4 --single 8 [--steps 2]
+"""
+
+import argparse
+import time
+import sys
+import os
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+
+def log(m):
+    print(f"[{time.strftime('%H:%M:%S')}] {m}", flush=True)
+
+
+def host_bf16_params(model, cfg, seed=0, scale=0.02):
+    rng = jax.random.PRNGKey(seed)
+    text = jnp.zeros((1, 8, cfg.text_dim), jnp.float32)
+    pooled = jnp.zeros((1, cfg.pooled_dim), jnp.float32)
+    tokens = jnp.zeros((1, 64, cfg.in_channels))
+    shapes = jax.eval_shape(
+        lambda r, tk, t, tx, p, g: model.init(r, tk, t, tx, p, g, 8, 8),
+        rng, tokens, jnp.array([0.5]), text, pooled, jnp.array([3.5]))
+    g = np.random.default_rng(seed)
+
+    def leaf(sd):
+        if not jnp.issubdtype(sd.dtype, jnp.floating):
+            return jnp.zeros(sd.shape, sd.dtype)
+        return jnp.asarray(
+            g.normal(size=sd.shape, scale=scale).astype(np.float32),
+            jnp.bfloat16)
+
+    return jax.tree_util.tree_map(leaf, shapes)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--dual", type=int, default=4)
+    ap.add_argument("--single", type=int, default=8)
+    ap.add_argument("--steps", type=int, default=2)
+    ap.add_argument("--size", type=int, default=4096)
+    ap.add_argument("--sa_drop_rate", type=float, default=0.9)
+    ap.add_argument("--p_remain", type=float, default=0.05)
+    ap.add_argument("--modes", type=str, default="sparse,flash")
+    args = ap.parse_args()
+
+    from rectified_spaattn_tpu.models.flux import FluxConfig, FluxDiT
+    from rectified_spaattn_tpu.pipelines import FluxPipeline
+
+    cfg = FluxConfig(num_dual_blocks=args.dual,
+                     num_single_blocks=args.single)   # full width
+    model = FluxDiT(cfg)
+    log(f"host-init bf16 params (hidden {cfg.hidden_dim}, "
+        f"{args.dual}+{args.single} blocks)...")
+    params = host_bf16_params(model, cfg)
+    n = sum(int(np.prod(x.shape))
+            for x in jax.tree_util.tree_leaves(params))
+    log(f"{n/1e9:.2f}B params ({n*2/1e9:.1f} GB bf16)")
+
+    rng = jax.random.PRNGKey(0)
+    text = jax.random.normal(rng, (1, 512, cfg.text_dim), jnp.float32)
+    mask = jnp.ones((1, 512), bool)
+    pooled = jax.random.normal(jax.random.fold_in(rng, 1),
+                               (1, cfg.pooled_dim), jnp.float32)
+
+    results = {}
+    depth = args.dual + args.single
+    for mode in [m for m in args.modes.split(",") if m]:
+        pipe = FluxPipeline(
+            model=model, params=params, height=args.size, width=args.size,
+            num_steps=args.steps, sa_drop_rate=args.sa_drop_rate,
+            p_remain_rates=args.p_remain, mode=mode,
+            sparse_layer_gate=(depth + 1, depth + 1))   # all-sparse slice
+        log(f"{mode}: warm-up (compiles)...")
+        pipe(text, mask, pooled, seed=1, num_steps=1)
+        log(f"{mode}: timed {args.steps} steps...")
+        pipe(text, mask, pooled, seed=1)
+        per_step = pipe.denoise_seconds / args.steps
+        results[mode] = per_step
+        log(f"{mode}: {per_step:.2f}s/step  (extrapolated full 57-block "
+            f"28-step: {per_step * 57 / depth * 28:.0f}s)")
+    if "sparse" in results and "flash" in results:
+        log(f"Flux 4096^2 E2E dense->sparse speedup at {depth} blocks: "
+            f"{results['flash'] / results['sparse']:.2f}x")
+
+
+if __name__ == "__main__":
+    main()

@@ -382,3 +382,28 @@ def test_bf16_params_run_bf16_activations():
     out = pipe(text, mask, seed=0)
     import numpy as np
     assert np.isfinite(np.asarray(out, np.float32)).all()
+
+
+def test_bf16_params_cast_all_families():
+    """Every pipeline's embed seam casts activations to the param dtype."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from rectified_spaattn_tpu.models.wan import WanConfig, WanDiT
+    from rectified_spaattn_tpu.pipelines import WanPipeline
+
+    cfg = WanConfig.tiny()
+    model = WanDiT(cfg)
+    rng = jax.random.PRNGKey(0)
+    text = jax.random.normal(rng, (1, 16, cfg.text_dim), jnp.float32)
+    lat = jnp.zeros((1, cfg.in_channels, 2, 16, 16))
+    params = model.init(rng, lat, jnp.array([0.0]), text, None)
+    params = jax.tree_util.tree_map(
+        lambda x: x.astype(jnp.bfloat16)
+        if x.dtype == jnp.float32 else x, params)
+    pipe = WanPipeline(model=model, params=params, height=256, width=256,
+                       frames=9, num_steps=2, mode="vanilla",
+                       interpret=True, warm_calls=0)
+    assert pipe.compute_dtype == jnp.bfloat16
+    out = pipe(text, text, seed=0)
+    assert np.isfinite(np.asarray(out, np.float32)).all()
