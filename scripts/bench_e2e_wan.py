@@ -59,12 +59,24 @@ def main():
     ap.add_argument("--sa_drop_rate", type=float, default=0.75)
     ap.add_argument("--p_remain", type=float, default=0.05)
     ap.add_argument("--modes", type=str, default="sparse,flash")
+    ap.add_argument("--ti2v", action="store_true",
+                    help="Wan2.2 TI2V-5B shape: hidden 3072/24 heads, 30 "
+                         "blocks (the COMPLETE model fits one chip), "
+                         "48-ch latents, VAE stride 32, 704x1280x121f")
     args = ap.parse_args()
 
     from rectified_spaattn_tpu.models.wan import WanConfig, WanDiT
     from rectified_spaattn_tpu.pipelines import WanPipeline
 
-    cfg = WanConfig(num_blocks=args.blocks)   # full width, sliced depth
+    if args.ti2v:
+        cfg = WanConfig(in_channels=48, out_channels=48, hidden_dim=3072,
+                        heads=24, head_dim=128, num_blocks=args.blocks,
+                        ffn_dim=14336)
+        args.height, args.width, args.frame = 704, 1280, 121
+        vae_stride = (4, 32, 32)
+    else:
+        cfg = WanConfig(num_blocks=args.blocks)   # full width, sliced depth
+        vae_stride = (4, 16, 16)
     model = WanDiT(cfg)
     log(f"host-init bf16 params (hidden {cfg.hidden_dim}, "
         f"{args.blocks} blocks)...")
@@ -85,15 +97,17 @@ def main():
             width=args.width, frames=args.frame, num_steps=args.steps,
             sa_drop_rate=args.sa_drop_rate,
             p_remain_rates=args.p_remain, mode=mode,
-            warm_layers=0, warm_calls=0)
+            warm_layers=0, warm_calls=0, vae_stride=vae_stride)
         log(f"{mode}: warm-up (compiles)...")
         pipe(text, neg, seed=1, num_steps=1)
         log(f"{mode}: timed {args.steps} steps (2 CFG calls each)...")
         pipe(text, neg, seed=1)
         per_step = pipe.denoise_seconds / args.steps
         results[mode] = per_step
-        log(f"{mode}: {per_step:.2f}s/step  (extrapolated full 40-block "
-            f"50-step: {per_step * 40 / args.blocks * 50:.0f}s)")
+        full_blocks = 30 if args.ti2v else 40
+        log(f"{mode}: {per_step:.2f}s/step  (extrapolated full "
+            f"{full_blocks}-block 50-step: "
+            f"{per_step * full_blocks / args.blocks * 50:.0f}s)")
     if "sparse" in results and "flash" in results:
         log(f"Wan2.1-T2V E2E dense->sparse speedup at {args.blocks} blocks:"
             f" {results['flash'] / results['sparse']:.2f}x")
