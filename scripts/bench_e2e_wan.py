@@ -59,6 +59,9 @@ def main():
     ap.add_argument("--sa_drop_rate", type=float, default=0.75)
     ap.add_argument("--p_remain", type=float, default=0.05)
     ap.add_argument("--modes", type=str, default="sparse,flash")
+    ap.add_argument("--teacache", action="store_true",
+                    help="also time sparse+TeaCache (CFG dual-state, "
+                         "use_ret_steps, reference thresh 0.2)")
     ap.add_argument("--ti2v", action="store_true",
                     help="Wan2.2 TI2V-5B shape: hidden 3072/24 heads, 30 "
                          "blocks (the COMPLETE model fits one chip), "
@@ -109,8 +112,35 @@ def main():
             f"{full_blocks}-block 50-step: "
             f"{per_step * full_blocks / args.blocks * 50:.0f}s)")
     if "sparse" in results and "flash" in results:
-        log(f"Wan2.1-T2V E2E dense->sparse speedup at {args.blocks} blocks:"
+        log(f"Wan E2E dense->sparse speedup at {args.blocks} blocks:"
             f" {results['flash'] / results['sparse']:.2f}x")
+
+    if args.teacache:
+        pipe = WanPipeline(
+            model=model, params=params, height=args.height,
+            width=args.width, frames=args.frame, num_steps=args.steps,
+            sa_drop_rate=args.sa_drop_rate,
+            p_remain_rates=args.p_remain, mode="sparse",
+            warm_layers=0, warm_calls=0, vae_stride=vae_stride,
+            enable_teacache=True, teacache_thresh=0.2, use_ret_steps=True)
+        pipe(text, neg, seed=1, num_steps=1)
+        steps = max(args.steps, 6)
+        pipe(text, neg, seed=1, num_steps=steps)
+        per_step = pipe.denoise_seconds / steps
+        st = pipe.teacache_stats
+        log(f"sparse+teacache: {per_step:.2f}s/step over {steps} steps "
+            f"(skipped {st['skipped']}/{st['skipped'] + st['computed']} "
+            f"CFG calls)")
+        if "sparse" in results and "flash" in results and st["skipped"]:
+            t_call = results["sparse"] / 2          # per CFG call
+            tot = pipe.denoise_seconds
+            t_skip = max((tot - st["computed"] * t_call)
+                         / st["skipped"], 0)
+            for frac in (0.5, 0.68):
+                t_step = 2 * ((1 - frac) * t_call + frac * t_skip)
+                log(f"at {frac:.0%} call-skip rate: {t_step:.2f}s/step -> "
+                    f"{results['flash'] / t_step:.2f}x vs our dense "
+                    f"(reference wan2.1 teacache regime ~4.61x overall)")
 
 
 if __name__ == "__main__":

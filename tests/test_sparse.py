@@ -282,3 +282,34 @@ def test_bisect_topp_full_density():
     probs = jnp.asarray(np.full((1, 1, 4, 8), 1 / 8, np.float32))
     out = np.asarray(topp_threshold_onehot_bisect(probs, 1.0, 1))
     assert out.all()
+
+
+def test_group_rows_clean_first_ordering():
+    """group_rows with clean_blocks partitions union slots
+    [all-member ∧ block < clean_blocks | rest], each part ascending, and
+    reports the clean-prefix length; rowbits stay aligned to the
+    reordered indices."""
+    import numpy as np
+    from rectified_spaattn_tpu.sparse.ops import group_rows
+    g = np.random.default_rng(7)
+    mask = g.uniform(size=(1, 2, 8, 23)) < 0.45
+    mask[..., 0] = True
+    cb = 17
+    idx, counts, rowbits, clean = map(
+        np.asarray, group_rows(jnp.asarray(mask), 4, clean_blocks=cb))
+    for h in range(2):
+        for p in range(2):
+            rows = mask[0, h, 4 * p: 4 * p + 4]
+            union = np.where(rows.any(0))[0]
+            allm = rows.all(0)
+            want_clean = sorted(c for c in union if allm[c] and c < cb)
+            want_tail = sorted(c for c in union if not (allm[c] and c < cb))
+            n, ncl = counts[0, h, p], clean[0, h, p]
+            assert ncl == len(want_clean)
+            np.testing.assert_array_equal(idx[0, h, p, :ncl], want_clean)
+            np.testing.assert_array_equal(idx[0, h, p, ncl:n], want_tail)
+            for s_ in range(n):
+                col = idx[0, h, p, s_]
+                for r in range(4):
+                    assert bool(rowbits[0, h, p, s_] & (1 << r)) == bool(
+                        rows[r, col])
