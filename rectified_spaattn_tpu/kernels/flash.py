@@ -69,17 +69,34 @@ def dense_attention(
 
     b, h, sq, d = q.shape
     s = k.shape[2]
+    # The stock TPU flash kernel requires 128-divisible sequence lengths;
+    # pad queries (sliced off below) and keys (masked off via segment
+    # ids) — e.g. Wan-I2V's 257-token CLIP image cross-attention.
+    pad_q = (-sq) % 128
+    pad_kv = (-s) % 128
+    if pad_q:
+        q = jnp.pad(q, ((0, 0), (0, 0), (0, pad_q), (0, 0)))
+    if pad_kv:
+        k = jnp.pad(k, ((0, 0), (0, 0), (0, pad_kv), (0, 0)))
+        v = jnp.pad(v, ((0, 0), (0, 0), (0, pad_kv), (0, 0)))
+        if kv_valid is None:
+            kv_valid = jnp.arange(s + pad_kv)[None, :] < s
+            kv_valid = jnp.broadcast_to(kv_valid, (b, s + pad_kv))
+        else:
+            kv_valid = jnp.pad(kv_valid, ((0, 0), (0, pad_kv)))
+    sq_p, s_p = sq + pad_q, s + pad_kv
     segment_ids = None
     if kv_valid is not None:
         # Valid keys share segment 1 with every query; invalid keys get 0.
-        q_seg = jnp.ones((b, sq), jnp.int32)
+        q_seg = jnp.ones((b, sq_p), jnp.int32)
         kv_seg = kv_valid.astype(jnp.int32)
         segment_ids = SegmentIds(q=q_seg, kv=kv_seg)
     block_sizes = BlockSizes(
-        block_q=_pick_block(sq, 512),
-        block_k_major=_pick_block(s, 512),
-        block_k=_pick_block(s, 512),
+        block_q=_pick_block(sq_p, 512),
+        block_k_major=_pick_block(s_p, 512),
+        block_k=_pick_block(s_p, 512),
         block_b=1,
     )
-    return flash_attention(q, k, v, segment_ids=segment_ids,
-                           sm_scale=sm_scale, block_sizes=block_sizes)
+    out = flash_attention(q, k, v, segment_ids=segment_ids,
+                          sm_scale=sm_scale, block_sizes=block_sizes)
+    return out[:, :, :sq] if pad_q else out

@@ -54,6 +54,7 @@ def main():
     ap.add_argument("--sa_drop_rate", type=float, default=0.85)
     ap.add_argument("--p_remain", type=float, default=0.05)
     ap.add_argument("--modes", type=str, default="sparse,flash")
+    ap.add_argument("--teacache", action="store_true")
     args = ap.parse_args()
 
     from rectified_spaattn_tpu.models.cogvideox import (CogVideoXConfig,
@@ -92,6 +93,31 @@ def main():
     if "sparse" in results and "flash" in results:
         log(f"CogVideoX1.5 E2E dense->sparse speedup (FULL model): "
             f"{results['flash'] / results['sparse']:.2f}x")
+
+    if args.teacache:
+        pipe = CogVideoXPipeline(
+            model=model, params=params, height=args.height,
+            width=args.width, frames=args.frame, num_steps=args.steps,
+            sa_drop_rate=args.sa_drop_rate,
+            p_remain_rates=args.p_remain, mode="sparse",
+            sparse_warm_calls=0, enable_teacache=True, teacache_thresh=0.2)
+        pipe(text, neg, seed=1, num_steps=1)
+        steps = max(args.steps, 6)
+        pipe(text, neg, seed=1, num_steps=steps)
+        per_step = pipe.denoise_seconds / steps
+        st = pipe.teacache_stats
+        log(f"sparse+teacache: {per_step:.2f}s/step over {steps} steps "
+            f"(skipped {st['skipped']}/{st['skipped'] + st['computed']} "
+            f"CFG calls)")
+        if "sparse" in results and "flash" in results and st["skipped"]:
+            t_call = results["sparse"] / 2
+            t_skip = max((pipe.denoise_seconds
+                          - st["computed"] * t_call) / st["skipped"], 0)
+            # reference caching factor 2.97/1.76 -> ~57% call-skip
+            for frac in (0.5, 0.57):
+                t_step = 2 * ((1 - frac) * t_call + frac * t_skip)
+                log(f"at {frac:.0%} call-skip rate: {t_step:.2f}s/step -> "
+                    f"{results['flash'] / t_step:.2f}x vs our dense")
 
 
 if __name__ == "__main__":

@@ -35,8 +35,11 @@ def host_bf16_params(model, cfg, seed=0, scale=0.02):
     text = jnp.zeros((1, 8, cfg.text_dim), jnp.float32)
     lat = jnp.zeros((1, cfg.in_channels, 2 * cfg.patch_size[0],
                      8 * cfg.patch_size[1], 8 * cfg.patch_size[2]))
-    shapes = jax.eval_shape(model.init, rng, lat, jnp.array([0.0]), text,
-                            None)
+    img = (jnp.zeros((1, 257, cfg.image_dim), jnp.float32)
+           if cfg.image_cross else None)
+    shapes = jax.eval_shape(
+        lambda r, l, t, tx: model.init(r, l, t, tx, img),
+        rng, lat, jnp.array([0.0]), text)
     g = np.random.default_rng(seed)
 
     def leaf(sd):
@@ -62,6 +65,10 @@ def main():
     ap.add_argument("--teacache", action="store_true",
                     help="also time sparse+TeaCache (CFG dual-state, "
                          "use_ret_steps, reference thresh 0.2)")
+    ap.add_argument("--i2v", action="store_true",
+                    help="Wan2.1-I2V: in_channels-36 conditioned latents "
+                         "(VAE first frame + mask4) + CLIP image "
+                         "cross-attention (reference: main_wan21i2v.py)")
     ap.add_argument("--ti2v", action="store_true",
                     help="Wan2.2 TI2V-5B shape: hidden 3072/24 heads, 30 "
                          "blocks (the COMPLETE model fits one chip), "
@@ -77,6 +84,10 @@ def main():
                         ffn_dim=14336)
         args.height, args.width, args.frame = 704, 1280, 121
         vae_stride = (4, 32, 32)
+    elif args.i2v:
+        cfg = WanConfig(in_channels=36, num_blocks=args.blocks,
+                        image_cross=True)
+        vae_stride = (4, 16, 16)
     else:
         cfg = WanConfig(num_blocks=args.blocks)   # full width, sliced depth
         vae_stride = (4, 16, 16)
@@ -93,6 +104,12 @@ def main():
     neg = jax.random.normal(jax.random.fold_in(rng, 1),
                             (1, 512, cfg.text_dim), jnp.float32)
 
+    image_emb = None
+    condition = None
+    if args.i2v:
+        image_emb = jax.random.normal(jax.random.fold_in(rng, 2),
+                                      (1, 257, cfg.image_dim), jnp.float32)
+
     results = {}
     for mode in [m for m in args.modes.split(",") if m]:
         pipe = WanPipeline(
@@ -101,10 +118,16 @@ def main():
             sa_drop_rate=args.sa_drop_rate,
             p_remain_rates=args.p_remain, mode=mode,
             warm_layers=0, warm_calls=0, vae_stride=vae_stride)
+        if args.i2v and condition is None:
+            lt_, lh_, lw_ = pipe.grid
+            condition = jax.random.normal(
+                jax.random.fold_in(rng, 3), (1, 20, lt_, lh_, lw_),
+                jnp.float32)    # [mask4 | VAE first-frame latents 16]
         log(f"{mode}: warm-up (compiles)...")
-        pipe(text, neg, seed=1, num_steps=1)
+        pipe(text, neg, image_emb=image_emb, condition=condition,
+             seed=1, num_steps=1)
         log(f"{mode}: timed {args.steps} steps (2 CFG calls each)...")
-        pipe(text, neg, seed=1)
+        pipe(text, neg, image_emb=image_emb, condition=condition, seed=1)
         per_step = pipe.denoise_seconds / args.steps
         results[mode] = per_step
         full_blocks = 30 if args.ti2v else 40
