@@ -54,6 +54,7 @@ def main():
     ap.add_argument("--sa_drop_rate", type=float, default=0.9)
     ap.add_argument("--p_remain", type=float, default=0.05)
     ap.add_argument("--modes", type=str, default="sparse,flash")
+    ap.add_argument("--teacache", action="store_true")
     args = ap.parse_args()
 
     from rectified_spaattn_tpu.models.flux import FluxConfig, FluxDiT
@@ -94,6 +95,30 @@ def main():
     if "sparse" in results and "flash" in results:
         log(f"Flux 4096^2 E2E dense->sparse speedup at {depth} blocks: "
             f"{results['flash'] / results['sparse']:.2f}x")
+
+    if args.teacache:
+        pipe = FluxPipeline(
+            model=model, params=params, height=args.size, width=args.size,
+            num_steps=args.steps, sa_drop_rate=args.sa_drop_rate,
+            p_remain_rates=args.p_remain, mode="sparse",
+            sparse_layer_gate=(depth + 1, depth + 1),
+            enable_teacache=True, rel_l1_thresh=0.8)
+        pipe(text, mask, pooled, seed=1, num_steps=1)
+        steps = max(args.steps, 6)
+        pipe(text, mask, pooled, seed=1, num_steps=steps)
+        per_step = pipe.denoise_seconds / steps
+        st = pipe.teacache_stats
+        log(f"sparse+teacache: {per_step:.2f}s/step over {steps} steps "
+            f"(skipped {st['skipped']}/{st['skipped'] + st['computed']})")
+        if "sparse" in results and "flash" in results and st["skipped"]:
+            t_c = results["sparse"]
+            t_s = max((pipe.denoise_seconds - st["computed"] * t_c)
+                      / st["skipped"], 0)
+            # reference caching factor 4.15/1.60 -> ~61% step-skip
+            for frac in (0.5, 0.61):
+                t_step = (1 - frac) * t_c + frac * t_s
+                log(f"at {frac:.0%} skip rate: {t_step:.2f}s/step -> "
+                    f"{results['flash'] / t_step:.2f}x vs our dense")
 
 
 if __name__ == "__main__":

@@ -65,6 +65,10 @@ def main():
     ap.add_argument("--teacache", action="store_true",
                     help="also time sparse+TeaCache (CFG dual-state, "
                          "use_ret_steps, reference thresh 0.2)")
+    ap.add_argument("--a14b", action="store_true",
+                    help="Wan2.2 T2V-A14B dual-transformer routing: two "
+                         "full-width models, high/low-noise split by "
+                         "boundary_ratio (reference: main_wan22t2v.py)")
     ap.add_argument("--i2v", action="store_true",
                     help="Wan2.1-I2V: in_channels-36 conditioned latents "
                          "(VAE first frame + mask4) + CLIP image "
@@ -103,6 +107,38 @@ def main():
     text = jax.random.normal(rng, (1, 512, cfg.text_dim), jnp.float32)
     neg = jax.random.normal(jax.random.fold_in(rng, 1),
                             (1, 512, cfg.text_dim), jnp.float32)
+
+    if args.a14b:
+        from rectified_spaattn_tpu.pipelines import Wan22A14BPipeline
+        log("host-init second (low-noise) transformer...")
+        params2 = host_bf16_params(model, cfg, seed=1)
+        results = {}
+        for mode in [m for m in args.modes.split(",") if m]:
+            mk = lambda p_: WanPipeline(
+                model=model, params=p_, height=args.height,
+                width=args.width, frames=args.frame, num_steps=args.steps,
+                sa_drop_rate=args.sa_drop_rate,
+                p_remain_rates=args.p_remain, mode=mode,
+                warm_layers=0, warm_calls=0, vae_stride=vae_stride)
+            pipe = Wan22A14BPipeline(high=mk(params), low=mk(params2))
+            lat = jax.random.normal(
+                jax.random.PRNGKey(1),
+                (1, cfg.in_channels, *pipe.high.grid), jnp.float32)
+            # steps >= 8 so BOTH transformers execute (boundary 0.875
+            # puts the split at ~1/8 of the schedule); warm-up must run
+            # the full schedule so the low-noise programs compile too
+            steps = max(args.steps, 8)
+            log(f"{mode}: warm-up (compiles both transformers)...")
+            pipe.denoise(lat, text, neg, num_steps=steps)
+            log(f"{mode}: timed {steps} steps (dual-transformer routed)...")
+            pipe.denoise(lat, text, neg, num_steps=steps)
+            per_step = pipe.denoise_seconds / steps
+            results[mode] = per_step
+            log(f"{mode}: {per_step:.2f}s/step")
+        if "sparse" in results and "flash" in results:
+            log(f"Wan2.2 T2V-A14B E2E dense->sparse speedup: "
+                f"{results['flash'] / results['sparse']:.2f}x")
+        return
 
     image_emb = None
     condition = None
