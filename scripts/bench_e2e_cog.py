@@ -55,13 +55,21 @@ def main():
     ap.add_argument("--p_remain", type=float, default=0.05)
     ap.add_argument("--modes", type=str, default="sparse,flash")
     ap.add_argument("--teacache", action="store_true")
+    ap.add_argument("--i2v", action="store_true",
+                    help="I2V: image latents channel-concatenated into an "
+                         "in_channels-32 model, ofs 2.0 "
+                         "(reference: main_cogvideox.py:213-222)")
     args = ap.parse_args()
 
     from rectified_spaattn_tpu.models.cogvideox import (CogVideoXConfig,
                                                         CogVideoXDiT)
     from rectified_spaattn_tpu.pipelines import CogVideoXPipeline
 
-    cfg = CogVideoXConfig()                  # the FULL 1.5-5B shape
+    if args.i2v:
+        cfg = CogVideoXConfig(in_channels=32)   # [noise 16 | image 16]
+        args.sa_drop_rate = 0.75                # reference i2v default
+    else:
+        cfg = CogVideoXConfig()                  # the FULL 1.5-5B shape
     model = CogVideoXDiT(cfg)
     log(f"host-init bf16 params (hidden {cfg.hidden_dim}, "
         f"{cfg.num_blocks} blocks — full model)...")
@@ -75,6 +83,7 @@ def main():
     neg = jax.random.normal(jax.random.fold_in(rng, 1),
                             (1, 226, cfg.text_dim), jnp.float32)
 
+    condition = None
     results = {}
     for mode in [m for m in args.modes.split(",") if m]:
         pipe = CogVideoXPipeline(
@@ -82,16 +91,21 @@ def main():
             width=args.width, frames=args.frame, num_steps=args.steps,
             sa_drop_rate=args.sa_drop_rate,
             p_remain_rates=args.p_remain, mode=mode, sparse_warm_calls=0)
+        if args.i2v and condition is None:
+            condition = jax.random.normal(
+                jax.random.fold_in(rng, 3), (1, 16, *pipe.grid),
+                jnp.float32)
         log(f"{mode}: warm-up (compiles)...")
-        pipe(text, neg, seed=1, num_steps=1)
+        pipe(text, neg, condition=condition, seed=1, num_steps=1)
         log(f"{mode}: timed {args.steps} steps (2 CFG calls each)...")
-        pipe(text, neg, seed=1)
+        pipe(text, neg, condition=condition, seed=1)
         per_step = pipe.denoise_seconds / args.steps
         results[mode] = per_step
         log(f"{mode}: {per_step:.2f}s/step  "
             f"(full 50-step denoise: {per_step * 50:.0f}s)")
     if "sparse" in results and "flash" in results:
-        log(f"CogVideoX1.5 E2E dense->sparse speedup (FULL model): "
+        log(f"CogVideoX1.5{'-I2V' if args.i2v else ''} E2E dense->sparse "
+            f"speedup (FULL model): "
             f"{results['flash'] / results['sparse']:.2f}x")
 
     if args.teacache:

@@ -88,6 +88,11 @@ def main():
                         ffn_dim=14336)
         args.height, args.width, args.frame = 704, 1280, 121
         vae_stride = (4, 32, 32)
+    elif args.a14b and args.i2v:
+        # Wan2.2 I2V-A14B: conditioned latents, NO CLIP image branch
+        # (reference: main_wan22i2v.py uses WanImageToVideoPipeline)
+        cfg = WanConfig(in_channels=36, num_blocks=args.blocks)
+        vae_stride = (4, 16, 16)
     elif args.i2v:
         cfg = WanConfig(in_channels=36, num_blocks=args.blocks,
                         image_cross=True)
@@ -121,22 +126,30 @@ def main():
                 p_remain_rates=args.p_remain, mode=mode,
                 warm_layers=0, warm_calls=0, vae_stride=vae_stride)
             pipe = Wan22A14BPipeline(high=mk(params), low=mk(params2))
+            cond = None
+            noise_ch = cfg.in_channels
+            if args.i2v:
+                cond = jax.random.normal(
+                    jax.random.fold_in(rng, 4), (1, 20, *pipe.high.grid),
+                    jnp.float32)      # [mask4 | VAE first-frame latents]
+                noise_ch = cfg.in_channels - 20
             lat = jax.random.normal(
                 jax.random.PRNGKey(1),
-                (1, cfg.in_channels, *pipe.high.grid), jnp.float32)
+                (1, noise_ch, *pipe.high.grid), jnp.float32)
             # steps >= 8 so BOTH transformers execute (boundary 0.875
             # puts the split at ~1/8 of the schedule); warm-up must run
             # the full schedule so the low-noise programs compile too
             steps = max(args.steps, 8)
             log(f"{mode}: warm-up (compiles both transformers)...")
-            pipe.denoise(lat, text, neg, num_steps=steps)
+            pipe.denoise(lat, text, neg, condition=cond, num_steps=steps)
             log(f"{mode}: timed {steps} steps (dual-transformer routed)...")
-            pipe.denoise(lat, text, neg, num_steps=steps)
+            pipe.denoise(lat, text, neg, condition=cond, num_steps=steps)
             per_step = pipe.denoise_seconds / steps
             results[mode] = per_step
             log(f"{mode}: {per_step:.2f}s/step")
         if "sparse" in results and "flash" in results:
-            log(f"Wan2.2 T2V-A14B E2E dense->sparse speedup: "
+            kind = "I2V" if args.i2v else "T2V"
+            log(f"Wan2.2 {kind}-A14B E2E dense->sparse speedup: "
                 f"{results['flash'] / results['sparse']:.2f}x")
         return
 
