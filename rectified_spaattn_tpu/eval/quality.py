@@ -92,7 +92,18 @@ def run_visionreward(video_paths: Sequence[str],
         return {"available": False,
                 "reason": f"VisionReward checkpoint unavailable ({e})",
                 "videos": len(video_paths)}
-    import torch
+    try:
+        import torch
+        return _visionreward_score(model, tok, questions, weight,
+                                   video_paths, prompts, torch)
+    except Exception as e:  # frame decode / generation failure mid-run
+        return {"available": False,
+                "reason": f"VisionReward scoring failed ({e})",
+                "videos": len(video_paths)}
+
+
+def _visionreward_score(model, tok, questions, weight, video_paths,
+                        prompts, torch):
     scores = []
     for path, prompt in zip(video_paths, prompts):
         video = _sample_video_frames(path)
