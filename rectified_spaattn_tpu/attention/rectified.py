@@ -122,11 +122,16 @@ def rectified_sparse_attention(
         if row_pad:
             sparse_out = sparse_out[:, :, :sv_pad]
     else:
+        kv_quant = None
+        if cfg.kv_quant == "int8":
+            from ..sparse.ops import quantize_kv_blocks
+            kv_quant = quantize_kv_blocks(k, v, cfg.block_n)
         sparse_out = block_sparse_flash_attention(
             q_vis, k, v, plan.indices, plan.counts, tlen,
             visual_len=visual_len, text_start=text_start,
             block_m=bm, block_n=cfg.block_n,
-            chunk_blocks=cfg.kernel_chunk_blocks, interpret=interpret)
+            chunk_blocks=cfg.kernel_chunk_blocks, interpret=interpret,
+            kv_quant=kv_quant)
 
     # Apply R/comp by broadcast at block granularity (the reference
     # repeat_interleaves to token level, rectified_hunyuan_attn.py:352,357

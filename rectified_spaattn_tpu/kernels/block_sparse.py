@@ -67,6 +67,26 @@ from jax.experimental.pallas import tpu as pltpu
 MASK_VALUE = -0.7 * float(jnp.finfo(jnp.float32).max)
 
 
+def _dequant(kv, d, sk_ref, sv_ref, base, g, block_n):
+    # int8 KV chunk -> (k bf16 with per-block scale applied, v int8-as-
+    # bf16, v-scale row vector to fold into p).  Scales are per SLOT
+    # (gathered to row order by the wrapper), constant over each
+    # 128-token block: K scale enters as a [g*bn, 1] sublane vector on
+    # the K tile, V scale as a [1, g*bn] lane vector on the
+    # probabilities.
+    k_parts, v_parts = [], []
+    for lane in range(g):
+        k_parts.append(jnp.broadcast_to(
+            sk_ref[0, 0, 0, base + lane], (block_n, 1)))
+        v_parts.append(jnp.broadcast_to(
+            sv_ref[0, 0, 0, base + lane], (1, block_n)))
+    ksc = jnp.concatenate(k_parts, axis=0)               # [g*bn, 1]
+    vsc = jnp.concatenate(v_parts, axis=1)               # [1, g*bn]
+    k = kv[:, :d].astype(jnp.bfloat16) * ksc.astype(jnp.bfloat16)
+    v = kv[:, d:].astype(jnp.bfloat16)
+    return k, v, vsc
+
+
 def _sparse_attn_kernel(
     # SMEM inputs (trailing block dims equal the array dims — required by
     # the Pallas TPU lowering for sub-(8,128) blocks)
@@ -74,19 +94,18 @@ def _sparse_attn_kernel(
     clean_ref,       # [1, 1, 1, 1]  int32  — leading mask-free slot count
     tlen_ref,        # [1, 1, 1]     int32  — runtime effective text length
     idx_ref,         # [1, 1, 1, NB] int32  — compacted key-block indices
-    # VMEM / HBM inputs
-    q_ref,           # [1, bm, D]    VMEM
-    kv_hbm,          # [BH, S, 2*D]  ANY — lane-packed K/V, manually DMA'd
-    # outputs
-    o_ref,           # [1, bm, D]    VMEM
-    *maybe_stats,    # with return_stats: (m_ref, l_ref) [1, bm, 128] VMEM,
-                     # then scratch; else just scratch
+    *rest,           # with quant: (sk_ref, sv_ref) [1,1,1,NB] fp32 per-slot
+                     # absmax/127 scales; then
+                     # q_ref [1, bm, D] VMEM, kv_hbm [BH, S, 2*D] ANY
+                     # (int8 when quant), o_ref, and with return_stats
+                     # (m_ref, l_ref) [1, bm, 128] VMEM, then scratch
     block_n: int,
     chunk_blocks: int,
     sm_scale: float,
     visual_len: int,     # static: tokens < visual_len are valid
     text_start: int | None,  # static: text region offset (None = no text)
     return_stats: bool = False,
+    quant: bool = False,
 ):
     """Two-phase chunk loop: the ascending compacted index list puts every
     window-sensitive block (padded boundary visual block, text blocks) at
@@ -94,10 +113,13 @@ def _sparse_attn_kernel(
     per-lane scalar reads; only the 1-2 tail chunks pay for column
     coordinates and window tests (measured bit-exact vs the single-phase
     kernel on realistic masks)."""
+    if quant:
+        sk_ref, sv_ref, *rest = rest
+    q_ref, kv_hbm, o_ref, *rest = rest
     if return_stats:
-        m_ref, l_ref, kv_buf, sems = maybe_stats
+        m_ref, l_ref, kv_buf, sems = rest
     else:
-        kv_buf, sems = maybe_stats
+        kv_buf, sems = rest
     bh = pl.program_id(0)
     count = counts_ref[0, 0, 0, 0]
     clean = clean_ref[0, 0, 0, 0]
@@ -132,7 +154,7 @@ def _sparse_attn_kernel(
         start_chunk(0, 0)
 
     q = q_ref[0].astype(jnp.float32) * sm_scale
-    q = q.astype(kv_buf.dtype)
+    q = q.astype(jnp.bfloat16 if quant else kv_buf.dtype)
 
     init = (
         jnp.full((bm, 1), -jnp.inf, jnp.float32),       # running max m
@@ -140,13 +162,17 @@ def _sparse_attn_kernel(
         jnp.zeros((bm, d), jnp.float32),                # output accumulator
     )
 
-    def softmax_update(carry, s, v):
+    def softmax_update(carry, s, v, v_scale=None):
         m_prev, l_prev, acc = carry
         m_cur = jnp.max(s, axis=1, keepdims=True)
         m_next = jnp.maximum(m_prev, m_cur)
         alpha = jnp.exp(m_prev - m_next)
         p = jnp.exp(s - m_next)
         l_next = alpha * l_prev + jnp.sum(p, axis=1, keepdims=True)
+        if v_scale is not None:
+            # int8 V: x ~= v_int8 * scale, folded into p so V needs no
+            # per-element rescale before the MXU dot
+            p = p * v_scale
         acc = acc * alpha + jax.lax.dot(
             p.astype(v.dtype), v, preferred_element_type=jnp.float32)
         return m_next, l_next, acc
@@ -162,12 +188,16 @@ def _sparse_attn_kernel(
             # the source address — no idx reads in the clean body
             block_dma(buf_slot, lane, jnp.int32(0)).wait()
         kv = kv_buf[buf_slot]
-        k = kv[:, :d]
-        v = kv[:, d:]
+        if quant:
+            k, v, vsc = _dequant(kv, d, sk_ref, sv_ref, c * g, g, block_n)
+        else:
+            k = kv[:, :d]
+            v = kv[:, d:]
+            vsc = None
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)
-        return softmax_update(carry, s, v)
+        return softmax_update(carry, s, v, vsc)
 
     def body_tail(c, carry):
         buf_slot = jax.lax.rem(c, 2)
@@ -189,6 +219,10 @@ def _sparse_attn_kernel(
         kv = kv_buf[buf_slot]                            # [g*bn, 2*D]
         k = kv[:, :d]
         v = kv[:, d:]
+        if quant:
+            k, v, vsc = _dequant(kv, d, sk_ref, sv_ref, base, g, block_n)
+        else:
+            vsc = None
 
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())),
@@ -202,7 +236,7 @@ def _sparse_attn_kernel(
             (cols < visual_len) |
             ((cols >= text_start) & (cols < text_start + tlen)))
         s = jnp.where(valid, s, MASK_VALUE)
-        return softmax_update(carry, s, v)
+        return softmax_update(carry, s, v, vsc)
 
     carry = jax.lax.fori_loop(0, clean_chunks, body_clean, init)
     m, l, acc = jax.lax.fori_loop(clean_chunks, num_chunks, body_tail,
@@ -496,6 +530,7 @@ def block_sparse_flash_attention(
     sm_scale: float | None = None,
     interpret: bool = False,
     return_stats: bool = False,
+    kv_quant=None,
 ):
     """Run masked flash attention over the selected key blocks.
 
@@ -505,6 +540,12 @@ def block_sparse_flash_attention(
     max m and sum l ([B, H, Sq] fp32) so partial results over disjoint key
     sets can be merged exactly (ring sequence parallelism,
     attention/ring.py).
+
+    ``kv_quant``: optional (kv_int8 [B*H, S, 2D], scale_k [B,H,NBtot],
+    scale_v [B,H,NBtot]) from sparse/ops.py::quantize_kv_blocks — the
+    gather streams int8 KV (half the HBM bytes of the byte-bound kernel)
+    and dequantises per 128-token block in VMEM; ``k``/``v`` are then
+    only consulted for shapes.
     """
     b, h, sq, d = q.shape
     s = k.shape[2]
@@ -515,7 +556,19 @@ def block_sparse_flash_attention(
 
     bh = b * h
     qf = q.reshape(bh, sq, d)
-    kv = jnp.concatenate([k.reshape(bh, s, d), v.reshape(bh, s, d)], axis=2)
+    if kv_quant is not None:
+        kv, scale_k, scale_v = kv_quant
+        kv_dtype = kv.dtype
+        nbt = scale_k.shape[-1]
+        gather = lambda sc: jnp.take_along_axis(
+            jnp.broadcast_to(sc[:, :, None, :], (b, h, nq, nbt)),
+            indices, axis=-1)
+        sk_rows = gather(scale_k)
+        sv_rows = gather(scale_v)
+    else:
+        kv = jnp.concatenate([k.reshape(bh, s, d), v.reshape(bh, s, d)],
+                             axis=2)
+        kv_dtype = k.dtype
     counts_f = counts.reshape(bh, nq, 1, 1)
     tlen_f = jnp.repeat(text_len.astype(jnp.int32), h).reshape(bh, 1, 1)
 
@@ -530,7 +583,14 @@ def block_sparse_flash_attention(
     clean = jnp.sum(jnp.cumsum(dirty.astype(jnp.int32), axis=-1) == 0,
                     axis=-1).astype(jnp.int32)
     clean_f = clean.reshape(bh, nq, 1, 1)
-    (indices,), nb = _pad_slots((indices,), chunk_blocks)
+    scale_ops = ()
+    if kv_quant is not None:
+        (indices, sk_rows, sv_rows), nb = _pad_slots(
+            (indices, sk_rows, sv_rows), chunk_blocks)
+        scale_ops = (sk_rows.astype(jnp.float32).reshape(bh, nq, 1, nb),
+                     sv_rows.astype(jnp.float32).reshape(bh, nq, 1, nb))
+    else:
+        (indices,), nb = _pad_slots((indices,), chunk_blocks)
     idx_f = indices.reshape(bh, nq, 1, nb)
 
     kernel = functools.partial(
@@ -541,6 +601,7 @@ def block_sparse_flash_attention(
         visual_len=visual_len,
         text_start=text_start,
         return_stats=return_stats,
+        quant=kv_quant is not None,
     )
 
     tile_spec = pl.BlockSpec((1, block_m, d), lambda i, j: (i, j, 0),
@@ -569,20 +630,22 @@ def block_sparse_flash_attention(
                          memory_space=pltpu.SMEM),            # text_len
             pl.BlockSpec((1, 1, 1, nb), lambda i, j: (i, j, 0, 0),
                          memory_space=pltpu.SMEM),            # indices
+            *([pl.BlockSpec((1, 1, 1, nb), lambda i, j: (i, j, 0, 0),
+                            memory_space=pltpu.SMEM)] * len(scale_ops)),
             pl.BlockSpec((1, block_m, d), lambda i, j: (i, j, 0),
                          memory_space=pltpu.VMEM),            # q
             pl.BlockSpec(memory_space=pl.ANY),                # packed KV
         ],
         out_specs=out_specs,
         scratch_shapes=[
-            pltpu.VMEM((2, chunk_blocks * block_n, 2 * d), k.dtype),
+            pltpu.VMEM((2, chunk_blocks * block_n, 2 * d), kv_dtype),
             pltpu.SemaphoreType.DMA((2, chunk_blocks)),
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary"),
         ),
         interpret=interpret,
-    )(counts_f, clean_f, tlen_f, idx_f, qf, kv)
+    )(counts_f, clean_f, tlen_f, idx_f, *scale_ops, qf, kv)
     if return_stats:
         o, m, l = out
         return (o.reshape(b, h, sq, d),

@@ -57,6 +57,9 @@ def main():
     ap.add_argument("--groups", type=str, default="1,2,4,8")
     ap.add_argument("--iters", type=int, default=4)
     ap.add_argument("--drop", type=float, default=0.8)
+    ap.add_argument("--kv_quant", default="none", choices=("none", "int8"),
+                    help="int8 KV gather (halves the byte-bound kernel's "
+                         "HBM traffic; quality-gated opt-in)")
     ap.add_argument("--shared_field", action="store_true",
                     help="q/k share one smooth field (stronger diagonal "
                          "structure; union_growth ~1.15 at G=2 vs ~1.45 "
@@ -144,7 +147,8 @@ def main():
     # ---- kernel timings ----
     results = {"stats": stats, "groups": {}}
     for g in groups:
-        cfg = SparseConfig(**base_cfg, group_rows=g)
+        cfg = SparseConfig(**base_cfg, group_rows=g,
+                           kv_quant=args.kv_quant if g == 1 else "none")
         chunk = 8 if g >= 8 else 16
         fn = jax.jit(lambda q, k, v, cfg=cfg: rectified_sparse_attention(
             q, k, v, cfg, neighbors, visual_len=sv, text_len_rt=tlen))

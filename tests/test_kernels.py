@@ -280,3 +280,33 @@ def test_long_contiguous_runs_match_reference():
         jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), jnp.asarray(mask),
         kv_valid, block_m=BM, block_n=BN))
     np.testing.assert_allclose(out, want, rtol=2e-4, atol=2e-5)
+
+
+def test_int8_kv_quant_close_to_bf16():
+    """int8 KV gather (kv_quant) tracks the full-precision kernel within
+    quantization noise on random masks incl. validity windows."""
+    import jax.numpy as jnp
+    from rectified_spaattn_tpu.sparse.ops import (mask_to_indices,
+                                                  quantize_kv_blocks)
+    b, h, nq, nb, d = 1, 2, 3, 6, 64
+    q, k, v = make_inputs(31, b, h, nq, nb, d)
+    g = np.random.default_rng(32)
+    mask = g.uniform(size=(b, h, nq, nb)) < 0.5
+    mask[..., 0] = True
+    visual_len = nb * BN - 40
+    kz = np.where((np.arange(nb * BN) < visual_len)[None, None, :, None],
+                  k, 0.0)
+    vz = np.where((np.arange(nb * BN) < visual_len)[None, None, :, None],
+                  v, 0.0)
+    idx, counts = mask_to_indices(jnp.asarray(mask))
+    quant = quantize_kv_blocks(jnp.asarray(kz), jnp.asarray(vz), BN)
+    got = np.asarray(block_sparse_flash_attention(
+        jnp.asarray(q), jnp.asarray(kz), jnp.asarray(vz), idx, counts,
+        jnp.zeros((b,), jnp.int32), visual_len=visual_len, text_start=None,
+        block_m=BM, block_n=BN, interpret=True, kv_quant=quant))
+    want = np.asarray(block_sparse_flash_attention(
+        jnp.asarray(q), jnp.asarray(kz), jnp.asarray(vz), idx, counts,
+        jnp.zeros((b,), jnp.int32), visual_len=visual_len, text_start=None,
+        block_m=BM, block_n=BN, interpret=True))
+    err = np.abs(got - want)
+    assert err.max() < 0.06 and err.mean() < 0.01, (err.max(), err.mean())
