@@ -195,9 +195,11 @@ def main():
             p_remain_rates=args.p_remain, mode="sparse",
             warm_layers=0, warm_calls=0, vae_stride=vae_stride,
             enable_teacache=True, teacache_thresh=0.2, use_ret_steps=True)
-        pipe(text, neg, seed=1, num_steps=1)
+        pipe(text, neg, image_emb=image_emb, condition=condition,
+             seed=1, num_steps=1)
         steps = max(args.steps, 6)
-        pipe(text, neg, seed=1, num_steps=steps)
+        pipe(text, neg, image_emb=image_emb, condition=condition,
+             seed=1, num_steps=steps)
         per_step = pipe.denoise_seconds / steps
         st = pipe.teacache_stats
         log(f"sparse+teacache: {per_step:.2f}s/step over {steps} steps "
