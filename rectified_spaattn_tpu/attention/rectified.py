@@ -123,7 +123,7 @@ def rectified_sparse_attention(
             sparse_out = sparse_out[:, :, :sv_pad]
     else:
         kv_quant = None
-        if cfg.kv_quant == "int8":
+        if cfg.kv_quant != "none":
             from ..sparse.ops import quantize_kv_blocks
             kv_quant = quantize_kv_blocks(k, v, cfg.block_n)
         sparse_out = block_sparse_flash_attention(
@@ -131,7 +131,8 @@ def rectified_sparse_attention(
             visual_len=visual_len, text_start=text_start,
             block_m=bm, block_n=cfg.block_n,
             chunk_blocks=cfg.kernel_chunk_blocks, interpret=interpret,
-            kv_quant=kv_quant)
+            kv_quant=kv_quant,
+            quant_mode=None if cfg.kv_quant == "none" else cfg.kv_quant)
 
     # Apply R/comp by broadcast at block granularity (the reference
     # repeat_interleaves to token level, rectified_hunyuan_attn.py:352,357

@@ -67,24 +67,23 @@ from jax.experimental.pallas import tpu as pltpu
 MASK_VALUE = -0.7 * float(jnp.finfo(jnp.float32).max)
 
 
-def _dequant(kv, d, sk_ref, sv_ref, base, g, block_n):
-    # int8 KV chunk -> (k bf16 with per-block scale applied, v int8-as-
-    # bf16, v-scale row vector to fold into p).  Scales are per SLOT
-    # (gathered to row order by the wrapper), constant over each
-    # 128-token block: K scale enters as a [g*bn, 1] sublane vector on
-    # the K tile, V scale as a [1, g*bn] lane vector on the
-    # probabilities.
+def _slot_scales(sk_ref, sv_ref, base, g, block_n):
+    """Per-slot fp32 K/V dequant scales as LANE vectors [1, g*bn].
+
+    Scales are per SLOT (gathered to row order by the wrapper), constant
+    over each 128-token block.  Both are folded into fp32 tiles AFTER the
+    MXU dots (K scale onto the score tile, V scale onto the probability
+    tile) so no bf16 rounding of the scale itself occurs and the int8
+    payload feeds the MXU without a per-element rescale."""
     k_parts, v_parts = [], []
     for lane in range(g):
         k_parts.append(jnp.broadcast_to(
-            sk_ref[0, 0, 0, base + lane], (block_n, 1)))
+            sk_ref[0, 0, 0, base + lane], (1, block_n)))
         v_parts.append(jnp.broadcast_to(
             sv_ref[0, 0, 0, base + lane], (1, block_n)))
-    ksc = jnp.concatenate(k_parts, axis=0)               # [g*bn, 1]
+    ksc = jnp.concatenate(k_parts, axis=1)               # [1, g*bn]
     vsc = jnp.concatenate(v_parts, axis=1)               # [1, g*bn]
-    k = kv[:, :d].astype(jnp.bfloat16) * ksc.astype(jnp.bfloat16)
-    v = kv[:, d:].astype(jnp.bfloat16)
-    return k, v, vsc
+    return ksc, vsc
 
 
 def _sparse_attn_kernel(
@@ -105,7 +104,7 @@ def _sparse_attn_kernel(
     visual_len: int,     # static: tokens < visual_len are valid
     text_start: int | None,  # static: text region offset (None = no text)
     return_stats: bool = False,
-    quant: bool = False,
+    quant: str | None = None,   # None | "int8" (bf16-convert) | "mxu8"
 ):
     """Two-phase chunk loop: the ascending compacted index list puts every
     window-sensitive block (padded boundary visual block, text blocks) at
@@ -153,8 +152,23 @@ def _sparse_attn_kernel(
     def _():
         start_chunk(0, 0)
 
-    q = q_ref[0].astype(jnp.float32) * sm_scale
-    q = q.astype(jnp.bfloat16 if quant else kv_buf.dtype)
+    if quant == "mxu8":
+        # q is quantized IN-KERNEL per row (absmax over D); both MXU dots
+        # then run int8 x int8 -> int32 directly on the gathered payload —
+        # no per-chunk dequant relayout (the failure mode that sank the
+        # round-2 bf16-convert int8 path, RESULTS_r2.md).  All scales are
+        # folded into fp32 tiles: qsc·sm_scale·ksc onto the score tile,
+        # vsc onto p (with a per-row dynamic p quantization whose scale
+        # folds into the fp32 accumulator).
+        qf = q_ref[0].astype(jnp.float32)
+        qmax = jnp.max(jnp.abs(qf), axis=1, keepdims=True)       # [bm, 1]
+        q = jnp.round(
+            qf * (127.0 / jnp.maximum(qmax, 1e-30))).astype(jnp.int8)
+        row_scale = qmax * (sm_scale / 127.0)                    # [bm, 1]
+    else:
+        q = q_ref[0].astype(jnp.float32) * sm_scale
+        q = q.astype(jnp.bfloat16 if quant else kv_buf.dtype)
+        row_scale = None
 
     init = (
         jnp.full((bm, 1), -jnp.inf, jnp.float32),       # running max m
@@ -169,6 +183,17 @@ def _sparse_attn_kernel(
         alpha = jnp.exp(m_prev - m_next)
         p = jnp.exp(s - m_next)
         l_next = alpha * l_prev + jnp.sum(p, axis=1, keepdims=True)
+        if quant == "mxu8":
+            # int8 V: fold the per-block V scale into p, then quantize p
+            # per row against its running chunk max so the p@v dot is
+            # int8 x int8; the p scale folds into the fp32 accumulator.
+            pq = p * v_scale                             # [bm, g*bn]
+            pm = jnp.max(pq, axis=1, keepdims=True)      # [bm, 1]
+            p8 = jnp.round(
+                pq * (127.0 / jnp.maximum(pm, 1e-30))).astype(jnp.int8)
+            acc_i = jax.lax.dot(p8, v, preferred_element_type=jnp.int32)
+            acc = acc * alpha + acc_i.astype(jnp.float32) * (pm / 127.0)
+            return m_next, l_next, acc
         if v_scale is not None:
             # int8 V: x ~= v_int8 * scale, folded into p so V needs no
             # per-element rescale before the MXU dot
@@ -176,6 +201,35 @@ def _sparse_attn_kernel(
         acc = acc * alpha + jax.lax.dot(
             p.astype(v.dtype), v, preferred_element_type=jnp.float32)
         return m_next, l_next, acc
+
+    def chunk_scores(kv, base):
+        """MXU scores + per-mode dequant folding -> (s fp32, v, vsc)."""
+        if quant == "mxu8":
+            k = kv[:, :d]                                # int8
+            v = kv[:, d:]
+            ksc, vsc = _slot_scales(sk_ref, sv_ref, base, g, block_n)
+            s_i = jax.lax.dot_general(
+                q, k, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.int32)        # [bm, g*bn] int32
+            s = s_i.astype(jnp.float32) * row_scale * ksc
+            return s, v, vsc
+        if quant:
+            # legacy int8 mode: K converts to bf16 (costly sublane
+            # relayout — kept for parts where the convert is free); the
+            # fp32 K scale folds into the score tile, not into bf16 K
+            k = kv[:, :d].astype(jnp.bfloat16)
+            v = kv[:, d:].astype(jnp.bfloat16)
+            ksc, vsc = _slot_scales(sk_ref, sv_ref, base, g, block_n)
+            s = jax.lax.dot_general(
+                q, k, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32) * ksc
+            return s, v, vsc
+        k = kv[:, :d]
+        v = kv[:, d:]
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        return s, v, None
 
     def body_clean(c, carry):
         buf_slot = jax.lax.rem(c, 2)
@@ -187,16 +241,7 @@ def _sparse_attn_kernel(
             # waits only need the copy SIZE (the semaphore amount), not
             # the source address — no idx reads in the clean body
             block_dma(buf_slot, lane, jnp.int32(0)).wait()
-        kv = kv_buf[buf_slot]
-        if quant:
-            k, v, vsc = _dequant(kv, d, sk_ref, sv_ref, c * g, g, block_n)
-        else:
-            k = kv[:, :d]
-            v = kv[:, d:]
-            vsc = None
-        s = jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32)
+        s, v, vsc = chunk_scores(kv_buf[buf_slot], c * g)
         return softmax_update(carry, s, v, vsc)
 
     def body_tail(c, carry):
@@ -216,17 +261,7 @@ def _sparse_attn_kernel(
             block_dma(buf_slot, lane, idx).wait()
         cols = jnp.concatenate(lane_cols, axis=1)        # [1, g*bn]
 
-        kv = kv_buf[buf_slot]                            # [g*bn, 2*D]
-        k = kv[:, :d]
-        v = kv[:, d:]
-        if quant:
-            k, v, vsc = _dequant(kv, d, sk_ref, sv_ref, base, g, block_n)
-        else:
-            vsc = None
-
-        s = jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32)          # [bm, g*bn]
+        s, v, vsc = chunk_scores(kv_buf[buf_slot], base)  # s: [bm, g*bn]
 
         # Validity: real slot (not chunk padding) ∧ token-level key window.
         slot_ids = base + jax.lax.broadcasted_iota(
@@ -449,6 +484,18 @@ def block_sparse_flash_attention_grouped(
     bh = b * h
     qf = q.reshape(bh, sq, d)
     kv = jnp.concatenate([k.reshape(bh, s, d), v.reshape(bh, s, d)], axis=2)
+    # Defensively clamp the caller-supplied clean prefix to what the slot
+    # data actually supports (all-member ∧ fully inside the visual window
+    # ∧ within count), mirroring the single-row wrapper: a bad caller then
+    # degrades to the fully-masked tail path instead of mis-skipping the
+    # membership/window masks.
+    cb = visual_len // block_n
+    slot = jnp.arange(indices.shape[-1], dtype=jnp.int32)
+    dirty = ((indices >= cb) | (slot >= counts[..., None])
+             | (rowbits != (1 << group) - 1))
+    clean_re = jnp.sum(jnp.cumsum(dirty.astype(jnp.int32), axis=-1) == 0,
+                       axis=-1)
+    clean = jnp.minimum(clean.astype(jnp.int32), clean_re.astype(jnp.int32))
     (indices, rowbits), nb = _pad_slots((indices, rowbits), chunk_blocks)
     idx_f = indices.reshape(bh, ngrp, 1, nb)
     bits_f = rowbits.reshape(bh, ngrp, 1, nb)
@@ -513,7 +560,7 @@ def block_sparse_flash_attention_paired(q, k, v, indices, counts, rowbits,
     jax.jit,
     static_argnames=("block_m", "block_n", "sm_scale", "visual_len",
                      "text_start", "chunk_blocks", "interpret",
-                     "return_stats"))
+                     "return_stats", "quant_mode"))
 def block_sparse_flash_attention(
     q: jax.Array,          # [B, H, Sq, D]   (Sq % block_m == 0)
     k: jax.Array,          # [B, H, S,  D]
@@ -531,6 +578,7 @@ def block_sparse_flash_attention(
     interpret: bool = False,
     return_stats: bool = False,
     kv_quant=None,
+    quant_mode: str | None = None,
 ):
     """Run masked flash attention over the selected key blocks.
 
@@ -543,9 +591,15 @@ def block_sparse_flash_attention(
 
     ``kv_quant``: optional (kv_int8 [B*H, S, 2D], scale_k [B,H,NBtot],
     scale_v [B,H,NBtot]) from sparse/ops.py::quantize_kv_blocks — the
-    gather streams int8 KV (half the HBM bytes of the byte-bound kernel)
-    and dequantises per 128-token block in VMEM; ``k``/``v`` are then
-    only consulted for shapes.
+    gather streams int8 KV (half the HBM bytes of the byte-bound kernel).
+    ``quant_mode`` selects how the int8 payload is consumed:
+      * "int8": per-chunk convert to bf16 before the MXU dots (forces a
+        VMEM sublane relayout — measured SLOWER than bf16 gathers on
+        v5e, RESULTS_r2.md; kept for parts where the convert is free);
+      * "mxu8": int8 feeds the MXU directly (int8 x int8 -> int32) with
+        q and p quantized in-kernel and every scale folded into fp32
+        score/accumulator tiles — no relayout, half the HBM bytes.
+    ``k``/``v`` are then only consulted for shapes.
     """
     b, h, sq, d = q.shape
     s = k.shape[2]
@@ -556,6 +610,10 @@ def block_sparse_flash_attention(
 
     bh = b * h
     qf = q.reshape(bh, sq, d)
+    if kv_quant is not None and quant_mode is None:
+        quant_mode = "int8"
+    assert (kv_quant is None) == (quant_mode is None), (
+        "kv_quant payload and quant_mode must be given together")
     if kv_quant is not None:
         kv, scale_k, scale_v = kv_quant
         kv_dtype = kv.dtype
@@ -601,7 +659,7 @@ def block_sparse_flash_attention(
         visual_len=visual_len,
         text_start=text_start,
         return_stats=return_stats,
-        quant=kv_quant is not None,
+        quant=quant_mode,
     )
 
     tile_spec = pl.BlockSpec((1, block_m, d), lambda i, j: (i, j, 0),

@@ -49,14 +49,17 @@ class SparseConfig:
     # the fp32 score tile is group_rows*128 x chunk_blocks*128).  0 picks
     # a VMEM-safe default per group size.
     chunk_blocks: int = 0
-    # KV gather precision: "int8" halves the byte-bound kernel's HBM
-    # traffic via per-(head, 128-block) absmax quantization
-    # (sparse/ops.py::quantize_kv_blocks); scores see ~0.4%/sqrt(D)
-    # noise.  MEASURED AND NOT RECOMMENDED on v5e: the per-chunk
-    # int8->bf16 dequant forces a sublane relayout that costs far more
-    # than the bytes saved (1124 ms vs 507 ms at the Hunyuan point,
-    # RESULTS_r2.md) — kept as a tested opt-in for toolchains/parts where
-    # the convert is free.
+    # KV gather precision.  Both int8 modes halve the byte-bound kernel's
+    # HBM traffic via per-(head, 128-block) absmax quantization
+    # (sparse/ops.py::quantize_kv_blocks); scores see ~0.4%/sqrt(D) noise.
+    #   "int8": per-chunk convert to bf16 before the MXU — the convert
+    #     forces a VMEM sublane relayout that costs more than the bytes
+    #     saved on v5e (1124 ms vs 507 ms at the Hunyuan point,
+    #     RESULTS_r2.md); kept as a tested opt-in for parts where the
+    #     convert is free.
+    #   "mxu8": int8 feeds the MXU directly (int8 x int8 -> int32 dots,
+    #     q and p quantized in-kernel, scales folded into fp32 tiles) —
+    #     no relayout; the round-3 fast path for the byte-bound regime.
     kv_quant: str = "none"
     # top-p/top-k selection implementation: "bisect" replaces the plan
     # build's dominant [B,H,NQ,NK] value sort with threshold bisection
@@ -73,8 +76,9 @@ class SparseConfig:
             raise ValueError("block_m != block_n is not supported")
         if not 1 <= self.group_rows <= 32:
             raise ValueError("group_rows must be in [1, 32]")
-        if self.kv_quant not in ("none", "int8"):
-            raise ValueError(f"kv_quant must be none|int8, got {self.kv_quant!r}")
+        if self.kv_quant not in ("none", "int8", "mxu8"):
+            raise ValueError(
+                f"kv_quant must be none|int8|mxu8, got {self.kv_quant!r}")
         if self.kv_quant != "none" and self.group_rows > 1:
             raise ValueError("kv_quant is not implemented for grouped rows")
 

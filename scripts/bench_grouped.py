@@ -57,9 +57,11 @@ def main():
     ap.add_argument("--groups", type=str, default="1,2,4,8")
     ap.add_argument("--iters", type=int, default=4)
     ap.add_argument("--drop", type=float, default=0.8)
-    ap.add_argument("--kv_quant", default="none", choices=("none", "int8"),
+    ap.add_argument("--kv_quant", default="none",
+                    choices=("none", "int8", "mxu8"),
                     help="int8 KV gather (halves the byte-bound kernel's "
-                         "HBM traffic; quality-gated opt-in)")
+                         "HBM traffic); mxu8 feeds the MXU int8 directly "
+                         "(no dequant relayout)")
     ap.add_argument("--shared_field", action="store_true",
                     help="q/k share one smooth field (stronger diagonal "
                          "structure; union_growth ~1.15 at G=2 vs ~1.45 "

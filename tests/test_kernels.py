@@ -282,9 +282,12 @@ def test_long_contiguous_runs_match_reference():
     np.testing.assert_allclose(out, want, rtol=2e-4, atol=2e-5)
 
 
-def test_int8_kv_quant_close_to_bf16():
-    """int8 KV gather (kv_quant) tracks the full-precision kernel within
-    quantization noise on random masks incl. validity windows."""
+@pytest.mark.parametrize("mode", ["int8", "mxu8"])
+def test_int8_kv_quant_close_to_bf16(mode):
+    """int8 KV gather (kv_quant, both consumption modes) tracks the
+    full-precision kernel within quantization noise on random masks incl.
+    validity windows.  mxu8 additionally quantizes q and p in-kernel
+    (int8 x int8 MXU dots), so its tolerance is slightly wider."""
     import jax.numpy as jnp
     from rectified_spaattn_tpu.sparse.ops import (mask_to_indices,
                                                   quantize_kv_blocks)
@@ -303,10 +306,13 @@ def test_int8_kv_quant_close_to_bf16():
     got = np.asarray(block_sparse_flash_attention(
         jnp.asarray(q), jnp.asarray(kz), jnp.asarray(vz), idx, counts,
         jnp.zeros((b,), jnp.int32), visual_len=visual_len, text_start=None,
-        block_m=BM, block_n=BN, interpret=True, kv_quant=quant))
+        block_m=BM, block_n=BN, interpret=True, kv_quant=quant,
+        quant_mode=mode))
     want = np.asarray(block_sparse_flash_attention(
         jnp.asarray(q), jnp.asarray(kz), jnp.asarray(vz), idx, counts,
         jnp.zeros((b,), jnp.int32), visual_len=visual_len, text_start=None,
         block_m=BM, block_n=BN, interpret=True))
     err = np.abs(got - want)
-    assert err.max() < 0.06 and err.mean() < 0.01, (err.max(), err.mean())
+    lim_max, lim_mean = (0.06, 0.01) if mode == "int8" else (0.09, 0.015)
+    assert err.max() < lim_max and err.mean() < lim_mean, (
+        err.max(), err.mean())

@@ -18,6 +18,7 @@ mass.  ``test_tie_semantics_superset`` pins that bound explicitly.
 
 import numpy as np
 import jax.numpy as jnp
+import pytest
 
 from rectified_spaattn_tpu.sparse import SparseConfig
 from rectified_spaattn_tpu.sparse.pipeline import build_sparse_plan
@@ -157,6 +158,134 @@ def test_gapr_and_ipar_match_reference_transliteration():
     qp, kp = Qb.mean(-2), Kb.mean(-2)
     scores = np.einsum("bhqd,bhkd->bhqk", qp, kp)
     want = ref_estimate_pr_gain(Qb, Kb, qp, kp, scores)
+    got = np.asarray(ops.estimate_pr_gain(
+        jnp.asarray(Qb), jnp.asarray(Kb), jnp.asarray(qp), jnp.asarray(kp),
+        jnp.asarray(scores)))
+    np.testing.assert_array_equal(got, want)
+
+
+# ---------------------------------------------------------------------------
+# Parity against the reference's ACTUAL torch code (VERDICT r2 item 2).
+#
+# reference_oracle.load imports rectified_*_attn.py from /root/reference
+# (triton/diffusers stubbed); the builders below are the reference's own
+# functions, not transliterations.  Tie semantics at the top-p cut remain
+# the documented superset bound (see module docstring), so comparisons
+# tolerate rows where our extra blocks are exactly tied at the threshold —
+# on these peaked fixtures no such tie occurs and equality is bit-exact.
+# ---------------------------------------------------------------------------
+
+def _ref_joint_mask(module, q, k, top_k, text_len, attenable, neighbors,
+                    p_remain=0.3):
+    import torch
+    sv = q.shape[2]
+    nq = sv // BM
+    nb_total = (sv + text_len) // BN
+    tq = torch.from_numpy(np.ascontiguousarray(q))
+    tk = torch.from_numpy(np.ascontiguousarray(k))
+    one_hot, probs, nogapr = module._build_block_index_with_importance_optimized(
+        tq, tk, top_k, BM, BN,
+        text_start_block=nq, text_end_block=nb_total, num_blocks=nb_total,
+        prob_threshold=p_remain,
+        block_neighbor_list=torch.from_numpy(neighbors),
+        attenable=attenable)
+    return one_hot.numpy(), probs.numpy(), nogapr.numpy()
+
+
+@pytest.mark.parametrize("module_name", [
+    "rectified_spaattn.rectified_hunyuan_attn",
+    "rectified_spaattn.rectified_cogvideo_attn",
+    "rectified_spaattn.rectified_flux_attn",
+])
+def test_joint_plan_bit_identical_to_reference_code(module_name):
+    """Our composed joint plan == the reference's own builder, run as-is
+    (hunyuan: rectified_hunyuan_attn.py:171-280; the cog/flux builders
+    are the same algorithm with cosmetic diffs — pinned here anyway)."""
+    from reference_oracle import load
+    module = load(module_name)
+    mismatches = 0
+    for seed, attenable in ((0, 128), (1, 90), (3, 40)):
+        b, h, d = 1, 2, 64
+        grid, text_len = (8, 16, 16), 128
+        sv = grid[0] * grid[1] * grid[2]
+        nq = sv // BM
+        q, k = smooth_fixture(seed, b, h, grid, text_len, d)
+        neighbors = np.eye(nq, dtype=bool)
+        for sh in (-1, 1):
+            neighbors |= np.eye(nq, k=sh, dtype=bool)
+        top_k = max(1, int(0.2 * nq))
+        want, _, _ = _ref_joint_mask(module, q[:, :, :sv], k, top_k,
+                                     text_len, attenable, neighbors)
+
+        cfg = SparseConfig(top_k_floor=top_k, p_remain=0.3, layout="joint",
+                           text_len=text_len)
+        kz = k.copy()
+        kz[:, :, sv + attenable:] = 0.0
+        text_valid = (np.arange(text_len) < attenable)[None]
+        plan = build_sparse_plan(
+            jnp.asarray(q[:, :, :sv]), jnp.asarray(kz), jnp.asarray(kz),
+            cfg, neighbor_mask=jnp.asarray(neighbors),
+            text_valid=jnp.asarray(text_valid))
+        mismatches += int((np.asarray(plan.block_mask) != want).sum())
+    assert mismatches == 0
+
+
+@pytest.mark.parametrize("first_frame_blocks", [0, 2])
+def test_visual_plan_bit_identical_to_reference_code(first_frame_blocks):
+    """Wan2.1 visual-only builder (no text pooling, no IPAR,
+    first-frame retention q<ffb ∧ k<ffb): our visual-layout plan == the
+    reference's own rectified_wan21_attn.py:171-273."""
+    import torch
+    from reference_oracle import load
+    module = load("rectified_spaattn.rectified_wan21_attn")
+    b, h, d = 1, 2, 64
+    grid = (8, 16, 16)
+    sv = grid[0] * grid[1] * grid[2]
+    nq = sv // BM
+    q, k = smooth_fixture(7, b, h, grid, 0, d)
+    neighbors = np.eye(nq, dtype=bool)
+    for sh in (-1, 1):
+        neighbors |= np.eye(nq, k=sh, dtype=bool)
+    top_k = max(1, int(0.25 * nq))
+
+    one_hot, _, _ = module._build_block_index_with_importance_optimized(
+        torch.from_numpy(np.ascontiguousarray(q)),
+        torch.from_numpy(np.ascontiguousarray(k)),
+        top_k, BM, BN,
+        text_start_block=nq, text_end_block=nq, num_blocks=nq,
+        prob_threshold=0.3,
+        block_neighbor_list=torch.from_numpy(neighbors),
+        first_frame_blocks=first_frame_blocks)
+    want = one_hot.numpy()
+
+    cfg = SparseConfig(top_k_floor=top_k, p_remain=0.3, layout="visual",
+                       first_frame_blocks=first_frame_blocks)
+    plan = build_sparse_plan(
+        jnp.asarray(q), jnp.asarray(k), jnp.asarray(k), cfg,
+        neighbor_mask=jnp.asarray(neighbors))
+    assert int((np.asarray(plan.block_mask) != want).sum()) == 0
+
+
+def test_gapr_matches_reference_code():
+    """ops.estimate_pr_gain == the reference's gapr_mask.estimate_pr_gain
+    run as-is (gapr_mask.py:4-42)."""
+    import torch
+    from reference_oracle import load
+    gm = load("rectified_spaattn.gapr_mask")
+    b, h, d = 1, 2, 64
+    grid = (8, 16, 16)
+    sv = grid[0] * grid[1] * grid[2]
+    nq = sv // BM
+    q, k = smooth_fixture(9, b, h, grid, 0, d)
+    Qb = q.reshape(b, h, nq, BM, d)
+    Kb = k.reshape(b, h, nq, BN, d)
+    qp, kp = Qb.mean(-2), Kb.mean(-2)
+    scores = np.einsum("bhqd,bhkd->bhqk", qp, kp)
+    from rectified_spaattn_tpu.sparse import ops
+    want = gm.estimate_pr_gain(
+        torch.from_numpy(Qb), torch.from_numpy(Kb),
+        torch.from_numpy(qp), torch.from_numpy(kp),
+        torch.from_numpy(scores)).numpy()
     got = np.asarray(ops.estimate_pr_gain(
         jnp.asarray(Qb), jnp.asarray(Kb), jnp.asarray(qp), jnp.asarray(kp),
         jnp.asarray(scores)))
