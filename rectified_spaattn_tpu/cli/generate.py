@@ -55,6 +55,11 @@ def parse_args(argv=None):
     p.add_argument("--mode", choices=["sparse", "flash", "torch", "vanilla"],
                    default="sparse")
     p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--controlnet_dir", type=str, default=None,
+                   help="FluxControlNetModel snapshot for flux-upscale "
+                        "(default: <ckpt_dir>/controlnet if present; "
+                        "reference: jasperai/Flux.1-dev-Controlnet-"
+                        "Upscaler, main_upflux.py:308-311)")
     p.add_argument("--ckpt_dir", type=str, default=None,
                    help="local HF snapshot dir with safetensors")
     p.add_argument("--out_dir", type=str, default="./outputs")
@@ -406,7 +411,11 @@ def build_flux(args):
     s = args.scale
 
     if args.ckpt_dir:
-        cfg, params, encoders, _, vae_decode = _from_ckpt(args, "flux")
+        import os
+        import warnings
+        from ..pipelines.flux import flux_unpack_latents
+        cfg, params, encoders, vae_encode, vae_decode = _from_ckpt(
+            args, "flux")
         model = FluxDiT(cfg)
         (text, mask), _ = _encode_prompt(encoders, args.prompt,
                                          cfg.text_dim, 512)
@@ -414,7 +423,7 @@ def build_flux(args):
         if len(encoders) > 1:
             pooled = jnp.asarray(encoders[1].pooled(args.prompt))
 
-        def mk(hh, ww, steps):
+        def mk(hh, ww, steps, decode=None):
             return FluxPipeline(
                 model=model, params=params, height=hh, width=ww,
                 num_steps=steps, sa_drop_rate=args.sa_drop_rate,
@@ -422,11 +431,39 @@ def build_flux(args):
                 mode="flash" if args.mode == "torch" else args.mode,
                 enable_teacache=args.enable_teacache,
                 rel_l1_thresh=args.teacache_thresh, interpret=_interpret(),
-                vae_decode=vae_decode)
+                vae_decode=decode)
 
+        # base stage returns TOKENS (control prep needs them); only the
+        # upscaled stage decodes to pixels (with the 2x2 token unpack)
         base = mk(args.height // 4, args.width // 4, args.num_steps)
-        up = mk(args.height, args.width, args.num_steps)
-        return FluxUpscalePipeline(base=base, up=up), (text, mask, pooled)
+        gh_u, gw_u = args.height // 16, args.width // 16
+        up_decode = (
+            (lambda t: vae_decode(flux_unpack_latents(t, gh_u, gw_u)))
+            if vae_decode is not None else None)
+        up = mk(args.height, args.width, args.num_steps, decode=up_decode)
+
+        # ControlNet: a separate snapshot (the reference loads
+        # jasperai/Flux.1-dev-Controlnet-Upscaler next to the base model,
+        # main_upflux.py:308-311) — --controlnet_dir or
+        # <ckpt_dir>/controlnet
+        cn = cn_params = None
+        cn_dir = args.controlnet_dir or os.path.join(args.ckpt_dir,
+                                                     "controlnet")
+        if os.path.isdir(cn_dir):
+            from ..models.flux import FluxControlNet
+            from ..models.pretrained import load_flux_controlnet
+            cn_cfg, cn_params = load_flux_controlnet(cn_dir)
+            cn = FluxControlNet(cn_cfg)
+        else:
+            warnings.warn(
+                "flux-upscale: no ControlNet snapshot found at "
+                f"{cn_dir!r}; stage 2 degrades to img2img (strength 0.7) "
+                "instead of the reference's ControlNet-conditioned "
+                "upscale — pass --controlnet_dir to match the reference")
+        return FluxUpscalePipeline(
+            base=base, up=up, controlnet=cn, controlnet_params=cn_params,
+            vae_decode=vae_decode, vae_encode=vae_encode), (text, mask,
+                                                            pooled)
 
     cfg = FluxConfig(
         hidden_dim=max(128, int(3072 * s) // 128 * 128),

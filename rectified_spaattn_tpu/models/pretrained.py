@@ -150,6 +150,33 @@ def load_transformer(family: str, root: str, dtype="bfloat16",
     return cfg, params
 
 
+def load_flux_controlnet(root: str, dtype="bfloat16"):
+    """(FluxControlNetConfig, params) from a FluxControlNetModel snapshot
+    (the jasperai Flux.1-dev-Controlnet-Upscaler layout; reference loads
+    it at scripts/main_upflux.py:308-311)."""
+    import jax.numpy as jnp
+    from .flux import FluxControlNetConfig
+    from .weights import (load_safetensors_dir, convert_flux_controlnet,
+                          assign_dtype)
+    cj = _read_json(os.path.join(root, "config.json"))
+    heads = cj.get("num_attention_heads", 24)
+    cfg = FluxControlNetConfig(
+        in_channels=cj.get("in_channels", 64),
+        cond_channels=cj.get("in_channels", 64),
+        hidden_dim=heads * cj.get("attention_head_dim", 128),
+        heads=heads,
+        num_dual_blocks=cj.get("num_layers", 5),
+        num_single_blocks=cj.get("num_single_layers", 0),
+        text_dim=cj.get("joint_attention_dim", 4096),
+        pooled_dim=cj.get("pooled_projection_dim", 768),
+        rope_axes_dim=tuple(cj.get("axes_dims_rope", (16, 56, 56))),
+        guidance_embeds=cj.get("guidance_embeds", True))
+    sd = load_safetensors_dir(root)
+    params = convert_flux_controlnet(sd, cfg.num_dual_blocks,
+                                     cfg.num_single_blocks)
+    return cfg, assign_dtype(params, getattr(jnp, dtype))
+
+
 # ---------------------------------------------------------------------------
 # VAE
 # ---------------------------------------------------------------------------
@@ -180,6 +207,7 @@ def vae_config_from_json(cfg: dict, video: bool):
         quant_conv=bool(cfg.get("use_quant_conv",
                                 "quant_conv" in str(cfg))),
         scaling_factor=cfg.get("scaling_factor", 1.0),
+        shift_factor=cfg.get("shift_factor") or 0.0,
         latents_mean=(tuple(cfg["latents_mean"])
                       if cfg.get("latents_mean") else None),
         latents_std=(tuple(cfg["latents_std"])

@@ -37,6 +37,9 @@ class VAEConfig:
                                    # (every diffusers family in scope has it)
     quant_conv: bool = False       # AutoencoderKL 1x1 (post_)quant_conv
     scaling_factor: float = 0.476986
+    # scalar latent shift applied before scaling (Flux AutoencoderKL:
+    # z = (raw - shift) * scale; 0 for every video family)
+    shift_factor: float = 0.0
     # per-channel latent normalisation (AutoencoderKLWan latents_mean/std;
     # None = scalar scaling_factor only)
     latents_mean: tuple | None = None
@@ -59,7 +62,7 @@ def normalize_latents(z, cfg: VAEConfig):
         std = jnp.asarray(cfg.latents_std).reshape(
             1, -1, *([1] * (z.ndim - 2)))
         return (z - mean) / std
-    return z * cfg.scaling_factor
+    return (z - cfg.shift_factor) * cfg.scaling_factor
 
 
 def denormalize_latents(z, cfg: VAEConfig):
@@ -69,7 +72,7 @@ def denormalize_latents(z, cfg: VAEConfig):
         std = jnp.asarray(cfg.latents_std).reshape(
             1, -1, *([1] * (z.ndim - 2)))
         return z * std + mean
-    return z / cfg.scaling_factor
+    return z / cfg.scaling_factor + cfg.shift_factor
 
 
 class CausalConv3d(nn.Module):

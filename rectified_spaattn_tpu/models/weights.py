@@ -157,10 +157,10 @@ def _identity_dense(dim: int):
             "bias": np.zeros(dim, np.float32)}
 
 
-def convert_flux(sd: dict, num_dual: int, num_single: int) -> dict:
-    """diffusers FluxTransformer2DModel → FluxDiT params (core blocks;
-    conditioning embedders are mapped with identity-folding where our
-    module structure fuses adjacent Linears)."""
+def _flux_embedders(sd: dict) -> dict:
+    """The Flux trunk's shared conditioning embedders (x/context/time/
+    pooled/guidance) — identical keys in FluxTransformer2DModel and
+    FluxControlNetModel state dicts."""
     p: dict = {}
     p["x_embedder"] = _dense(sd["x_embedder.weight"], sd["x_embedder.bias"])
     p["context_embedder"] = _dense(sd["context_embedder.weight"],
@@ -185,70 +185,108 @@ def convert_flux(sd: dict, num_dual: int, num_single: int) -> dict:
             "fc1": _identity_dense(sd[f"{ge}.linear_2.weight"].shape[1]),
             "fc2": _dense(sd[f"{ge}.linear_2.weight"],
                           sd[f"{ge}.linear_2.bias"])}
+    return p
+
+
+def convert_flux(sd: dict, num_dual: int, num_single: int) -> dict:
+    """diffusers FluxTransformer2DModel → FluxDiT params (core blocks;
+    conditioning embedders are mapped with identity-folding where our
+    module structure fuses adjacent Linears)."""
+    p = _flux_embedders(sd)
 
     for i in range(num_dual):
-        b = f"transformer_blocks.{i}"
-        p[f"dual_{i}"] = {
-            "norm1": {"linear": _dense(sd[f"{b}.norm1.linear.weight"],
-                                       sd[f"{b}.norm1.linear.bias"])},
-            "norm1_context": {"linear": _dense(
-                sd[f"{b}.norm1_context.linear.weight"],
-                sd[f"{b}.norm1_context.linear.bias"])},
-            "attn": {
-                "to_q": _dense(sd[f"{b}.attn.to_q.weight"],
-                               sd[f"{b}.attn.to_q.bias"]),
-                "to_k": _dense(sd[f"{b}.attn.to_k.weight"],
-                               sd[f"{b}.attn.to_k.bias"]),
-                "to_v": _dense(sd[f"{b}.attn.to_v.weight"],
-                               sd[f"{b}.attn.to_v.bias"]),
-                "add_to_q": _dense(sd[f"{b}.attn.add_q_proj.weight"],
-                                   sd[f"{b}.attn.add_q_proj.bias"]),
-                "add_to_k": _dense(sd[f"{b}.attn.add_k_proj.weight"],
-                                   sd[f"{b}.attn.add_k_proj.bias"]),
-                "add_to_v": _dense(sd[f"{b}.attn.add_v_proj.weight"],
-                                   sd[f"{b}.attn.add_v_proj.bias"]),
-                "norm_q": _rms(sd, f"{b}.attn.norm_q"),
-                "norm_k": _rms(sd, f"{b}.attn.norm_k"),
-                "norm_added_q": _rms(sd, f"{b}.attn.norm_added_q"),
-                "norm_added_k": _rms(sd, f"{b}.attn.norm_added_k"),
-                "to_out": _dense(sd[f"{b}.attn.to_out.0.weight"],
-                                 sd[f"{b}.attn.to_out.0.bias"]),
-                "to_add_out": _dense(sd[f"{b}.attn.to_add_out.weight"],
-                                     sd[f"{b}.attn.to_add_out.bias"]),
-            },
-            "ff": {"fc1": _dense(sd[f"{b}.ff.net.0.proj.weight"],
-                                 sd[f"{b}.ff.net.0.proj.bias"]),
-                   "fc2": _dense(sd[f"{b}.ff.net.2.weight"],
-                                 sd[f"{b}.ff.net.2.bias"])},
-            "ff_context": {
-                "fc1": _dense(sd[f"{b}.ff_context.net.0.proj.weight"],
-                              sd[f"{b}.ff_context.net.0.proj.bias"]),
-                "fc2": _dense(sd[f"{b}.ff_context.net.2.weight"],
-                              sd[f"{b}.ff_context.net.2.bias"])},
-        }
+        p[f"dual_{i}"] = _flux_dual_block(sd, f"transformer_blocks.{i}")
     for i in range(num_single):
-        b = f"single_transformer_blocks.{i}"
-        # diffusers single block: separate to_q/to_k/to_v + proj_mlp, fused
-        # output proj_out over [attn ; mlp]
-        wq, wk, wv = (sd[f"{b}.attn.to_q.weight"], sd[f"{b}.attn.to_k.weight"],
-                      sd[f"{b}.attn.to_v.weight"])
-        bq, bk, bv = (sd[f"{b}.attn.to_q.bias"], sd[f"{b}.attn.to_k.bias"],
-                      sd[f"{b}.attn.to_v.bias"])
-        p[f"single_{i}"] = {
-            "norm": {"linear": _dense(sd[f"{b}.norm.linear.weight"],
-                                      sd[f"{b}.norm.linear.bias"])},
-            "to_qkv": _dense(np.concatenate([wq, wk, wv], axis=0),
-                             np.concatenate([bq, bk, bv], axis=0)),
-            "norm_q": _rms(sd, f"{b}.attn.norm_q"),
-            "norm_k": _rms(sd, f"{b}.attn.norm_k"),
-            "proj_mlp": _dense(sd[f"{b}.proj_mlp.weight"],
-                               sd[f"{b}.proj_mlp.bias"]),
-            "proj_out": _dense(sd[f"{b}.proj_out.weight"],
-                               sd[f"{b}.proj_out.bias"]),
-        }
+        p[f"single_{i}"] = _flux_single_block(
+            sd, f"single_transformer_blocks.{i}")
     p["norm_out"] = {"linear": _dense(sd["norm_out.linear.weight"],
                                       sd["norm_out.linear.bias"])}
     p["proj_out"] = _dense(sd["proj_out.weight"], sd["proj_out.bias"])
+    return {"params": p}
+
+
+def _flux_dual_block(sd: dict, b: str) -> dict:
+    return {
+        "norm1": {"linear": _dense(sd[f"{b}.norm1.linear.weight"],
+                                   sd[f"{b}.norm1.linear.bias"])},
+        "norm1_context": {"linear": _dense(
+            sd[f"{b}.norm1_context.linear.weight"],
+            sd[f"{b}.norm1_context.linear.bias"])},
+        "attn": {
+            "to_q": _dense(sd[f"{b}.attn.to_q.weight"],
+                           sd[f"{b}.attn.to_q.bias"]),
+            "to_k": _dense(sd[f"{b}.attn.to_k.weight"],
+                           sd[f"{b}.attn.to_k.bias"]),
+            "to_v": _dense(sd[f"{b}.attn.to_v.weight"],
+                           sd[f"{b}.attn.to_v.bias"]),
+            "add_to_q": _dense(sd[f"{b}.attn.add_q_proj.weight"],
+                               sd[f"{b}.attn.add_q_proj.bias"]),
+            "add_to_k": _dense(sd[f"{b}.attn.add_k_proj.weight"],
+                               sd[f"{b}.attn.add_k_proj.bias"]),
+            "add_to_v": _dense(sd[f"{b}.attn.add_v_proj.weight"],
+                               sd[f"{b}.attn.add_v_proj.bias"]),
+            "norm_q": _rms(sd, f"{b}.attn.norm_q"),
+            "norm_k": _rms(sd, f"{b}.attn.norm_k"),
+            "norm_added_q": _rms(sd, f"{b}.attn.norm_added_q"),
+            "norm_added_k": _rms(sd, f"{b}.attn.norm_added_k"),
+            "to_out": _dense(sd[f"{b}.attn.to_out.0.weight"],
+                             sd[f"{b}.attn.to_out.0.bias"]),
+            "to_add_out": _dense(sd[f"{b}.attn.to_add_out.weight"],
+                                 sd[f"{b}.attn.to_add_out.bias"]),
+        },
+        "ff": {"fc1": _dense(sd[f"{b}.ff.net.0.proj.weight"],
+                             sd[f"{b}.ff.net.0.proj.bias"]),
+               "fc2": _dense(sd[f"{b}.ff.net.2.weight"],
+                             sd[f"{b}.ff.net.2.bias"])},
+        "ff_context": {
+            "fc1": _dense(sd[f"{b}.ff_context.net.0.proj.weight"],
+                          sd[f"{b}.ff_context.net.0.proj.bias"]),
+            "fc2": _dense(sd[f"{b}.ff_context.net.2.weight"],
+                          sd[f"{b}.ff_context.net.2.bias"])},
+    }
+
+
+def _flux_single_block(sd: dict, b: str) -> dict:
+    # diffusers single block: separate to_q/to_k/to_v + proj_mlp, fused
+    # output proj_out over [attn ; mlp]
+    wq, wk, wv = (sd[f"{b}.attn.to_q.weight"], sd[f"{b}.attn.to_k.weight"],
+                  sd[f"{b}.attn.to_v.weight"])
+    bq, bk, bv = (sd[f"{b}.attn.to_q.bias"], sd[f"{b}.attn.to_k.bias"],
+                  sd[f"{b}.attn.to_v.bias"])
+    return {
+        "norm": {"linear": _dense(sd[f"{b}.norm.linear.weight"],
+                                  sd[f"{b}.norm.linear.bias"])},
+        "to_qkv": _dense(np.concatenate([wq, wk, wv], axis=0),
+                         np.concatenate([bq, bk, bv], axis=0)),
+        "norm_q": _rms(sd, f"{b}.attn.norm_q"),
+        "norm_k": _rms(sd, f"{b}.attn.norm_k"),
+        "proj_mlp": _dense(sd[f"{b}.proj_mlp.weight"],
+                           sd[f"{b}.proj_mlp.bias"]),
+        "proj_out": _dense(sd[f"{b}.proj_out.weight"],
+                           sd[f"{b}.proj_out.bias"]),
+    }
+
+
+def convert_flux_controlnet(sd: dict, num_dual: int, num_single: int) -> dict:
+    """diffusers FluxControlNetModel → FluxControlNet params (the jasperai
+    Flux.1-dev-Controlnet-Upscaler layout: the Flux embedders + a
+    truncated dual-stream trunk + zero-init controlnet_x_embedder and
+    per-block output projections; reference loads it at
+    scripts/main_upflux.py:308-311 and consumes its residual samples at
+    main_upflux.py:163-172)."""
+    p = _flux_embedders(sd)
+    p["controlnet_x_embedder"] = _dense(sd["controlnet_x_embedder.weight"],
+                                        sd["controlnet_x_embedder.bias"])
+    for i in range(num_dual):
+        p[f"dual_{i}"] = _flux_dual_block(sd, f"transformer_blocks.{i}")
+        p[f"cn_proj_{i}"] = _dense(sd[f"controlnet_blocks.{i}.weight"],
+                                   sd[f"controlnet_blocks.{i}.bias"])
+    for i in range(num_single):
+        p[f"single_{i}"] = _flux_single_block(
+            sd, f"single_transformer_blocks.{i}")
+        p[f"cn_single_proj_{i}"] = _dense(
+            sd[f"controlnet_single_blocks.{i}.weight"],
+            sd[f"controlnet_single_blocks.{i}.bias"])
     return {"params": p}
 
 

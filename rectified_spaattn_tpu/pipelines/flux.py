@@ -24,6 +24,25 @@ from .base import build_site
 from .schedulers import FlowMatchEulerScheduler, flux_mu_shift
 
 
+def flux_unpack_latents(tokens: jax.Array, gh: int, gw: int) -> jax.Array:
+    """[B, gh*gw, 4C] 2x2-packed tokens → [B, C, 2gh, 2gw] latents
+    (inverse of diffusers FluxPipeline._pack_latents: feature index =
+    c*4 + dy*2 + dx)."""
+    b, s, f = tokens.shape
+    c = f // 4
+    x = tokens.reshape(b, gh, gw, c, 2, 2)
+    x = x.transpose(0, 3, 1, 4, 2, 5)              # [B, C, gh, 2, gw, 2]
+    return x.reshape(b, c, 2 * gh, 2 * gw)
+
+
+def flux_pack_latents(lat: jax.Array) -> jax.Array:
+    """[B, C, H, W] latents → [B, (H/2)(W/2), 4C] packed tokens."""
+    b, c, hh, ww = lat.shape
+    x = lat.reshape(b, c, hh // 2, 2, ww // 2, 2)
+    x = x.transpose(0, 2, 4, 1, 3, 5)              # [B, gh, gw, C, 2, 2]
+    return x.reshape(b, (hh // 2) * (ww // 2), c * 4)
+
+
 @dataclasses.dataclass
 class FluxPipeline:
     model: FluxDiT
@@ -172,6 +191,14 @@ class FluxUpscalePipeline:
     controlnet_params: Optional[dict] = None
     conditioning_scale: float = 1.0
     strength: float = 0.7                 # no-ControlNet img2img fallback
+    # Pixel-space control prep (the reference's path: base image → PIL
+    # resize to the upscaled resolution → FluxControlNetPipeline VAE
+    # re-encode, main_upflux.py:297-328).  Both operate on UNPACKED
+    # latents: vae_decode [B,C,h,w] → pixels [B,3,H,W]; vae_encode the
+    # inverse.  When absent, control latents come from a nearest
+    # latent-space upsample instead (checkpoint-less equivalent).
+    vae_decode: Optional[Callable] = None
+    vae_encode: Optional[Callable] = None
 
     def _controlnet_fn(self, control_tokens, text_emb, pooled):
         cn, params = self.controlnet, self.controlnet_params
@@ -195,17 +222,28 @@ class FluxUpscalePipeline:
                  controlnet_fn=None):
         base_tokens = self.base(text_emb, text_mask, pooled, seed=seed)
         b = base_tokens.shape[0]
-        # nearest-neighbour latent upsample 4x (2x grid in each dim per
-        # stage-2 resolution config); the reference instead decodes to
-        # pixels, resizes, and re-encodes — the CLI does that when a VAE
-        # is wired (vae_decode/vae_encode), this latent path is the
-        # checkpoint-less equivalent
         gh_b, gw_b = self.base.gh, self.base.gw
         gh_u, gw_u = self.up.gh, self.up.gw
-        grid = base_tokens.reshape(b, gh_b, gw_b, -1)
-        ry, rx = gh_u // gh_b, gw_u // gw_b
-        grid = jnp.repeat(jnp.repeat(grid, ry, axis=1), rx, axis=2)
-        control = grid.reshape(b, gh_u * gw_u, -1)
+        if self.vae_decode is not None and self.vae_encode is not None:
+            # Reference control prep: decode the base image to PIXELS,
+            # resize to the upscaled resolution (PIL default bicubic,
+            # main_upflux.py:326-328), re-encode through the VAE, and
+            # pack — the control the jasperai upscaler was trained on.
+            pixels = self.vae_decode(
+                flux_unpack_latents(base_tokens, gh_b, gw_b))
+            ry, rx = gh_u // gh_b, gw_u // gw_b
+            hi = jax.image.resize(
+                pixels, (b, pixels.shape[1], pixels.shape[2] * ry,
+                         pixels.shape[3] * rx), method="bicubic")
+            control = flux_pack_latents(self.vae_encode(hi))
+        else:
+            # nearest-neighbour latent upsample 4x (2x grid in each dim
+            # per stage-2 resolution config) — the checkpoint-less
+            # equivalent of decode→resize→re-encode
+            grid = base_tokens.reshape(b, gh_b, gw_b, -1)
+            ry, rx = gh_u // gh_b, gw_u // gw_b
+            grid = jnp.repeat(jnp.repeat(grid, ry, axis=1), rx, axis=2)
+            control = grid.reshape(b, gh_u * gw_u, -1)
         rng = jax.random.PRNGKey(seed + 1)
         noise = jax.random.normal(rng, control.shape, control.dtype)
         if controlnet_fn is None and self.controlnet is not None:

@@ -264,6 +264,62 @@ def test_flux_converter_roundtrip():
     assert_same_tree(ref, params)
 
 
+def synth_flux_controlnet_sd(cn_cfg, rng):
+    """diffusers FluxControlNetModel state dict for the tiny config: the
+    Flux embedders + dual trunk (reusing synth_flux_sd via a FluxConfig
+    shim) + controlnet_x_embedder + per-block zero-init projections."""
+    shim = FluxConfig(
+        in_channels=cn_cfg.in_channels, out_channels=cn_cfg.in_channels,
+        hidden_dim=cn_cfg.hidden_dim, heads=cn_cfg.heads,
+        num_dual_blocks=cn_cfg.num_dual_blocks,
+        num_single_blocks=cn_cfg.num_single_blocks,
+        text_dim=cn_cfg.text_dim, pooled_dim=cn_cfg.pooled_dim)
+    sd = synth_flux_sd(shim, rng)   # extra norm_out/proj_out keys unused
+    d = cn_cfg.hidden_dim
+
+    def lin(name, out_f, in_f, zero=False):
+        w = (np.zeros((out_f, in_f)) if zero
+             else rng.standard_normal((out_f, in_f)) * 0.02)
+        sd[name + ".weight"] = w.astype(np.float32)
+        sd[name + ".bias"] = np.zeros(out_f, np.float32)
+
+    lin("controlnet_x_embedder", d, cn_cfg.cond_channels, zero=True)
+    for i in range(cn_cfg.num_dual_blocks):
+        lin(f"controlnet_blocks.{i}", d, d, zero=True)
+    for i in range(cn_cfg.num_single_blocks):
+        lin(f"controlnet_single_blocks.{i}", d, d, zero=True)
+    return sd
+
+
+def test_flux_controlnet_converter_roundtrip():
+    from rectified_spaattn_tpu.models.flux import (FluxControlNet,
+                                                   FluxControlNetConfig)
+    from rectified_spaattn_tpu.models.weights import convert_flux_controlnet
+    cfg = FluxControlNetConfig.tiny()
+    sd = synth_flux_controlnet_sd(cfg, np.random.default_rng(5))
+    params = convert_flux_controlnet(sd, cfg.num_dual_blocks,
+                                     cfg.num_single_blocks)
+    params = jax.tree_util.tree_map(jnp.asarray, params)
+    cn = FluxControlNet(cfg)
+    gh = gw = 8
+    tokens = jax.random.normal(jax.random.PRNGKey(0),
+                               (1, gh * gw, cfg.in_channels))
+    control = jax.random.normal(jax.random.PRNGKey(4),
+                                (1, gh * gw, cfg.cond_channels))
+    text = jax.random.normal(jax.random.PRNGKey(1), (1, 6, cfg.text_dim))
+    pooled = jax.random.normal(jax.random.PRNGKey(2), (1, cfg.pooled_dim))
+    dual_s, single_s = cn.apply(params, tokens, control, jnp.array([0.5]),
+                                text, pooled, jnp.array([3.5]), gh, gw)
+    assert len(dual_s) == cfg.num_dual_blocks
+    assert len(single_s) == cfg.num_single_blocks
+    # zero-init output projections -> residual samples are exactly zero
+    for s in dual_s + single_s:
+        assert np.abs(np.asarray(s)).max() == 0.0
+    ref = cn.init(jax.random.PRNGKey(3), tokens, control, jnp.array([0.5]),
+                  text, pooled, jnp.array([3.5]), gh, gw)
+    assert_same_tree(ref, params)
+
+
 def synth_cog_sd(cfg: CogVideoXConfig, rng):
     d = cfg.hidden_dim
     mlp_h = int(d * cfg.mlp_mult)
