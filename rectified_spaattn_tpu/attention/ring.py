@@ -14,9 +14,19 @@ composes with that sparsity: per ring step each chip does
 density × (1/n) of dense work, and communication is the standard ring
 KV rotation, overlapped by XLA with the kernel work.
 
-v1 scope: visual layout (Wan-style self-attention); the sequence must be
-pre-padded so S == visual_len and S/n is a multiple of the block size.
-Joint-layout (trailing text) support is tracked in ROADMAP.md.
+Layouts:
+  * "visual" (Wan-style self-attention): the sequence must be pre-padded
+    so S == visual_len and S/n is a multiple of the block size.
+  * "joint" (Hunyuan / Flux / CogVideoX trailing text): visual tokens are
+    sharded over the ring; the text tail (tiny, ≤512 tokens) is
+    REPLICATED on every shard.  Visual-query rows run the ring over
+    visual KV shards plus ONE local text pass (text blocks are
+    force-included, so no mask plan is needed for them); text-query rows
+    run exact attention by ring-merging full-list passes over every
+    visual shard plus a local text-text pass.  IPAR reallocation and the
+    GAPR/rectification terms are computed per shard from the all-gathered
+    pooled statistics plus the resident text keys — bit-comparable to the
+    single-device joint plan.
 """
 
 from __future__ import annotations
@@ -61,9 +71,22 @@ def ring_rectified_sparse_attention(
     *,
     seq_axis: str = "sp",
     interpret: bool = False,
-) -> jax.Array:
-    """Returns [B, H, S, D]; sharded over seq_axis on entry and exit."""
-    assert cfg.layout == "visual", "ring v1 supports the visual layout"
+    q_text: Optional[jax.Array] = None,   # [B, H, T, D] replicated (joint)
+    k_text: Optional[jax.Array] = None,
+    v_text: Optional[jax.Array] = None,
+    text_len_rt: Optional[jax.Array] = None,      # [B] int32
+):
+    """Visual layout: returns [B, H, S, D], sharded over seq_axis.
+
+    Joint layout (q_text/k_text/v_text given, cfg.layout == "joint"):
+    returns (out_visual [B,H,S,D] sharded, out_text [B,H,T,D] replicated).
+    """
+    if cfg.layout == "joint":
+        assert q_text is not None and k_text is not None \
+            and v_text is not None, "joint ring needs the text tail"
+        return _ring_joint(mesh, q, k, v, cfg, neighbor_mask,
+                           q_text, k_text, v_text, text_len_rt,
+                           seq_axis=seq_axis, interpret=interpret)
     n = mesh.shape[seq_axis]
     b, h, s, d = q.shape
     bn = cfg.block_n
@@ -149,3 +172,147 @@ def ring_rectified_sparse_attention(
                    in_specs=(spec, spec, spec, P(None, None)),
                    out_specs=spec, check_vma=False)
     return fn(q, k, v, neighbor_mask)
+
+
+def _ring_joint(mesh, q, k, v, cfg, neighbor_mask, q_text, k_text, v_text,
+                text_len_rt, *, seq_axis="sp", interpret=False):
+    """Joint-layout ring: visual sharded, text replicated (see module
+    docstring).  Mirrors the single-device joint plan
+    (sparse/pipeline.py joint branch) per shard: pooled visual columns +
+    un-pooled text columns → softmax → GAPR → IPAR → top-p/top-k over
+    [NB+1] → rectification; text blocks execute via a local pass."""
+    n = mesh.shape[seq_axis]
+    b, h, s, d = q.shape
+    bn = cfg.block_n
+    t = q_text.shape[2]
+    assert s % (n * cfg.block_m) == 0, (s, n, cfg.block_m)
+    assert t % bn == 0 and t == cfg.text_len, (t, cfg.text_len)
+    s_l = s // n
+    nb_l = s_l // bn
+    nb = nb_l * n
+    tb = t // bn
+    sm_scale = d ** -0.5
+    if text_len_rt is None:
+        text_len_rt = jnp.full((b,), t, jnp.int32)
+    if neighbor_mask is None:
+        neighbor_mask = jnp.zeros((nb, nb), bool)
+
+    def local(qs, ks, vs, nbm, qt, kt, vt, tlen):
+        me = jax.lax.axis_index(seq_axis)
+        # zero invalid text keys before any pooling/scoring (mirrors
+        # rectified.py::kv_validity + the reference's masked_fill,
+        # rectified_hunyuan_attn.py:306-308)
+        tvalid = jnp.arange(t)[None, :] < tlen[:, None]       # [B, T]
+        kt = jnp.where(tvalid[:, None, :, None], kt, 0)
+        vt = jnp.where(tvalid[:, None, :, None], vt, 0)
+
+        # ---- global pooled visual stats from tiny all-gathers ----
+        kp_l = ops.block_pool(ks, bn)
+        vp_l = ops.block_pool(vs, bn)
+        kb_l = ks.reshape(b, h, nb_l, bn, d)
+        dk_l = jnp.mean(jnp.abs(kb_l.astype(jnp.float32)
+                                - kp_l[..., None, :]), axis=-2)
+        kp = jax.lax.all_gather(kp_l, seq_axis, axis=2, tiled=True)
+        vp = jax.lax.all_gather(vp_l, seq_axis, axis=2, tiled=True)
+        dk = jax.lax.all_gather(dk_l, seq_axis, axis=2, tiled=True)
+
+        # ---- joint plan for the local query rows ----
+        qb = qs.reshape(b, h, nb_l, cfg.block_m, d)
+        qp = jnp.mean(qb.astype(jnp.float32), axis=-2)
+        scores_vis = ops.pooled_scores(qp, kp)               # [B,H,NQl,NB]
+        scores_txt = jnp.einsum(
+            "bhqd,bhkd->bhqk", qp, kt.astype(jnp.float32))   # [B,H,NQl,T]
+        scores = jnp.concatenate([scores_vis, scores_txt], -1) * sm_scale
+        pad = jnp.concatenate(
+            [jnp.ones((b, 1, 1, nb), bool),
+             jnp.broadcast_to(tvalid[:, None, None, :], (b, 1, 1, t))],
+            axis=-1)
+        scores = jnp.where(pad, scores, NEG_BIG)
+        probs_tok = jax.nn.softmax(scores, axis=-1)
+
+        iq, jk = cfg.block_m, bn
+        dq = jnp.mean(jnp.abs(qb.astype(jnp.float32) - qp[..., None, :]),
+                      axis=-2)
+        err = (jnp.abs(jnp.einsum("bhqd,bhkd->bhqk", dq, kp)) * iq * jk
+               + jnp.abs(jnp.einsum("bhqd,bhkd->bhqk", qp, dk)) * iq * jk)
+        nogapr = ~((iq * jk) * jnp.abs(scores_vis) > err)
+
+        probs = ops.ipar_reallocate(probs_tok, nb, bn)       # [.., NB+1]
+        onehot = ops.topp_threshold_onehot(probs, cfg.p_remain,
+                                           cfg.top_k_floor)
+        vis_cols = onehot[..., :nb]
+        nb_rows = jax.lax.dynamic_slice(
+            nbm, (me * nb_l, 0), (nb_l, nb))
+        vis_cols = vis_cols | nb_rows[None, None]
+
+        partial = jnp.concatenate(
+            [vis_cols | nogapr, jnp.ones((b, h, nb_l, 1), bool)], axis=-1)
+        r_factor = jnp.sum(jnp.where(partial, probs, 0.0), axis=-1)
+        comp = jnp.einsum("bhqk,bhkd->bhqd",
+                          jnp.where(partial[..., :nb], 0.0,
+                                    probs[..., :nb]), vp,
+                          preferred_element_type=jnp.float32)
+
+        # ---- visual rows: ring over visual KV shards ----
+        tlen0 = jnp.zeros((b,), jnp.int32)
+        o = jnp.zeros((b, h, s_l, d), jnp.float32)
+        m = jnp.full((b, h, s_l), -jnp.inf, jnp.float32)
+        l = jnp.zeros((b, h, s_l), jnp.float32)
+        # text rows: exact attention, ring-merged over the same shards
+        ot = jnp.zeros((b, h, t, d), jnp.float32)
+        mt = jnp.full((b, h, t), -jnp.inf, jnp.float32)
+        lt = jnp.zeros((b, h, t), jnp.float32)
+        full_vis = jnp.broadcast_to(
+            jnp.arange(nb_l, dtype=jnp.int32), (b, h, tb, nb_l))
+        full_vis_cnt = jnp.full((b, h, tb), nb_l, jnp.int32)
+        kb, vb = ks, vs
+        for step in range(n):
+            src = (me - step) % n
+            sub = jax.lax.dynamic_slice(
+                vis_cols, (0, 0, 0, src * nb_l), (b, h, nb_l, nb_l))
+            idx, cnt = ops.mask_to_indices(sub)
+            o_p, m_p, l_p = block_sparse_flash_attention(
+                qs, kb, vb, idx, cnt, tlen0, visual_len=s_l,
+                text_start=None, block_m=cfg.block_m, block_n=bn,
+                interpret=interpret, return_stats=True)
+            o, m, l = _merge(o, m, l, o_p, m_p, l_p)
+            op_t, mp_t, lp_t = block_sparse_flash_attention(
+                qt, kb, vb, full_vis, full_vis_cnt, tlen0,
+                visual_len=s_l, text_start=None, block_m=cfg.block_m,
+                block_n=bn, interpret=interpret, return_stats=True)
+            ot, mt, lt = _merge(ot, mt, lt, op_t, mp_t, lp_t)
+            if step < n - 1:
+                perm = [(i, (i + 1) % n) for i in range(n)]
+                kb = jax.lax.ppermute(kb, seq_axis, perm)
+                vb = jax.lax.ppermute(vb, seq_axis, perm)
+
+        # ---- local text passes (text KV replicated; text blocks are
+        # force-included for every visual query, so no plan needed) ----
+        full_txt = jnp.broadcast_to(
+            jnp.arange(tb, dtype=jnp.int32), (b, h, nb_l, tb))
+        full_txt_cnt = jnp.full((b, h, nb_l), tb, jnp.int32)
+        o_p, m_p, l_p = block_sparse_flash_attention(
+            qs, kt, vt, full_txt, full_txt_cnt, tlen, visual_len=0,
+            text_start=0, block_m=cfg.block_m, block_n=bn,
+            interpret=interpret, return_stats=True)
+        o, m, l = _merge(o, m, l, o_p, m_p, l_p)
+        full_txt_t = jnp.broadcast_to(
+            jnp.arange(tb, dtype=jnp.int32), (b, h, tb, tb))
+        op_t, mp_t, lp_t = block_sparse_flash_attention(
+            qt, kt, vt, full_txt_t, jnp.full((b, h, tb), tb, jnp.int32),
+            tlen, visual_len=0, text_start=0, block_m=cfg.block_m,
+            block_n=bn, interpret=interpret, return_stats=True)
+        ot, _, _ = _merge(ot, mt, lt, op_t, mp_t, lp_t)
+
+        out_vis = o * r_factor.repeat(cfg.block_m, axis=-1)[..., None] + \
+            comp.repeat(cfg.block_m, axis=-2)
+        return out_vis.astype(qs.dtype), ot.astype(qt.dtype)
+
+    spec = P(None, None, seq_axis, None)
+    rep = P(None, None, None, None)
+    fn = shard_map(
+        local, mesh=mesh,
+        in_specs=(spec, spec, spec, P(None, None), rep, rep, rep, P(None)),
+        out_specs=(spec, rep), check_vma=False)
+    return fn(q, k, v, neighbor_mask, q_text, k_text, v_text,
+              jnp.asarray(text_len_rt, jnp.int32))

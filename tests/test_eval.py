@@ -88,3 +88,72 @@ def test_visionreward_and_fid_gate_cleanly(tmp_path):
     (tmp_path / "a").mkdir(); (tmp_path / "b").mkdir()
     r = fid_score(str(tmp_path / "a"), str(tmp_path / "b"))
     assert r["available"] is False
+
+
+def test_run_eval_uses_real_encoders_when_present(monkeypatch):
+    """VERDICT r2 item 6: with --ckpt_dir, every family branch must embed
+    prompts through the checkpoint's text encoder, not the hash
+    fallback."""
+    import numpy as np
+    from rectified_spaattn_tpu.eval import run_eval
+    from rectified_spaattn_tpu.models import pretrained
+
+    calls = []
+
+    class FakeEncoder:
+        def __call__(self, prompt):
+            calls.append(prompt)
+            return (np.zeros((1, 4, 8), np.float32),
+                    np.ones((1, 4), np.int32))
+
+    monkeypatch.setattr(pretrained, "load_text_encoders",
+                        lambda fam, root: [FakeEncoder()])
+
+    import argparse
+    args = argparse.Namespace(model="hunyuan", ckpt_dir="/fake")
+    encode, is_real = run_eval._prompt_encoder(args)
+    assert is_real
+    emb, mask = encode("a red fox", 256, 8)
+    assert calls == ["a red fox"]
+    assert emb.shape == (1, 4, 8)
+
+    # without a ckpt_dir the fallback is the hash embedding and scoring
+    # must know it (real_text_encoders False -> CLIP/IR refusal path)
+    args2 = argparse.Namespace(model="hunyuan", ckpt_dir=None)
+    _, is_real2 = run_eval._prompt_encoder(args2)
+    assert not is_real2
+
+
+def test_score_outputs_refuses_text_scores_on_hash_embeddings(
+        tmp_path, monkeypatch):
+    """CLIP/VisionReward must refuse (not silently score) when prompts
+    were embedded with hash pseudo-embeddings; VisionReward reports
+    inapplicability for image outputs (advisor r2)."""
+    import argparse
+    import numpy as np
+    from rectified_spaattn_tpu.eval import run_eval
+
+    out = tmp_path / "out"
+    out.mkdir()
+    # two fake png outputs
+    from rectified_spaattn_tpu.utils.video import save_image
+    g = np.random.default_rng(0)
+    for i in range(2):
+        save_image(g.uniform(size=(16, 16, 3)).astype(np.float32),
+                   str(out / f"p{i}-0.png"))
+
+    def fake_runner(args):
+        def run(prompt, seed):
+            return g.uniform(size=(16, 16, 3)).astype(np.float32)
+        return run, False
+
+    monkeypatch.setattr(run_eval, "make_runner", fake_runner)
+    args = argparse.Namespace(
+        model="flux-upscale", out_dir=str(out), loops=1, mode="sparse",
+        real_text_encoders=False)
+    res = run_eval.score_outputs(args, ["p0", "p1"], str(out))
+    assert res["clip_score"]["available"] is False
+    assert "hash" in res["clip_score"]["status"]
+    assert res["vision_reward"]["available"] is False
+    assert "not applicable" in res["vision_reward"]["status"]
+    assert res["fid"]["samples"]["sparse"] == 2

@@ -122,6 +122,53 @@ def test_ring_sequence_parallel_matches_single_device(mesh):
     np.testing.assert_allclose(got, want, rtol=2e-3, atol=2e-3)
 
 
+def test_ring_joint_layout_matches_single_device(mesh):
+    """Joint-layout ring sp (VERDICT r2 item 5): visual tokens sharded,
+    text tail replicated — visual rows ring + local text pass, text rows
+    exact via ring-merged full-list passes.  Must equal the single-device
+    joint rectified output (same plan from all-gathered stats, exact
+    m/l merges), including a runtime text window shorter than the padded
+    tail."""
+    from rectified_spaattn_tpu.sparse import SparseConfig
+    from rectified_spaattn_tpu.attention import rectified_sparse_attention
+    from rectified_spaattn_tpu.attention.ring import (
+        ring_rectified_sparse_attention)
+    from rectified_spaattn_tpu.parallel import make_mesh
+
+    ring_mesh = make_mesh(dp=1, tp=2, sp=4)
+    b, h, d = 1, 2, 32
+    sv = 8 * 128                   # 2 visual blocks per sp shard
+    tlen_pad = 128
+    cfg = SparseConfig(top_k_floor=1, p_remain=0.4, layout="joint",
+                       text_len=tlen_pad, topp_impl="sort")
+    g = np.random.default_rng(17)
+    qv, kv_, vv = [jnp.asarray(
+        g.normal(size=(b, h, sv, d)).astype(np.float32)) for _ in range(3)]
+    qt, kt, vt = [jnp.asarray(
+        g.normal(size=(b, h, tlen_pad, d)).astype(np.float32))
+        for _ in range(3)]
+    nb = sv // 128
+    neighbors = jnp.asarray(np.eye(nb, dtype=bool))
+    tlen = jnp.asarray([90], jnp.int32)     # runtime window < padded tail
+
+    q = jnp.concatenate([qv, qt], axis=2)
+    k = jnp.concatenate([kv_, kt], axis=2)
+    v = jnp.concatenate([vv, vt], axis=2)
+    want = np.asarray(rectified_sparse_attention(
+        q, k, v, cfg, neighbors, visual_len=sv, text_len_rt=tlen,
+        interpret=True))
+
+    got_vis, got_txt = ring_rectified_sparse_attention(
+        ring_mesh, qv, kv_, vv, cfg, neighbors, interpret=True,
+        q_text=qt, k_text=kt, v_text=vt, text_len_rt=tlen)
+    np.testing.assert_allclose(np.asarray(got_vis), want[:, :, :sv],
+                               rtol=2e-3, atol=2e-3)
+    # text rows: exact attention (only the valid window is meaningful for
+    # keys; all text QUERY rows are real here)
+    np.testing.assert_allclose(np.asarray(got_txt), want[:, :, sv:],
+                               rtol=2e-3, atol=2e-3)
+
+
 def test_graft_dryrun_multichip():
     """The driver's multi-chip validation path."""
     import __graft_entry__ as g
