@@ -1,4 +1,4 @@
-"""Headline benchmark: rectified block-sparse attention vs dense flash on a
+"""Headline benchmark: rectified block-sparse attention on a
 HunyuanVideo-720p-class attention workload, on the real TPU chip.
 
 Prints ONE JSON line:
@@ -6,23 +6,27 @@ Prints ONE JSON line:
 
 The measured quantity is the full sparse path (Gilbert-ordered mask build
 + IPAR/GAPR/top-p selection + Pallas gather kernel + rectification + dense
-text rows) against the stock dense flash attention, at the reference's
-default HunyuanVideo operating point (sa_drop_rate 0.8, p_remain 0.3,
-115200 visual + 256 text tokens, 24 heads x 128 dim, bf16).
+text rows) at the reference's default HunyuanVideo operating point
+(sa_drop_rate 0.8, p_remain 0.3, 115200 visual + 256 text tokens,
+24 heads x 128 dim, bf16).
 
-Inputs are spatially-smooth token fields (a shared low-frequency field +
-per-token noise), the regime real diffusion checkpoints operate in: pooled
-attention concentrates, so the top-p mass threshold selects few blocks and
-the top-k floor (= (1-sa_drop_rate)*NB) dominates counts — density lands
-at ~0.20 (vs ~0.31 on iid-random inputs, which understate sparsity).  The
-measured density is reported in the detail payload.
+HEADLINE KEY (re-keyed in round 3 per the round-2 review): the value is
+the sparse speedup versus OUR OWN dense attention — the windowed-gather
+flash path, the fastest dense this framework has (itself ~1.9x faster
+than the platform-stock flash kernel, reported in detail) — i.e. the same
+measurement level on both sides.  vs_baseline divides by the reference's
+published sparse speedup for this exact sa_drop_rate (2.50x,
+scripts/Inference.md:15); note the reference's figure is END-TO-END vs
+its torch dense, so vs_baseline compares our attention-level gain against
+their pipeline-level gain — the two other cross-framework ratios
+(vs stock flash, our end-to-end) are in the detail payload.
 
-vs_baseline compares against the reference's published END-TO-END dense→
-sparse speedup on the same workload (3.33x, README.md:68-83 / BASELINE.md)
-— a conservative denominator, since end-to-end includes non-attention
-work that dilutes the reference's attention-level gain.  (The reference's
-own Inference.md:15 quotes 2.50x for this exact sa_drop_rate; the README
-demo row is the higher of the two published figures.)
+Input regimes (both reported, advisor r2): the headline uses
+spatially-smooth token fields (shared low-frequency field + per-token
+noise) — the regime real diffusion checkpoints operate in, where pooled
+attention concentrates and the top-k floor dominates (density ~0.20).
+detail.random_inputs re-measures on iid-random inputs (density ~0.31,
+round-1's regime) so round-over-round numbers stay comparable.
 """
 
 import json
@@ -30,7 +34,9 @@ import time
 
 import numpy as np
 
-BASELINE_SPEEDUP = 3.33   # reference Hunyuan 720p dense/sparse wall-clock
+# reference scripts/Inference.md:15 — HunyuanVideo sa_drop 0.8 sparse
+# speedup (end-to-end vs its torch dense; see module docstring)
+BASELINE_SPEEDUP = 2.50
 
 
 def smooth_inputs(key, h, s_vis, text_len, d, coords, alpha=4.0, sigma=1.0):
@@ -53,6 +59,16 @@ def smooth_inputs(key, h, s_vis, text_len, d, coords, alpha=4.0, sigma=1.0):
 
     ks = jax.random.split(key, 3)
     return tuple(jax.block_until_ready(one(k)) for k in ks)
+
+
+def random_inputs(key, h, s, d):
+    import jax
+    import jax.numpy as jnp
+    ks = jax.random.split(key, 3)
+    return tuple(
+        jax.block_until_ready(
+            jax.random.normal(k, (1, h, s, d)).astype(jnp.bfloat16))
+        for k in ks)
 
 
 def main():
@@ -91,35 +107,43 @@ def main():
         q, k, v, cfg, neighbors, visual_len=sv, text_len_rt=tlen))
     dense_fn = jax.jit(lambda q, k, v: dense_attention(q, k, v,
                                                        mode="flash"))
-    # our own dense implementation (gather kernel, 512-row q tiles) —
-    # measured ~1.9x faster than the stock flash kernel at this scale;
-    # reported for transparency, the ratio uses the platform-standard
-    # dense flash like the reference used flash-attn 2
+    # our own dense (gather kernel, 512-row q tiles) — the headline's
+    # denominator; also ~1.9x faster than the platform-stock flash kernel
     dense_ours_fn = jax.jit(lambda q, k, v: _windowed_dense_flash(
         q, k, v, visual_len=sv, text_start=sv, tlen=tlen))
     plan_fn = jax.jit(lambda q, k, v: build_sparse_plan(
         q[:, :, :sv], k, v, cfg, neighbor_mask=neighbors))
 
-    def timed(f, n=4):
-        out = f(q, k, v)
+    def timed(f, *arrs, n=4):
+        out = f(*arrs)
         float(jnp.sum(jax.tree_util.tree_leaves(out)[0]
                       .astype(jnp.float32)))   # forced sync readback
         t0 = time.perf_counter()
         for _ in range(n):
-            out = f(q, k, v)
+            out = f(*arrs)
             float(jnp.sum(jax.tree_util.tree_leaves(out)[0]
                           .astype(jnp.float32)))
         return (time.perf_counter() - t0) / n
 
-    t_sparse = timed(sparse_fn)
-    t_dense = timed(dense_fn)
-    t_dense_ours = timed(dense_ours_fn)
-    plan = plan_fn(q, k, v)
-    density = float(jnp.mean(plan.counts)) / plan.indices.shape[-1]
-    speedup = t_dense / t_sparse
+    def density_of(*arrs):
+        plan = plan_fn(*arrs)
+        return float(jnp.mean(plan.counts)) / plan.indices.shape[-1]
+
+    t_sparse = timed(sparse_fn, q, k, v)
+    t_dense = timed(dense_fn, q, k, v)
+    t_dense_ours = timed(dense_ours_fn, q, k, v)
+    density = density_of(q, k, v)
+
+    # iid-random regime (round-1 comparability; same compiled programs)
+    qr, kr, vr = random_inputs(jax.random.PRNGKey(1), h, s, d)
+    t_sparse_r = timed(sparse_fn, qr, kr, vr, n=2)
+    t_dense_ours_r = timed(dense_ours_fn, qr, kr, vr, n=2)
+    density_r = density_of(qr, kr, vr)
+
+    speedup = t_dense_ours / t_sparse
 
     print(json.dumps({
-        "metric": "hunyuan720p_attention_speedup_sparse_vs_dense",
+        "metric": "hunyuan720p_attention_speedup_sparse_vs_own_dense",
         "value": round(speedup, 3),
         "unit": "x",
         "vs_baseline": round(speedup / BASELINE_SPEEDUP, 3),
@@ -127,8 +151,16 @@ def main():
             "dense_stock_flash_ms": round(t_dense * 1e3, 1),
             "dense_ours_ms": round(t_dense_ours * 1e3, 1),
             "sparse_ms": round(t_sparse * 1e3, 1),
-            "speedup_vs_our_dense": round(t_dense_ours / t_sparse, 3),
+            "speedup_vs_stock_flash": round(t_dense / t_sparse, 3),
             "mask_density": round(density, 4),
+            "random_inputs": {
+                "speedup_vs_own_dense": round(t_dense_ours_r / t_sparse_r,
+                                              3),
+                "sparse_ms": round(t_sparse_r * 1e3, 1),
+                "dense_ours_ms": round(t_dense_ours_r * 1e3, 1),
+                "mask_density": round(density_r, 4),
+            },
+            "reference_e2e_sparse_speedup": BASELINE_SPEEDUP,
             "tokens": s, "heads": h, "sa_drop_rate": 0.8,
         },
     }))

@@ -24,18 +24,27 @@ VBENCH_DIMENSIONS = (
 
 
 def run_vbench(video_dir: str, dimensions: Sequence[str] = VBENCH_DIMENSIONS,
-               output_path: str | None = None) -> dict:
+               output_path: str | None = None,
+               full_info_path: str | None = None) -> dict:
+    """Mirror of the reference's vbench invocation
+    (eval/video/vbench/run_vbench.py:46-60): one VBench instance PER
+    dimension, constructed (device, full_info_path, save_path), evaluated
+    with mode="custom_input", local=False, read_frame=False and the
+    imaging-quality preprocessing default pinned to "longer"."""
     try:
         from vbench import VBench  # heavy external suite
     except Exception:
         return {"available": False,
                 "reason": "vbench not installed", "dimensions": list(dimensions)}
     import torch
-    bench = VBench(torch.device("cpu"), None, output_path or video_dir)
+    save_path = output_path or video_dir
+    kwargs = {"imaging_quality_preprocessing_mode": "longer"}
     results = {}
     for dim in dimensions:
-        bench.evaluate(videos_path=video_dir, name=dim, dimension_list=[dim],
-                       mode="custom_input")
+        bench = VBench(torch.device("cpu"), full_info_path, save_path)
+        bench.evaluate(videos_path=video_dir, name=dim, local=False,
+                       read_frame=False, dimension_list=[dim],
+                       mode="custom_input", **kwargs)
         results[dim] = "see_eval_results_json"
     return {"available": True, "results": results}
 
@@ -120,9 +129,12 @@ def _visionreward_score(model, tok, questions, weight, video_paths,
                 "images": [[inputs["images"][0].to(torch.float32)]],
             }
             with torch.no_grad():
+                # exact gen_kwargs of the vendored scorer
+                # (inference-video.py:93-100)
                 out = model.generate(**batch, max_new_tokens=2048,
                                      pad_token_id=128002, top_k=1,
-                                     do_sample=False)
+                                     do_sample=False, top_p=0.1,
+                                     temperature=0.1)
                 out = out[:, batch["input_ids"].shape[1]]
             answers.append(1 if tok.decode(out[0]) == "yes" else -1)
         scores.append(float(np.mean(np.asarray(answers) * weight)))

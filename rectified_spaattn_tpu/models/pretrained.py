@@ -137,7 +137,9 @@ def load_transformer(family: str, root: str, dtype="bfloat16",
                               cfg.num_single_blocks)
     elif family == "cogvideox":
         params = convert_cogvideox(sd, cfg.num_blocks,
-                                   use_ofs=cfg.use_ofs_embed)
+                                   use_ofs=cfg.use_ofs_embed,
+                                   patch_size_t=cfg.patch_size_t,
+                                   patch_size=cfg.patch_size)
     else:
         raise ValueError(family)
     params = assign_dtype(params, getattr(jnp, dtype))

@@ -418,13 +418,33 @@ def convert_hunyuan(sd: dict, num_dual: int, num_single: int,
 
 
 def convert_cogvideox(sd: dict, num_blocks: int,
-                      use_ofs: bool = True) -> dict:
+                      use_ofs: bool = True, patch_size_t: int = 2,
+                      patch_size: int = 2) -> dict:
     """diffusers CogVideoXTransformer3DModel (1.5: Linear patch embed) →
-    CogVideoXDiT params."""
+    CogVideoXDiT params.
+
+    Patchify feature order (the round-2 documented risk, now resolved):
+    diffusers packs token features CHANNEL-MAJOR — (C, p_t, p, p) — as
+    proven by the reference's own forked unpatchify
+    (scripts/main_cogvideox.py:173-180: ``reshape(B, T', H', W', -1,
+    p_t, p, p)`` with C at dim 4) and diffusers' CogVideoXPatchEmbed
+    using the matching order on the input side.  Our ``_patchify`` /
+    ``_unpatchify`` are (p_t, p, p, C) — channel-LAST (so the Conv
+    weights of the 1.0 path map without a transpose) — hence the 1.5
+    Linear patch_embed's input features and proj_out's output features
+    are permuted here (tests/test_weights.py::
+    test_cogvideox_patchify_feature_order pins both against a
+    transliteration of the reference's unpatchify lines)."""
     p: dict = {}
+    pt, ps = patch_size_t, patch_size
     w = np.asarray(sd["patch_embed.proj.weight"])
     if w.ndim == 2:        # 1.5 Linear patchify
-        p["patch_embed"] = _dense(w, sd["patch_embed.proj.bias"])
+        hid, fin = w.shape
+        ch = fin // (pt * ps * ps)
+        # input features: diffusers (C, pt, ph, pw) -> ours (pt, ph, pw, C)
+        wr = w.reshape(hid, ch, pt, ps, ps).transpose(0, 2, 3, 4, 1)
+        p["patch_embed"] = _dense(wr.reshape(hid, fin),
+                                  sd["patch_embed.proj.bias"])
     else:                  # 1.0 Conv2d [out, in, p, p] per frame
         out_ch, in_ch, ph, pw = w.shape
         k = w.transpose(2, 3, 1, 0).reshape(ph * pw * in_ch, out_ch)
@@ -463,7 +483,15 @@ def convert_cogvideox(sd: dict, num_blocks: int,
     p["norm_out_lin"] = _dense(sd["norm_out.linear.weight"],
                                sd["norm_out.linear.bias"])
     p["norm_out_ln"] = _ln(sd, "norm_out.norm")
-    p["proj_out"] = _dense(sd["proj_out.weight"], sd["proj_out.bias"])
+    # output features: diffusers (C, pt, ph, pw) -> ours (pt, ph, pw, C)
+    # (1.0 path: pt == 1, same transform with a singleton axis)
+    wo = np.asarray(sd["proj_out.weight"])
+    bo = np.asarray(sd["proj_out.bias"])
+    fout, hid = wo.shape
+    och = fout // (pt * ps * ps)
+    wo = wo.reshape(och, pt, ps, ps, hid).transpose(1, 2, 3, 0, 4)
+    bo = bo.reshape(och, pt, ps, ps).transpose(1, 2, 3, 0)
+    p["proj_out"] = _dense(wo.reshape(fout, hid), bo.reshape(fout))
     return {"params": p}
 
 

@@ -23,3 +23,52 @@ def shard_prompts(prompts: Sequence, shard_index: int | None = None,
     if num_shards is None:
         num_shards = jax.process_count()
     return list(prompts)[shard_index::num_shards]
+
+
+def launch_eval(argv=None):
+    """Multi-host batch-eval launcher (VERDICT r2 item 10).
+
+        python -m rectified_spaattn_tpu.parallel.multihost \\
+            [--coordinator_address host:port --num_processes N \\
+             --process_id I] <run_eval args...>
+
+    On a TPU pod, ``jax.distributed.initialize()`` infers everything from
+    the TPU environment (pass no coordinator args); elsewhere, pass the
+    coordinator triple explicitly.  Each host then evaluates its
+    ``prompt_list[process_index::process_count]`` shard — the same
+    interleaving as the reference's ProcessPoolExecutor workers
+    (multigpu_hunyuan.py:287-298) — by delegating to eval.run_eval with
+    --shard_index/--num_shards injected.
+    """
+    import argparse
+
+    ap = argparse.ArgumentParser(add_help=False)
+    ap.add_argument("--coordinator_address", default=None)
+    ap.add_argument("--num_processes", type=int, default=None)
+    ap.add_argument("--process_id", type=int, default=None)
+    ap.add_argument("--distributed", action="store_true",
+                    help="call jax.distributed.initialize() with no args "
+                         "(TPU pod auto-detection)")
+    args, rest = ap.parse_known_args(argv)
+
+    if args.coordinator_address:
+        jax.distributed.initialize(args.coordinator_address,
+                                   args.num_processes, args.process_id)
+    elif args.distributed:
+        jax.distributed.initialize()
+
+    if args.coordinator_address or args.distributed:
+        index, count = jax.process_index(), jax.process_count()
+    else:
+        # single-host smoke: explicit ids stand in for the pod runtime
+        index = args.process_id if args.process_id is not None else 0
+        count = args.num_processes if args.num_processes is not None else 1
+
+    from ..eval import run_eval
+    run_eval.main(rest + ["--shard_index", str(index),
+                          "--num_shards", str(count)])
+    return index, count
+
+
+if __name__ == "__main__":
+    launch_eval()

@@ -173,3 +173,28 @@ def test_graft_dryrun_multichip():
     """The driver's multi-chip validation path."""
     import __graft_entry__ as g
     g.dryrun_multichip(8)
+
+
+def test_multihost_eval_launcher_injects_shards(monkeypatch, tmp_path):
+    """VERDICT r2 item 10: the jax.distributed eval entry maps
+    (process_index, process_count) onto run_eval's --shard_index /
+    --num_shards, preserving the reference's interleaving contract."""
+    from rectified_spaattn_tpu.parallel import multihost
+    from rectified_spaattn_tpu.eval import run_eval
+
+    seen = {}
+    monkeypatch.setattr(run_eval, "main", lambda argv: seen.update(
+        argv=list(argv)))
+    idx, cnt = multihost.launch_eval([
+        "--process_id", "1", "--num_processes", "4",
+        "--prompts", str(tmp_path / "p.json"), "--model", "hunyuan"])
+    assert (idx, cnt) == (1, 4)
+    a = seen["argv"]
+    assert a[a.index("--shard_index") + 1] == "1"
+    assert a[a.index("--num_shards") + 1] == "4"
+    # passthrough args preserved
+    assert "--model" in a and "hunyuan" in a
+
+    # single-process default
+    idx, cnt = multihost.launch_eval(["--prompts", "x.json"])
+    assert (idx, cnt) == (0, 1)
