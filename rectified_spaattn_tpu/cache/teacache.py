@@ -56,6 +56,14 @@ COEFFICIENTS: dict[str, list[float]] = {
     "identity": [1.0, 0.0],
 }
 
+# Optional schedule tracing: set to a list and every TeaCache instance
+# appends one meta record at construction plus one record per
+# should_compute call ({stream, raw, compute, forced}).  Used by the
+# bench scripts (--trace_out) to capture ORGANIC skip schedules that are
+# then replayed through the reference's own decision code
+# (tests/test_teacache_schedule_parity.py::test_recorded_traces_replay).
+TRACE: Optional[list] = None
+
 
 def rel_l1_signal(modulated: jax.Array, previous: jax.Array) -> jax.Array:
     """Device-side raw signal: mean|Δ| / mean|prev|
@@ -110,6 +118,13 @@ class TeaCache:
         self._poly = np.poly1d(coeffs)
         self.states = [TeaCacheState() for _ in range(self.cfg_streams)]
         self._call_count = 0
+        if TRACE is not None and self.enabled:
+            TRACE.append({"meta": {
+                "thresh": self.thresh, "num_steps": self.num_steps,
+                "coefficients": list(np.asarray(coeffs, dtype=float)),
+                "ret_steps": self.ret_steps,
+                "cutoff_steps": self.cutoff_steps,
+                "cfg_streams": self.cfg_streams}})
 
     @property
     def enabled(self) -> bool:
@@ -133,6 +148,7 @@ class TeaCache:
         ret = self.ret_steps if self.ret_steps is not None else self.cfg_streams
         cutoff = (self.cutoff_steps if self.cutoff_steps is not None
                   else self.num_steps - self.cfg_streams)
+        raw = None
         if (cnt < ret or cnt >= cutoff
                 or st.previous_modulated is None):
             compute = True
@@ -155,6 +171,9 @@ class TeaCache:
             st.computed_steps += 1
         else:
             st.skipped_steps += 1
+        if TRACE is not None:
+            TRACE.append({"call": cnt, "stream": cnt % self.cfg_streams,
+                          "raw": raw, "compute": compute})
         return compute
 
     def apply_residual(self, hidden, ctx=None):

@@ -93,8 +93,10 @@ def _sparse_attn_kernel(
     clean_ref,       # [1, 1, 1, 1]  int32  — leading mask-free slot count
     tlen_ref,        # [1, 1, 1]     int32  — runtime effective text length
     idx_ref,         # [1, 1, 1, NB] int32  — compacted key-block indices
-    *rest,           # with quant: (sk_ref, sv_ref) [1,1,1,NB] fp32 per-slot
-                     # absmax/127 scales; then
+    *rest,           # with prefetch: (counts_next_ref [1,1,1,1],
+                     # idx_next_ref [1,1,1,NB] — the NEXT query row's
+                     # slots); with quant: (sk_ref, sv_ref) [1,1,1,NB]
+                     # fp32 per-slot absmax/127 scales; then
                      # q_ref [1, bm, D] VMEM, kv_hbm [BH, S, 2*D] ANY
                      # (int8 when quant), o_ref, and with return_stats
                      # (m_ref, l_ref) [1, bm, 128] VMEM, then scratch
@@ -105,13 +107,25 @@ def _sparse_attn_kernel(
     text_start: int | None,  # static: text region offset (None = no text)
     return_stats: bool = False,
     quant: str | None = None,   # None | "int8" (bf16-convert) | "mxu8"
+    prefetch: bool = False,
 ):
     """Two-phase chunk loop: the ascending compacted index list puts every
     window-sensitive block (padded boundary visual block, text blocks) at
     the END, so the leading ``clean`` slots run a mask-free body with no
     per-lane scalar reads; only the 1-2 tail chunks pay for column
     coordinates and window tests (measured bit-exact vs the single-phase
-    kernel on realistic masks)."""
+    kernel on realistic masks).
+
+    ``prefetch``: each cell issues the NEXT query row's chunk-0 DMAs
+    into buffer slot 0 at its end (same bh only — the row grid dim is
+    "arbitrary", so same-bh cells run sequentially on one core),
+    eliminating the per-row pipeline-restart bubble where the DMA engine
+    idles while the row's last chunks compute.  The prologue then only
+    issues for row 0; a zero-count NEXT row is not prefetched (guard),
+    and a zero-count cell still prefetches for its successor, so every
+    count>0 cell gets exactly one chunk-0 issue."""
+    if prefetch:
+        counts_next_ref, idx_next_ref, *rest = rest
     if quant:
         sk_ref, sv_ref, *rest = rest
     q_ref, kv_hbm, o_ref, *rest = rest
@@ -148,9 +162,16 @@ def _sparse_attn_kernel(
     # not issue prologue DMAs: the fori_loop below never runs, so nothing
     # would wait them and the scratch semaphores would carry stale
     # completions into the next grid cell.
-    @pl.when(count > 0)
-    def _():
-        start_chunk(0, 0)
+    if prefetch:
+        # rows > 0 received their chunk 0 from the previous cell's
+        # epilogue prefetch (see docstring)
+        @pl.when((count > 0) & (pl.program_id(1) == 0))
+        def _():
+            start_chunk(0, 0)
+    else:
+        @pl.when(count > 0)
+        def _():
+            start_chunk(0, 0)
 
     if quant == "mxu8":
         # q is quantized IN-KERNEL per row (absmax over D); both MXU dots
@@ -276,6 +297,15 @@ def _sparse_attn_kernel(
     carry = jax.lax.fori_loop(0, clean_chunks, body_clean, init)
     m, l, acc = jax.lax.fori_loop(clean_chunks, num_chunks, body_tail,
                                   carry)
+    if prefetch:
+        # epilogue: start the NEXT row's chunk 0 so its DMAs overlap this
+        # cell's output write and the inter-cell transition (both loops
+        # above have completed, so buffer slot 0 is free to overwrite)
+        @pl.when((pl.program_id(1) + 1 < pl.num_programs(1))
+                 & (counts_next_ref[0, 0, 0, 0] > 0))
+        def _():
+            for lane in range(g):
+                block_dma(0, lane, idx_next_ref[0, 0, 0, lane]).start()
     l_inv = jnp.where(l == 0.0, 1.0, 1.0 / l)
     o_ref[0] = (acc * l_inv).astype(o_ref.dtype)
     if return_stats:
@@ -560,7 +590,7 @@ def block_sparse_flash_attention_paired(q, k, v, indices, counts, rowbits,
     jax.jit,
     static_argnames=("block_m", "block_n", "sm_scale", "visual_len",
                      "text_start", "chunk_blocks", "interpret",
-                     "return_stats", "quant_mode"))
+                     "return_stats", "quant_mode", "prefetch_next"))
 def block_sparse_flash_attention(
     q: jax.Array,          # [B, H, Sq, D]   (Sq % block_m == 0)
     k: jax.Array,          # [B, H, S,  D]
@@ -579,6 +609,7 @@ def block_sparse_flash_attention(
     return_stats: bool = False,
     kv_quant=None,
     quant_mode: str | None = None,
+    prefetch_next: bool = True,
 ):
     """Run masked flash attention over the selected key blocks.
 
@@ -660,6 +691,7 @@ def block_sparse_flash_attention(
         text_start=text_start,
         return_stats=return_stats,
         quant=quant_mode,
+        prefetch=prefetch_next,
     )
 
     tile_spec = pl.BlockSpec((1, block_m, d), lambda i, j: (i, j, 0),
@@ -675,6 +707,20 @@ def block_sparse_flash_attention(
     else:
         out_specs = tile_spec
 
+    # the NEXT row's counts/indices for the epilogue prefetch (clamped at
+    # the last row; the kernel guards j+1 < nq so the clamp is never used)
+    nq_last = nq - 1
+    next_map = lambda i, j: (i, jnp.minimum(j + 1, nq_last), 0, 0)
+    prefetch_specs, prefetch_ops = [], []
+    if prefetch_next:
+        prefetch_specs = [
+            pl.BlockSpec((1, 1, 1, 1), next_map,
+                         memory_space=pltpu.SMEM),            # counts_next
+            pl.BlockSpec((1, 1, 1, nb), next_map,
+                         memory_space=pltpu.SMEM),            # idx_next
+        ]
+        prefetch_ops = [counts_f, idx_f]
+
     out = pl.pallas_call(
         kernel,
         out_shape=out_shape,
@@ -688,6 +734,7 @@ def block_sparse_flash_attention(
                          memory_space=pltpu.SMEM),            # text_len
             pl.BlockSpec((1, 1, 1, nb), lambda i, j: (i, j, 0, 0),
                          memory_space=pltpu.SMEM),            # indices
+            *prefetch_specs,
             *([pl.BlockSpec((1, 1, 1, nb), lambda i, j: (i, j, 0, 0),
                             memory_space=pltpu.SMEM)] * len(scale_ops)),
             pl.BlockSpec((1, block_m, d), lambda i, j: (i, j, 0),
@@ -703,7 +750,7 @@ def block_sparse_flash_attention(
             dimension_semantics=("parallel", "arbitrary"),
         ),
         interpret=interpret,
-    )(counts_f, clean_f, tlen_f, idx_f, *scale_ops, qf, kv)
+    )(counts_f, clean_f, tlen_f, idx_f, *prefetch_ops, *scale_ops, qf, kv)
     if return_stats:
         o, m, l = out
         return (o.reshape(b, h, sq, d),

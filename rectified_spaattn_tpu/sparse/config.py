@@ -86,8 +86,12 @@ class SparseConfig:
     def kernel_chunk_blocks(self) -> int:
         if self.chunk_blocks:
             return self.chunk_blocks
-        # measured: 16 optimal at group<=4; the fp32 score tile caps
-        # larger groups (group*128 x chunk*128 x 4B must stay << VMEM)
+        # measured (RESULTS_r3.md chunk sweep at the Hunyuan point):
+        # 24 best single-row (497 ms vs 508 at 16, 558 at 8, 508 at 32);
+        # grouped rows keep 16 — the fp32 score tile
+        # (group*128 x chunk*128 x 4B) caps VMEM
+        if self.group_rows == 1:
+            return 24
         return 16 if self.group_rows <= 4 else max(2, 64 // self.group_rows)
 
     @property

@@ -83,6 +83,10 @@ def main():
     ap.add_argument("--teacache", action="store_true",
                     help="also time the sparse+TeaCache tier")
     ap.add_argument("--teacache_thresh", type=float, default=0.15)
+    ap.add_argument("--trace_out", type=str, default=None,
+                    help="write the organic TeaCache schedule trace "
+                         "(raw rel-L1 signals + decisions) as JSON, for "
+                         "replay through the reference's decision code")
     ap.add_argument("--dense_ref", type=float, default=None,
                     help="dense s/step from a prior run (for the "
                          "teacache-only process)")
@@ -146,9 +150,18 @@ def main():
             p_remain_rates=args.p_remain, mode="sparse",
             enable_teacache=True, rel_l1_thresh=args.teacache_thresh)
         pipe(text, mask, seed=1, num_steps=1, init_latents=init_latents)
+        from rectified_spaattn_tpu.cache import teacache as tc_mod
+        if args.trace_out:
+            tc_mod.TRACE = []          # enable AFTER the warm-up run
         steps = max(args.steps, 6)
         pipe(text, mask, seed=1, num_steps=steps,
              init_latents=init_latents)
+        if args.trace_out:
+            import json as _json
+            with open(args.trace_out, "w") as f:
+                _json.dump(tc_mod.TRACE, f)
+            tc_mod.TRACE = None
+            log(f"schedule trace -> {args.trace_out}")
         per_step = pipe.denoise_seconds / steps
         st = pipe.teacache_stats
         skipped, computed = st["skipped"], st["computed"]

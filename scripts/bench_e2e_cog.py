@@ -55,6 +55,9 @@ def main():
     ap.add_argument("--p_remain", type=float, default=0.05)
     ap.add_argument("--modes", type=str, default="sparse,flash")
     ap.add_argument("--teacache", action="store_true")
+    ap.add_argument("--trace_out", type=str, default=None,
+                    help="write the organic TeaCache schedule trace as "
+                         "JSON (enabled after warm-up)")
     ap.add_argument("--i2v", action="store_true",
                     help="I2V: image latents channel-concatenated into an "
                          "in_channels-32 model, ofs 2.0 "
@@ -116,8 +119,17 @@ def main():
             p_remain_rates=args.p_remain, mode="sparse",
             sparse_warm_calls=0, enable_teacache=True, teacache_thresh=0.2)
         pipe(text, neg, seed=1, num_steps=1)
+        from rectified_spaattn_tpu.cache import teacache as tc_mod
+        if args.trace_out:
+            tc_mod.TRACE = []          # enable AFTER the warm-up run
         steps = max(args.steps, 6)
         pipe(text, neg, seed=1, num_steps=steps)
+        if args.trace_out:
+            import json as _json
+            with open(args.trace_out, "w") as f:
+                _json.dump(tc_mod.TRACE, f)
+            tc_mod.TRACE = None
+            log(f"schedule trace -> {args.trace_out}")
         per_step = pipe.denoise_seconds / steps
         st = pipe.teacache_stats
         log(f"sparse+teacache: {per_step:.2f}s/step over {steps} steps "

@@ -55,6 +55,9 @@ def main():
     ap.add_argument("--p_remain", type=float, default=0.05)
     ap.add_argument("--modes", type=str, default="sparse,flash")
     ap.add_argument("--teacache", action="store_true")
+    ap.add_argument("--trace_out", type=str, default=None,
+                    help="write the organic TeaCache schedule trace as "
+                         "JSON (enabled after warm-up)")
     args = ap.parse_args()
 
     from rectified_spaattn_tpu.models.flux import FluxConfig, FluxDiT
@@ -104,8 +107,17 @@ def main():
             sparse_layer_gate=(depth + 1, depth + 1),
             enable_teacache=True, rel_l1_thresh=0.8)
         pipe(text, mask, pooled, seed=1, num_steps=1)
+        from rectified_spaattn_tpu.cache import teacache as tc_mod
+        if args.trace_out:
+            tc_mod.TRACE = []          # enable AFTER the warm-up run
         steps = max(args.steps, 6)
         pipe(text, mask, pooled, seed=1, num_steps=steps)
+        if args.trace_out:
+            import json as _json
+            with open(args.trace_out, "w") as f:
+                _json.dump(tc_mod.TRACE, f)
+            tc_mod.TRACE = None
+            log(f"schedule trace -> {args.trace_out}")
         per_step = pipe.denoise_seconds / steps
         st = pipe.teacache_stats
         log(f"sparse+teacache: {per_step:.2f}s/step over {steps} steps "

@@ -62,6 +62,9 @@ def main():
                     help="int8 KV gather (halves the byte-bound kernel's "
                          "HBM traffic); mxu8 feeds the MXU int8 directly "
                          "(no dequant relayout)")
+    ap.add_argument("--chunks", type=str, default="",
+                    help="comma list of kernel chunk_blocks to sweep at "
+                         "G=1 (default: the config default only)")
     ap.add_argument("--shared_field", action="store_true",
                     help="q/k share one smooth field (stronger diagonal "
                          "structure; union_growth ~1.15 at G=2 vs ~1.45 "
@@ -151,12 +154,24 @@ def main():
     for g in groups:
         cfg = SparseConfig(**base_cfg, group_rows=g,
                            kv_quant=args.kv_quant if g == 1 else "none")
-        chunk = 8 if g >= 8 else 16
         fn = jax.jit(lambda q, k, v, cfg=cfg: rectified_sparse_attention(
             q, k, v, cfg, neighbors, visual_len=sv, text_len_rt=tlen))
         t, _ = timed(fn, q, k, v)
         results["groups"][g] = round(t * 1e3, 1)
         print(f"group={g}: full sparse path {t*1e3:.1f} ms", flush=True)
+
+    if args.chunks:
+        results["chunks"] = {}
+        for c in (int(x) for x in args.chunks.split(",")):
+            cfg = SparseConfig(**base_cfg, chunk_blocks=c,
+                               kv_quant=args.kv_quant)
+            fn = jax.jit(
+                lambda q, k, v, cfg=cfg: rectified_sparse_attention(
+                    q, k, v, cfg, neighbors, visual_len=sv,
+                    text_len_rt=tlen))
+            t, _ = timed(fn, q, k, v)
+            results["chunks"][c] = round(t * 1e3, 1)
+            print(f"chunk={c}: full sparse path {t*1e3:.1f} ms", flush=True)
 
     print(json.dumps(results))
 

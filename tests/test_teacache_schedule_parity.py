@@ -176,3 +176,54 @@ def test_schedules_differ_between_streams():
     evens = got[0::2][1:-1]
     odds = got[1::2][1:-1]
     assert sum(odds) > sum(evens)
+
+
+def _replay_trace(path):
+    import json
+    records = json.load(open(path))
+    metas = [r["meta"] for r in records if "meta" in r]
+    calls = [r for r in records if "call" in r]
+    assert metas and calls, path
+    meta = metas[0]
+    streams = meta["cfg_streams"]
+
+    # synthesize per-stream positive scalars whose successive relative-L1
+    # ratios reproduce the recorded raw signals exactly
+    vals = [1.0] * streams
+    tensors = []
+    for r in calls:
+        s = r["stream"]
+        if r["raw"] is not None:
+            vals[s] = vals[s] * (1.0 + r["raw"])
+        tensors.append(np.full((8,), vals[s], np.float32))
+
+    got = [bool(r["compute"]) for r in calls]
+    if streams == 1:
+        # the hunyuan block hard-codes its coefficient table; replay only
+        # applies when the trace used the same table
+        np.testing.assert_allclose(
+            meta["coefficients"], COEFFICIENTS["hunyuan-video"])
+        want = run_reference_hunyuan(tensors, meta["thresh"],
+                                     meta["num_steps"])
+    else:
+        ret = meta["ret_steps"] if meta["ret_steps"] is not None else streams
+        cutoff = (meta["cutoff_steps"] if meta["cutoff_steps"] is not None
+                  else meta["num_steps"] - streams)
+        want = run_reference_wan(tensors, meta["thresh"],
+                                 meta["num_steps"], ret, cutoff,
+                                 meta["coefficients"])
+    assert got == want[:len(got)], path
+
+
+def test_recorded_traces_replay_through_reference_code():
+    """Organic schedule traces captured on the chip (bench_e2e*
+    --trace_out, committed under bench_traces/) must replay through the
+    reference's own decision blocks call-for-call."""
+    import glob
+    import os
+    traces = sorted(glob.glob(os.path.join(
+        os.path.dirname(__file__), "..", "bench_traces", "*.json")))
+    if not traces:
+        pytest.skip("no recorded traces")
+    for t in traces:
+        _replay_trace(t)
