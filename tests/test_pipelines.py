@@ -407,3 +407,73 @@ def test_bf16_params_cast_all_families():
     assert pipe.compute_dtype == jnp.bfloat16
     out = pipe(text, text, seed=0)
     assert np.isfinite(np.asarray(out, np.float32)).all()
+
+
+def test_wan_pipeline_sparse_close_to_dense():
+    """Per-family latent A/B bound (ROADMAP eval item): sparse vs dense
+    mean relative error at the tiny config, mirroring
+    eval_image_diff.py's dense-reference comparison."""
+    cfg = WanConfig.tiny()
+    model = WanDiT(cfg)
+    rng = jax.random.PRNGKey(2)
+    text_c = jax.random.normal(rng, (1, 16, cfg.text_dim))
+    text_u = jnp.zeros_like(text_c)
+    lat = jnp.zeros((1, cfg.in_channels, 2, 4, 4))
+    params = model.init(rng, lat, jnp.array([0.0]), text_c)
+
+    def mk(mode):
+        return WanPipeline(model=model, params=params, height=64, width=64,
+                           frames=5, num_steps=2, sa_drop_rate=0.5,
+                           warm_layers=0, warm_calls=0,
+                           mode=mode, interpret=True)
+    d = np.asarray(mk("vanilla")(text_c, text_u, seed=3))
+    s = np.asarray(mk("sparse")(text_c, text_u, seed=3))
+    rel = np.abs(s - d).mean() / (np.abs(d).mean() + 1e-8)
+    assert rel < 0.25, f"wan sparse deviates {rel:.3f}"
+
+
+def test_cogvideox_pipeline_sparse_close_to_dense():
+    from rectified_spaattn_tpu.models.cogvideox import (CogVideoXConfig,
+                                                        CogVideoXDiT)
+    from rectified_spaattn_tpu.pipelines import CogVideoXPipeline
+    cfg = CogVideoXConfig.tiny()
+    model = CogVideoXDiT(cfg)
+    rng = jax.random.PRNGKey(5)
+    text_c = jax.random.normal(rng, (1, 128, cfg.text_dim))
+    text_u = jnp.zeros_like(text_c)
+    lat = jnp.zeros((1, cfg.in_channels, 2, 8, 8))
+    params = model.init(rng, lat, jnp.array([0.0]), text_c)
+
+    def mk(mode):
+        return CogVideoXPipeline(
+            model=model, params=params, height=64, width=64, frames=9,
+            num_steps=2, sa_drop_rate=0.5, mode=mode, text_len=128,
+            sparse_warm_calls=0, interpret=True)
+    d = np.asarray(mk("vanilla")(text_c, text_u, seed=3))
+    s = np.asarray(mk("sparse")(text_c, text_u, seed=3))
+    rel = np.abs(s - d).mean() / (np.abs(d).mean() + 1e-8)
+    assert rel < 0.25, f"cog sparse deviates {rel:.3f}"
+
+
+def test_flux_pipeline_sparse_close_to_dense():
+    from rectified_spaattn_tpu.models.flux import FluxConfig, FluxDiT
+    from rectified_spaattn_tpu.pipelines import FluxPipeline
+    cfg = FluxConfig.tiny()
+    model = FluxDiT(cfg)
+    rng = jax.random.PRNGKey(4)
+    text = jax.random.normal(rng, (1, 128, cfg.text_dim))
+    mask = jnp.zeros((1, 128), bool).at[:, :7].set(True)
+    pooled = jax.random.normal(rng, (1, cfg.pooled_dim))
+    tokens = jnp.zeros((1, 64, cfg.in_channels))
+    params = model.init(rng, tokens, jnp.array([0.5]), text, pooled,
+                        jnp.array([3.5]), 8, 8)
+
+    def mk(mode):
+        return FluxPipeline(model=model, params=params, height=256,
+                            width=256, num_steps=2, sa_drop_rate=0.5,
+                            mode=mode, text_len=128,
+                            sparse_layer_gate=(99, 99), interpret=True)
+    d = np.asarray(mk("vanilla")(text, mask, pooled, seed=3))
+    s = np.asarray(mk("sparse")(text, mask, pooled, seed=3))
+    rel = np.abs(s - d).mean() / (np.abs(d).mean() + 1e-8)
+    assert rel < 0.25, f"flux sparse deviates {rel:.3f}"
