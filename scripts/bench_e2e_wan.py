@@ -161,6 +161,15 @@ def main():
     if args.i2v:
         image_emb = jax.random.normal(jax.random.fold_in(rng, 2),
                                       (1, 257, cfg.image_dim), jnp.float32)
+        probe = WanPipeline(
+            model=model, params=params, height=args.height,
+            width=args.width, frames=args.frame, num_steps=args.steps,
+            sa_drop_rate=args.sa_drop_rate, mode="sparse",
+            vae_stride=vae_stride)
+        lt_, lh_, lw_ = probe.grid
+        condition = jax.random.normal(
+            jax.random.fold_in(rng, 3), (1, 20, lt_, lh_, lw_),
+            jnp.float32)    # [mask4 | VAE first-frame latents 16]
 
     results = {}
     for mode in [m for m in args.modes.split(",") if m]:
@@ -170,11 +179,6 @@ def main():
             sa_drop_rate=args.sa_drop_rate,
             p_remain_rates=args.p_remain, mode=mode,
             warm_layers=0, warm_calls=0, vae_stride=vae_stride)
-        if args.i2v and condition is None:
-            lt_, lh_, lw_ = pipe.grid
-            condition = jax.random.normal(
-                jax.random.fold_in(rng, 3), (1, 20, lt_, lh_, lw_),
-                jnp.float32)    # [mask4 | VAE first-frame latents 16]
         log(f"{mode}: warm-up (compiles)...")
         pipe(text, neg, image_emb=image_emb, condition=condition,
              seed=1, num_steps=1)

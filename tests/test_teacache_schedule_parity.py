@@ -107,6 +107,51 @@ def run_reference_wan(trace, thresh, num_steps, ret_steps, cutoff_steps,
     return decisions
 
 
+FLUX_PATH = "/root/reference/scripts/main_upflux.py"
+COG_PATH = "/root/reference/scripts/main_cogvideox.py"
+
+
+def run_reference_flux(trace, thresh, num_steps):
+    """main_upflux.py:132-145 — single-stream with the flux coefficient
+    table hard-coded in the block."""
+    block = _slice_source(
+        FLUX_PATH,
+        "if self.cnt == 0 or self.cnt == self.num_steps-1:",
+        "self.previous_modulated_input = modulated_inp")
+    self = types.SimpleNamespace(
+        cnt=0, num_steps=num_steps, rel_l1_thresh=thresh,
+        accumulated_rel_l1_distance=0, previous_modulated_input=None)
+    decisions = []
+    for x in trace:
+        env = {"self": self, "np": np, "torch": torch,
+               "modulated_inp": torch.from_numpy(x)}
+        exec(block, env)
+        decisions.append(bool(env["should_calc"]))
+        self.cnt += 1
+    return decisions
+
+
+def run_reference_cog(trace, thresh, num_steps, coefficients):
+    """main_cogvideox.py:107-118 — single-stream keyed on the time
+    embedding `emb`, coefficients from the driver table."""
+    block = _slice_source(
+        COG_PATH,
+        "if self.cnt == 0 or self.cnt == self.num_steps-1:",
+        "self.previous_modulated_input = emb")
+    self = types.SimpleNamespace(
+        cnt=0, num_steps=num_steps, rel_l1_thresh=thresh,
+        coefficients=coefficients,
+        accumulated_rel_l1_distance=0, previous_modulated_input=None)
+    decisions = []
+    for x in trace:
+        env = {"self": self, "np": np, "torch": torch,
+               "emb": torch.from_numpy(x)}
+        exec(block, env)
+        decisions.append(bool(env["should_calc"]))
+        self.cnt += 1
+    return decisions
+
+
 def run_ours(trace, **kw):
     tc = TeaCache(**kw)
     return [tc.should_compute(jnp.asarray(x)) for x in trace]
@@ -199,12 +244,20 @@ def _replay_trace(path):
 
     got = [bool(r["compute"]) for r in calls]
     if streams == 1:
-        # the hunyuan block hard-codes its coefficient table; replay only
-        # applies when the trace used the same table
-        np.testing.assert_allclose(
-            meta["coefficients"], COEFFICIENTS["hunyuan-video"])
-        want = run_reference_hunyuan(tensors, meta["thresh"],
-                                     meta["num_steps"])
+        # the hunyuan and flux blocks hard-code their coefficient tables;
+        # route by table, falling back to the cog block (which reads
+        # self.coefficients) for any other single-stream family
+        c = np.asarray(meta["coefficients"])
+        if np.allclose(c, COEFFICIENTS["hunyuan-video"]):
+            want = run_reference_hunyuan(tensors, meta["thresh"],
+                                         meta["num_steps"])
+        elif np.allclose(c, COEFFICIENTS["flux-dev"]):
+            want = run_reference_flux(tensors, meta["thresh"],
+                                      meta["num_steps"])
+        else:
+            want = run_reference_cog(tensors, meta["thresh"],
+                                     meta["num_steps"],
+                                     meta["coefficients"])
     else:
         ret = meta["ret_steps"] if meta["ret_steps"] is not None else streams
         cutoff = (meta["cutoff_steps"] if meta["cutoff_steps"] is not None
