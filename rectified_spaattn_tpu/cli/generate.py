@@ -55,6 +55,10 @@ def parse_args(argv=None):
     p.add_argument("--mode", choices=["sparse", "flash", "torch", "vanilla"],
                    default="sparse")
     p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--tp", type=int, default=1,
+                   help="tensor-parallel ways: shard attention heads and "
+                        "params over the first N local devices "
+                        "(hunyuan / wan pipelines; heads %% N == 0)")
     p.add_argument("--controlnet_dir", type=str, default=None,
                    help="FluxControlNetModel snapshot for flux-upscale "
                         "(default: <ckpt_dir>/controlnet if present; "
@@ -111,6 +115,20 @@ def _interpret() -> bool:
     return jax.default_backend() == "cpu"
 
 
+def _tp_mesh(tp: int):
+    """1 x tp x 1 (dp, tp, sp) mesh over the first tp local devices, or
+    None for single-device execution."""
+    if tp <= 1:
+        return None
+    import numpy as np
+    import jax
+    from jax.sharding import Mesh
+    devs = jax.devices()
+    if len(devs) < tp:
+        raise SystemExit(f"--tp {tp} but only {len(devs)} devices")
+    return Mesh(np.array(devs[:tp]).reshape(1, tp, 1), ("dp", "tp", "sp"))
+
+
 def _from_ckpt(args, family):
     """Assemble (cfg, params, encoders, vae_encode, vae_decode) from a
     local diffusers snapshot (reference: one from_pretrained call gives
@@ -159,7 +177,7 @@ def build_hunyuan(args):
             mode="flash" if args.mode == "torch" else args.mode,
             enable_teacache=args.enable_teacache,
             rel_l1_thresh=args.teacache_thresh, interpret=_interpret(),
-            vae_decode=vae_decode)
+            vae_decode=vae_decode, mesh=_tp_mesh(args.tp))
         return pipe, (text, mask, pooled)
     else:
         s = args.scale
@@ -184,7 +202,8 @@ def build_hunyuan(args):
         sa_drop_rate=args.sa_drop_rate, p_remain_rates=args.p_remain_rates,
         mode="flash" if args.mode == "torch" else args.mode,
         enable_teacache=args.enable_teacache,
-        rel_l1_thresh=args.teacache_thresh, interpret=_interpret())
+        rel_l1_thresh=args.teacache_thresh, interpret=_interpret(),
+        mesh=_tp_mesh(args.tp))
     return pipe, (text, mask)
 
 
@@ -251,7 +270,8 @@ def build_wan(args):
             is_i2v=is_i2v, interpret=_interpret(),
             warm_last_layers=2 if args.model in ("wan22-t2v", "wan22-i2v")
             else 0,
-            scheduler="euler" if is_22 else "unipc", vae_decode=vae_decode)
+            scheduler="euler" if is_22 else "unipc", vae_decode=vae_decode,
+            mesh=_tp_mesh(args.tp))
         extra = {}
         if args.image is not None and vae_encode is not None and (
                 is_i2v or args.model == "wan22-ti2v"):
@@ -312,7 +332,8 @@ def build_wan(args):
             is_i2v=is_i2v, interpret=_interpret(),
             warm_last_layers=2 if args.model in ("wan22-t2v", "wan22-i2v")
             else 0,
-            scheduler="euler" if is_22 else "unipc")
+            scheduler="euler" if is_22 else "unipc",
+            mesh=_tp_mesh(args.tp))
 
     extra = {}
     pipe0 = make_pipe()

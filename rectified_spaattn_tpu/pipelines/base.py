@@ -37,8 +37,22 @@ class SparseSite:
     neighbor_mask: jax.Array          # [NB, NB] bool
     visual_len: int                   # true visual tokens (pre-padding)
 
-    def attn_fn(self, mode: str, text_len_rt=None, interpret: bool = False):
+    def attn_fn(self, mode: str, text_len_rt=None, interpret: bool = False,
+                mesh=None):
         site = self
+        if mesh is not None and mode == "sparse":
+            # multi-chip: heads sharded over the mesh's tp axis — the
+            # sparse pipeline is per-head, so the whole path is
+            # collective-free under head sharding (attention/sharded.py)
+            from ..attention.sharded import head_parallel_rectified_attention
+
+            def fn_sharded(q, k, v):
+                return head_parallel_rectified_attention(
+                    mesh, q, k, v, site.cfg, site.neighbor_mask,
+                    visual_len=site.visual_len, text_len_rt=text_len_rt,
+                    interpret=interpret)
+            return fn_sharded
+
         def fn(q, k, v):
             return attention(
                 q, k, v, mode=mode, cfg=site.cfg,

@@ -43,6 +43,11 @@ class HunyuanVideoPipeline:
     flow_shift: float = 7.0
     interpret: bool = False
     vae_decode: Optional[Callable] = None
+    # Multi-chip: a jax.sharding.Mesh with a "tp" axis (and optionally
+    # "dp").  Params are tp-sharded (qkv columns / out-proj rows), the
+    # sparse path runs head-parallel via shard_map, and XLA partitions
+    # the rest — the reference has no multi-device execution at all.
+    mesh: Optional[object] = None
 
     def __post_init__(self):
         cfg = self.model.cfg
@@ -63,6 +68,9 @@ class HunyuanVideoPipeline:
         # (models/layers.py::apply_rope_interleaved).
         from .base import param_compute_dtype
         self.compute_dtype = param_compute_dtype(self.params)
+        if self.mesh is not None:
+            from ..parallel import shard_params
+            self.params = shard_params(self.mesh, self.params)
 
         def embed(params, latents, t, text, mask, guidance, pooled):
             x, ctx, temb, rope = m.apply(
@@ -79,7 +87,8 @@ class HunyuanVideoPipeline:
 
         def blocks(params, x, ctx, temb, rope, tlen, attn_mode: str):
             fn = self.site.attn_fn(attn_mode, text_len_rt=tlen,
-                                   interpret=self.interpret)
+                                   interpret=self.interpret,
+                                   mesh=self.mesh)
             return m.apply(params, x, ctx, temb, rope, fn,
                            method=HunyuanVideoDiT.run_blocks)
 
@@ -112,23 +121,27 @@ class HunyuanVideoPipeline:
                             self.guidance_scale * 1000.0)
         attn_mode = self.mode
 
+        import contextlib
+        mesh_ctx = (self.mesh if self.mesh is not None
+                    else contextlib.nullcontext())
         device_sync()
         t0 = time.perf_counter()
-        for i, t in enumerate(sched.timesteps):
-            ts = jnp.full((latents.shape[0],), float(t))
-            x, ctx, temb, rope, sig = self._embed(
-                self.params, latents, ts, text_emb, text_mask, guidance,
-                pooled)
-            if tea.enabled and not tea.should_compute(sig):
-                x = tea.apply_residual(x)
-            else:
-                x_in = x
-                x, ctx = self._blocks(self.params, x, ctx, temb, rope,
-                                      tlen, attn_mode)
-                if tea.enabled:
-                    tea.record_residual(x_in, x)
-            v_pred = self._head(self.params, x, temb)
-            latents = sched.step(v_pred, latents, i)
+        with mesh_ctx:
+            for i, t in enumerate(sched.timesteps):
+                ts = jnp.full((latents.shape[0],), float(t))
+                x, ctx, temb, rope, sig = self._embed(
+                    self.params, latents, ts, text_emb, text_mask,
+                    guidance, pooled)
+                if tea.enabled and not tea.should_compute(sig):
+                    x = tea.apply_residual(x)
+                else:
+                    x_in = x
+                    x, ctx = self._blocks(self.params, x, ctx, temb, rope,
+                                          tlen, attn_mode)
+                    if tea.enabled:
+                        tea.record_residual(x_in, x)
+                v_pred = self._head(self.params, x, temb)
+                latents = sched.step(v_pred, latents, i)
         device_sync(latents)
         self.denoise_seconds = time.perf_counter() - t0
         self.teacache_stats = tea.stats()

@@ -97,6 +97,10 @@ class WanPipeline:
     is_i2v: bool = False
     interpret: bool = False
     vae_decode: Optional[Callable] = None
+    # Multi-chip: a jax.sharding.Mesh with a "tp" axis — params are
+    # tp-sharded and the sparse path runs head-parallel (shard_map); see
+    # pipelines/hunyuan.py
+    mesh: Optional[object] = None
 
     def __post_init__(self):
         cfg = self.model.cfg
@@ -112,6 +116,9 @@ class WanPipeline:
         m = self.model
         from .base import param_compute_dtype
         self.compute_dtype = param_compute_dtype(self.params)
+        if self.mesh is not None:
+            from ..parallel import shard_params
+            self.params = shard_params(self.mesh, self.params)
 
         bm = self.site.cfg.block_m
         sv_true = self.site.visual_len
@@ -145,7 +152,8 @@ class WanPipeline:
             cross = lambda q, k, v: _cross_attention(q, k, v, self.interpret)
             n = m.cfg.num_blocks
             if sparse:
-                sp = self.site.attn_fn("sparse", interpret=self.interpret)
+                sp = self.site.attn_fn("sparse", interpret=self.interpret,
+                                       mesh=self.mesh)
                 fns = [dense if (i < self.warm_layers
                                  or i >= n - self.warm_last_layers) else sp
                        for i in range(n)]

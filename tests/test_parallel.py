@@ -198,3 +198,55 @@ def test_multihost_eval_launcher_injects_shards(monkeypatch, tmp_path):
     # single-process default
     idx, cnt = multihost.launch_eval(["--prompts", "x.json"])
     assert (idx, cnt) == (0, 1)
+
+
+def test_hunyuan_pipeline_mesh_matches_single_device(mesh):
+    """Pipeline-level multi-chip (round 3): HunyuanVideoPipeline with a
+    dp x tp mesh shards params + runs the sparse path head-parallel; the
+    full denoise must equal the unsharded pipeline."""
+    import sys, os
+    sys.path.insert(0, os.path.dirname(__file__))
+    from test_pipelines import make_hunyuan_pipe
+    from rectified_spaattn_tpu.pipelines import HunyuanVideoPipeline
+    from jax.sharding import Mesh
+
+    # tiny model: batch 1, heads 2 -> a 2-device tp-only mesh subset
+    mesh = Mesh(np.array(jax.devices()[:2]).reshape(1, 2, 1),
+                ("dp", "tp", "sp"))
+    pipe, text, mask = make_hunyuan_pipe("sparse", steps=2)
+    want = np.asarray(pipe(text, mask, seed=5))
+
+    sharded = HunyuanVideoPipeline(
+        model=pipe.model, params=pipe.params, height=pipe.height,
+        width=pipe.width, frames=pipe.frames, num_steps=2,
+        sa_drop_rate=pipe.sa_drop_rate, p_remain_rates=pipe.p_remain_rates,
+        mode="sparse", text_len=pipe.text_len, interpret=True, mesh=mesh)
+    got = np.asarray(sharded(text, mask, seed=5))
+    np.testing.assert_allclose(got, want, rtol=2e-3, atol=2e-3)
+
+
+def test_wan_pipeline_mesh_matches_single_device(mesh):
+    """WanPipeline with a tp mesh (visual layout, warm dense layers mixed
+    with head-parallel sparse layers) equals the unsharded pipeline."""
+    from jax.sharding import Mesh
+    from rectified_spaattn_tpu.models.wan import WanConfig, WanDiT
+    from rectified_spaattn_tpu.pipelines import WanPipeline
+
+    cfg = WanConfig.tiny()
+    model = WanDiT(cfg)
+    rng = jax.random.PRNGKey(9)
+    text_c = jax.random.normal(rng, (1, 16, cfg.text_dim))
+    text_u = jnp.zeros_like(text_c)
+    lat = jnp.zeros((1, cfg.in_channels, 2, 4, 4))
+    params = model.init(rng, lat, jnp.array([0.0]), text_c)
+
+    def mk(mesh_arg):
+        return WanPipeline(model=model, params=params, height=64, width=64,
+                           frames=5, num_steps=2, sa_drop_rate=0.5,
+                           warm_layers=1, warm_calls=0, mode="sparse",
+                           interpret=True, mesh=mesh_arg)
+    want = np.asarray(mk(None)(text_c, text_u, seed=4))
+    tp2 = Mesh(np.array(jax.devices()[:2]).reshape(1, 2, 1),
+               ("dp", "tp", "sp"))
+    got = np.asarray(mk(tp2)(text_c, text_u, seed=4))
+    np.testing.assert_allclose(got, want, rtol=2e-3, atol=2e-3)
