@@ -281,6 +281,13 @@ def build_wan(args):
             else:
                 extra["condition"] = i2v_condition(
                     img, args.frame, vae_encode, lt=pipe.grid[0])
+        if is_i2v and "condition" not in extra:
+            # I2V without --image: neutral zero conditioning (black
+            # frame) so the conditioned in_channels architecture still
+            # runs instead of shape-erroring at the scheduler step.
+            extra["condition"] = jnp.zeros(
+                (1, cfg.in_channels - cfg.out_channels, *pipe.grid),
+                jnp.float32)
         if args.model in ("wan22-t2v", "wan22-i2v"):
             # A14B: transformer_2 lives beside transformer in the snapshot
             import dataclasses as _dc
@@ -353,6 +360,13 @@ def build_wan(args):
             # projection stand-in without a real encoder checkpoint)
             extra["image_emb"] = jax.random.normal(
                 jax.random.PRNGKey(5), (1, 257, cfg.image_dim))
+    if is_i2v and "condition" not in extra:
+        # I2V without --image: neutral zero conditioning (see ckpt branch)
+        extra["condition"] = jnp.zeros(
+            (1, cfg.in_channels - cfg.out_channels, *pipe0.grid),
+            jnp.float32)
+        if cfg.image_cross and "image_emb" not in extra:
+            extra["image_emb"] = jnp.zeros((1, 257, cfg.image_dim))
     if args.model in ("wan22-t2v", "wan22-i2v"):
         pipe = Wan22A14BPipeline(high=pipe0, low=make_pipe())
         extra.pop("image_emb", None)

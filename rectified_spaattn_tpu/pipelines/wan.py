@@ -339,4 +339,7 @@ class Wan22A14BPipeline:
             latents = sched.step(v, latents, i)
         device_sync(latents)
         self.denoise_seconds = time.perf_counter() - t0
+        if tea_h.enabled or tea_l.enabled:
+            self.teacache_stats = {
+                "high": tea_h.stats(), "low": tea_l.stats()}
         return latents

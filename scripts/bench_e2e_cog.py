@@ -87,6 +87,13 @@ def main():
                             (1, 226, cfg.text_dim), jnp.float32)
 
     condition = None
+    if args.i2v:
+        probe = CogVideoXPipeline(
+            model=model, params=params, height=args.height,
+            width=args.width, frames=args.frame, num_steps=args.steps,
+            sa_drop_rate=args.sa_drop_rate, mode="sparse")
+        condition = jax.random.normal(
+            jax.random.fold_in(rng, 3), (1, 16, *probe.grid), jnp.float32)
     results = {}
     for mode in [m for m in args.modes.split(",") if m]:
         pipe = CogVideoXPipeline(
@@ -94,10 +101,6 @@ def main():
             width=args.width, frames=args.frame, num_steps=args.steps,
             sa_drop_rate=args.sa_drop_rate,
             p_remain_rates=args.p_remain, mode=mode, sparse_warm_calls=0)
-        if args.i2v and condition is None:
-            condition = jax.random.normal(
-                jax.random.fold_in(rng, 3), (1, 16, *pipe.grid),
-                jnp.float32)
         log(f"{mode}: warm-up (compiles)...")
         pipe(text, neg, condition=condition, seed=1, num_steps=1)
         log(f"{mode}: timed {args.steps} steps (2 CFG calls each)...")
@@ -118,12 +121,12 @@ def main():
             sa_drop_rate=args.sa_drop_rate,
             p_remain_rates=args.p_remain, mode="sparse",
             sparse_warm_calls=0, enable_teacache=True, teacache_thresh=0.2)
-        pipe(text, neg, seed=1, num_steps=1)
+        pipe(text, neg, condition=condition, seed=1, num_steps=1)
         from rectified_spaattn_tpu.cache import teacache as tc_mod
         if args.trace_out:
             tc_mod.TRACE = []          # enable AFTER the warm-up run
         steps = max(args.steps, 6)
-        pipe(text, neg, seed=1, num_steps=steps)
+        pipe(text, neg, condition=condition, seed=1, num_steps=steps)
         if args.trace_out:
             import json as _json
             with open(args.trace_out, "w") as f:

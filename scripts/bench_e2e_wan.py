@@ -154,6 +154,47 @@ def main():
             kind = "I2V" if args.i2v else "T2V"
             log(f"Wan2.2 {kind}-A14B E2E dense->sparse speedup: "
                 f"{results['flash'] / results['sparse']:.2f}x")
+        if args.teacache:
+            thresh = 0.3 if args.i2v else 0.2
+            mk_t = lambda p_: WanPipeline(
+                model=model, params=p_, height=args.height,
+                width=args.width, frames=args.frame, num_steps=args.steps,
+                sa_drop_rate=args.sa_drop_rate,
+                p_remain_rates=args.p_remain, mode="sparse",
+                warm_layers=0, warm_calls=0, vae_stride=vae_stride,
+                enable_teacache=True, teacache_thresh=thresh)
+            pipe = Wan22A14BPipeline(high=mk_t(params), low=mk_t(params2))
+            cond = None
+            noise_ch = cfg.in_channels
+            if args.i2v:
+                cond = jax.random.normal(
+                    jax.random.fold_in(rng, 4), (1, 20, *pipe.high.grid),
+                    jnp.float32)
+                noise_ch = cfg.in_channels - 20
+            lat = jax.random.normal(
+                jax.random.PRNGKey(1),
+                (1, noise_ch, *pipe.high.grid), jnp.float32)
+            steps = max(args.steps, 8)
+            log("teacache: warm-up (compiles both transformers)...")
+            pipe.denoise(lat, text, neg, condition=cond, num_steps=steps)
+            from rectified_spaattn_tpu.cache import teacache as tc_mod
+            if args.trace_out:
+                tc_mod.TRACE = []
+            pipe.denoise(lat, text, neg, condition=cond, num_steps=steps)
+            per_step = pipe.denoise_seconds / steps
+            if args.trace_out:
+                import json as _json
+                trace = tc_mod.TRACE
+                with open(args.trace_out, "w") as f:
+                    _json.dump(trace, f)
+                tc_mod.TRACE = None
+                calls = [r for r in trace if "call" in r]
+                skipped = sum(not r["compute"] for r in calls)
+                log(f"schedule trace -> {args.trace_out} "
+                    f"(skipped {skipped}/{len(calls)} CFG calls across "
+                    f"both transformers)")
+            log(f"sparse+teacache (A14B dual streams x2): "
+                f"{per_step:.2f}s/step over {steps} steps")
         return
 
     image_emb = None

@@ -229,7 +229,21 @@ def _replay_trace(path):
     metas = [r["meta"] for r in records if "meta" in r]
     calls = [r for r in records if "call" in r]
     assert metas and calls, path
-    meta = metas[0]
+    # Multi-instance traces (Wan2.2 A14B: one TeaCache per transformer,
+    # both constructed before the loop, calls in boundary order): split
+    # the call stream where the per-instance call counter restarts and
+    # pair segments with metas in construction order.
+    segments = []
+    for r in calls:
+        if r["call"] == 0 or not segments:
+            segments.append([])
+        segments[-1].append(r)
+    assert len(segments) == len(metas), (path, len(segments), len(metas))
+    for meta, seg in zip(metas, segments):
+        _replay_segment(meta, seg, path)
+
+
+def _replay_segment(meta, calls, path):
     streams = meta["cfg_streams"]
 
     # synthesize per-stream positive scalars whose successive relative-L1
