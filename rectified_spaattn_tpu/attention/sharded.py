@@ -41,6 +41,12 @@ def head_parallel_rectified_attention(
     """Run rectified sparse attention with heads sharded over ``head_axis``
     (and optionally batch over ``batch_axis``).  Zero collectives inside —
     XLA only partitions the data."""
+    tp = mesh.shape[head_axis]
+    if q.shape[1] % tp:
+        raise ValueError(
+            f"head-parallel sparse attention needs heads % tp == 0, got "
+            f"{q.shape[1]} heads over tp={tp} (pick --tp dividing the "
+            f"model's head count)")
     bspec = batch_axis if batch_axis in mesh.axis_names else None
     qkv_spec = P(bspec, head_axis, None, None)
     nb_spec = P(None, None)

@@ -58,7 +58,7 @@ def parse_args(argv=None):
     p.add_argument("--tp", type=int, default=1,
                    help="tensor-parallel ways: shard attention heads and "
                         "params over the first N local devices "
-                        "(hunyuan / wan pipelines; heads %% N == 0)")
+                        "(all pipeline families; heads %% N == 0)")
     p.add_argument("--controlnet_dir", type=str, default=None,
                    help="FluxControlNetModel snapshot for flux-upscale "
                         "(default: <ckpt_dir>/controlnet if present; "
@@ -398,7 +398,8 @@ def build_cogvideox(args):
             mode="flash" if args.mode == "torch" else args.mode,
             enable_teacache=args.enable_teacache,
             teacache_thresh=args.teacache_thresh,
-            is_i2v=is_i2v, interpret=_interpret(), vae_decode=vae_decode)
+            is_i2v=is_i2v, interpret=_interpret(), vae_decode=vae_decode,
+            mesh=_tp_mesh(args.tp))
         extra = {}
         if is_i2v and args.image is not None and vae_encode is not None:
             img = _load_image(args.image, args.height, args.width)
@@ -428,7 +429,7 @@ def build_cogvideox(args):
         mode="flash" if args.mode == "torch" else args.mode,
         enable_teacache=args.enable_teacache,
         teacache_thresh=args.teacache_thresh,
-        is_i2v=is_i2v, interpret=_interpret())
+        is_i2v=is_i2v, interpret=_interpret(), mesh=_tp_mesh(args.tp))
     extra = {}
     if is_i2v and args.image is not None:
         from ..pipelines.cogvideox import cog_i2v_condition
@@ -466,7 +467,7 @@ def build_flux(args):
                 mode="flash" if args.mode == "torch" else args.mode,
                 enable_teacache=args.enable_teacache,
                 rel_l1_thresh=args.teacache_thresh, interpret=_interpret(),
-                vae_decode=decode)
+                vae_decode=decode, mesh=_tp_mesh(args.tp))
 
         # base stage returns TOKENS (control prep needs them); only the
         # upscaled stage decodes to pixels (with the 2x2 token unpack)
@@ -521,7 +522,8 @@ def build_flux(args):
             p_remain_rates=args.p_remain_rates,
             mode="flash" if args.mode == "torch" else args.mode,
             enable_teacache=args.enable_teacache,
-            rel_l1_thresh=args.teacache_thresh, interpret=_interpret())
+            rel_l1_thresh=args.teacache_thresh, interpret=_interpret(),
+            mesh=_tp_mesh(args.tp))
 
     base = mk(args.height // 4, args.width // 4, args.num_steps)
     up = mk(args.height, args.width, args.num_steps)

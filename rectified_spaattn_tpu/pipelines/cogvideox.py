@@ -57,6 +57,10 @@ class CogVideoXPipeline:
     is_i2v: bool = False
     interpret: bool = False
     vae_decode: Optional[Callable] = None
+    # Multi-chip: a jax.sharding.Mesh with a "tp" axis — params are
+    # tp-sharded and the sparse path runs head-parallel (shard_map); see
+    # pipelines/hunyuan.py
+    mesh: Optional[object] = None
 
     def __post_init__(self):
         cfg = self.model.cfg
@@ -73,6 +77,9 @@ class CogVideoXPipeline:
         m = self.model
         from .base import param_compute_dtype
         self.compute_dtype = param_compute_dtype(self.params)
+        if self.mesh is not None:
+            from ..parallel import shard_params
+            self.params = shard_params(self.mesh, self.params)
 
         def embed(params, latents, t, text, ofs):
             x, ctx, temb, rope = m.apply(params, latents, t, text, self.h2l,
@@ -85,7 +92,8 @@ class CogVideoXPipeline:
                 "vanilla" if self.interpret else "flash", text_len_rt=tlen,
                 interpret=self.interpret)
             fn = (self.site.attn_fn("sparse", text_len_rt=tlen,
-                                    interpret=self.interpret)
+                                    interpret=self.interpret,
+                                    mesh=self.mesh)
                   if sparse else dense)
             return m.apply(params, x, ctx, temb, rope, fn,
                            method=CogVideoXDiT.run_blocks)

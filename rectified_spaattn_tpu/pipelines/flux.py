@@ -60,6 +60,10 @@ class FluxPipeline:
     sparse_layer_gate: tuple = (37, 57)   # dense band [37, 57)
     interpret: bool = False
     vae_decode: Optional[Callable] = None
+    # Multi-chip: a jax.sharding.Mesh with a "tp" axis — params are
+    # tp-sharded and the sparse path runs head-parallel (shard_map); see
+    # pipelines/hunyuan.py
+    mesh: Optional[object] = None
 
     def __post_init__(self):
         # latent grid: 2x2-packed 16ch latents → h/16 x w/16 tokens
@@ -73,6 +77,9 @@ class FluxPipeline:
         n_dual = m.cfg.num_dual_blocks
         from .base import param_compute_dtype
         self.compute_dtype = param_compute_dtype(self.params)
+        if self.mesh is not None:
+            from ..parallel import shard_params
+            self.params = shard_params(self.mesh, self.params)
 
         def embed(params, tokens, t, text, pooled, guidance):
             x, ctx, temb, rope = m.apply(
@@ -90,7 +97,8 @@ class FluxPipeline:
                 interpret=self.interpret)
             if sparse:
                 sp = self.site.attn_fn("sparse", text_len_rt=tlen,
-                                       interpret=self.interpret)
+                                       interpret=self.interpret,
+                                       mesh=self.mesh)
                 lo, hi = self.sparse_layer_gate
                 gate = lambda pid: sp if (pid < lo or pid >= hi) else dense
                 dual_fns = [gate(i) for i in range(n_dual)]

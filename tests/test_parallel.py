@@ -250,3 +250,60 @@ def test_wan_pipeline_mesh_matches_single_device(mesh):
                ("dp", "tp", "sp"))
     got = np.asarray(mk(tp2)(text_c, text_u, seed=4))
     np.testing.assert_allclose(got, want, rtol=2e-3, atol=2e-3)
+
+
+def test_cogvideox_pipeline_mesh_matches_single_device(mesh):
+    """CogVideoXPipeline with a tp mesh (joint layout, CFG dual calls,
+    sparse after warm calls) equals the unsharded pipeline."""
+    from jax.sharding import Mesh
+    from rectified_spaattn_tpu.models.cogvideox import (CogVideoXConfig,
+                                                        CogVideoXDiT)
+    from rectified_spaattn_tpu.pipelines import CogVideoXPipeline
+
+    cfg = CogVideoXConfig.tiny()
+    model = CogVideoXDiT(cfg)
+    rng = jax.random.PRNGKey(11)
+    text_c = jax.random.normal(rng, (1, 128, cfg.text_dim))
+    text_u = jnp.zeros_like(text_c)
+    lat = jnp.zeros((1, cfg.in_channels, 2, 8, 8))
+    params = model.init(rng, lat, jnp.array([0.0]), text_c)
+
+    def mk(mesh_arg):
+        return CogVideoXPipeline(
+            model=model, params=params, height=64, width=64, frames=9,
+            num_steps=2, sa_drop_rate=0.5, mode="sparse", text_len=128,
+            sparse_warm_calls=1, interpret=True, mesh=mesh_arg)
+    want = np.asarray(mk(None)(text_c, text_u, seed=7))
+    tp2 = Mesh(np.array(jax.devices()[:2]).reshape(1, 2, 1),
+               ("dp", "tp", "sp"))
+    got = np.asarray(mk(tp2)(text_c, text_u, seed=7))
+    np.testing.assert_allclose(got, want, rtol=2e-3, atol=2e-3)
+
+
+def test_flux_pipeline_mesh_matches_single_device(mesh):
+    """FluxPipeline with a tp mesh (joint layout, per-layer sparse gate)
+    equals the unsharded pipeline."""
+    from jax.sharding import Mesh
+    from rectified_spaattn_tpu.models.flux import FluxConfig, FluxDiT
+    from rectified_spaattn_tpu.pipelines import FluxPipeline
+
+    cfg = FluxConfig.tiny()
+    model = FluxDiT(cfg)
+    rng = jax.random.PRNGKey(12)
+    text = jax.random.normal(rng, (1, 128, cfg.text_dim))
+    mask = jnp.zeros((1, 128), bool).at[:, :7].set(True)
+    pooled = jax.random.normal(rng, (1, cfg.pooled_dim))
+    tokens = jnp.zeros((1, 64, cfg.in_channels))
+    params = model.init(rng, tokens, jnp.array([0.5]), text, pooled,
+                        jnp.array([3.5]), 8, 8)
+
+    def mk(mesh_arg):
+        return FluxPipeline(
+            model=model, params=params, height=256, width=256, num_steps=2,
+            sa_drop_rate=0.5, mode="sparse", text_len=128, interpret=True,
+            mesh=mesh_arg)
+    want = np.asarray(mk(None)(text, mask, pooled, seed=2))
+    tp2 = Mesh(np.array(jax.devices()[:2]).reshape(1, 2, 1),
+               ("dp", "tp", "sp"))
+    got = np.asarray(mk(tp2)(text, mask, pooled, seed=2))
+    np.testing.assert_allclose(got, want, rtol=2e-3, atol=2e-3)
