@@ -23,11 +23,13 @@ DENSE_MODES = ("flash", "torch", "vanilla")
 
 
 def _windowed_dense_flash(q, k, v, *, visual_len, text_start, tlen,
-                          block: int = 128):
+                          block: int = 128, block_m: Optional[int] = None,
+                          interpret: bool = False):
     """Exact attention with [visual | pad | text | pad] key validity via
     the gather kernel with full index lists — the stock segment-ids flash
     path materialises poorly at video scale on this toolchain."""
-    b, h, s, d = q.shape
+    b, h, s_orig, d = q.shape
+    s = s_orig
     pad = (-s) % block
     if pad:
         z = lambda x: jnp.pad(x, ((0, 0), (0, 0), (0, pad), (0, 0)))
@@ -35,15 +37,24 @@ def _windowed_dense_flash(q, k, v, *, visual_len, text_start, tlen,
         s += pad
     nb = s // block
     # Every row shares the full index list, so the q tile can span several
-    # mask rows — 4x KV reuse makes the dense fallback compute-bound.
-    bm = next(m for m in (512, 256, 128) if s % m == 0)
-    nq = s // bm
+    # mask rows — wide KV reuse makes the dense fallback compute-bound.
+    # The kernel allows Sq != Skv, so q is padded up to the tile width
+    # independently of KV (wasted rows are sliced off); the 115k-token
+    # sweep (scripts/bench_dense.py) measures 1024 > 512 > 256
+    # (134/129/122 TF/s) — wider tiles amortise more KV traffic.  Capped
+    # at the sequence so tiny shapes don't compute mostly padding.
+    bm = block_m or max(m for m in (1024, 512, 256, 128) if m <= s or m == 128)
+    qpad = (-s) % bm
+    if qpad:
+        q = jnp.pad(q, ((0, 0), (0, 0), (0, qpad), (0, 0)))
+    nq = (s + qpad) // bm
     idx = jnp.broadcast_to(jnp.arange(nb, dtype=jnp.int32), (b, h, nq, nb))
     counts = jnp.full((b, h, nq), nb, jnp.int32)
     out = block_sparse_flash_attention(
         q, k, v, idx, counts, tlen, visual_len=visual_len,
-        text_start=text_start, block_m=bm, block_n=block)
-    return out[:, :, :s - pad] if pad else out
+        text_start=text_start, block_m=bm, block_n=block,
+        interpret=interpret)
+    return out[:, :, :s_orig] if (pad or qpad) else out
 
 
 def attention(

@@ -46,6 +46,12 @@ class HunyuanVideoConfig:
     rope_theta: float = 256.0
     num_refiner_blocks: int = 2
     guidance_embeds: bool = True
+    # "token_replace": HunyuanVideo-I2V (720p v2) — the clean first latent
+    # frame is held in the stream and its tokens are modulated at t=0
+    # (diffusers HunyuanVideoTransformer3DModel image_condition_type);
+    # None = T2V.  The reference has no Hunyuan-I2V driver — this mirrors
+    # the diffusers model the reference's processors would patch.
+    image_condition_type: Optional[str] = None
 
     @classmethod
     def tiny(cls):
@@ -182,11 +188,7 @@ class HunyuanVideoDiT(nn.Module):
             pooled = (jnp.zeros((b, c.pooled_dim), x.dtype)
                       if text_mask is None
                       else self.pooled_proj_input(text_emb, text_mask))
-        temb = self.time_mlp(self.time_in(timestep_embedding(timestep, 256)))
-        temb = temb + self.pooled_mlp(self.pooled_in(pooled))
-        if c.guidance_embeds and guidance is not None:
-            temb = temb + self.guide_mlp(self.guide_in(
-                timestep_embedding(guidance, 256)))
+        temb = self._temb(timestep, pooled, guidance)
 
         # Jenga permutation into curve order (reference:
         # scripts/main_hunyuan.py:87-89), applied to tokens AND rope tables.
@@ -194,6 +196,26 @@ class HunyuanVideoDiT(nn.Module):
         if hilbert_to_linear is not None:
             x = jnp.take(x, hilbert_to_linear, axis=1)
         return x, ctx, temb, rope
+
+    def _temb(self, timestep, pooled, guidance):
+        c = self.cfg
+        temb = self.time_mlp(self.time_in(timestep_embedding(timestep, 256)))
+        temb = temb + self.pooled_mlp(self.pooled_in(pooled))
+        if c.guidance_embeds and guidance is not None:
+            temb = temb + self.guide_mlp(self.guide_in(
+                timestep_embedding(guidance, 256)))
+        return temb
+
+    def token_replace_temb(self, text_emb, text_mask, guidance, pooled=None):
+        """The t=0 conditioning vector for the held first-frame tokens
+        (diffusers: token_replace_emb = time_text_embed(zeros_like(t),...));
+        constant across the denoise loop."""
+        b = text_emb.shape[0]
+        if pooled is None:
+            pooled = (jnp.zeros((b, self.cfg.pooled_dim), text_emb.dtype)
+                      if text_mask is None
+                      else self.pooled_proj_input(text_emb, text_mask))
+        return self._temb(jnp.zeros((b,), jnp.float32), pooled, guidance)
 
     def pooled_proj_input(self, text_emb, text_mask):
         # pooled projection placeholder: mean over valid text tokens mapped
@@ -211,9 +233,13 @@ class HunyuanVideoDiT(nn.Module):
             return x + temb[:, None]
         return self.dual_blocks[0].norm1(x, temb)[0]
 
-    def run_blocks(self, x, ctx, temb, rope, attn_fn: AttnFn):
+    def run_blocks(self, x, ctx, temb, rope, attn_fn: AttnFn,
+                   temb_alt=None, alt_mask=None):
         """Stage 2 (the TeaCache-skippable hot loop,
         reference: scripts/main_hunyuan.py:134-157).
+
+        ``temb_alt``/``alt_mask`` (token_replace I2V): visual tokens under
+        the CURVE-ORDER mask are modulated by the t=0 conditioning.
 
         The barrier between blocks pins each block's big elementwise
         temporaries (fp32 RoPE rotation at video scale is ~1.4 GB per
@@ -222,18 +248,21 @@ class HunyuanVideoDiT(nn.Module):
         OOMs on temps that could never coexist in program order."""
         for blk in self.dual_blocks:
             x, ctx = jax.lax.optimization_barrier(
-                blk(x, ctx, temb, rope, attn_fn))
+                blk(x, ctx, temb, rope, attn_fn, temb_alt, alt_mask))
         for blk in self.single_blocks:
             x, ctx = jax.lax.optimization_barrier(
-                blk(x, ctx, temb, rope, attn_fn))
+                blk(x, ctx, temb, rope, attn_fn, temb_alt, alt_mask))
         return x, ctx
 
-    def head(self, x, temb, linear_to_hilbert, t, hh, ww):
+    def head(self, x, temb, linear_to_hilbert, t, hh, ww,
+             temb_alt=None, alt_mask_linear=None):
         """Stage 3: inverse permutation + output projection
-        (reference: scripts/main_hunyuan.py:182-193)."""
+        (reference: scripts/main_hunyuan.py:182-193).  ``alt_mask_linear``
+        is the token_replace mask in LINEAR order (x is un-permuted before
+        the final norm)."""
         if linear_to_hilbert is not None:
             x = jnp.take(x, linear_to_hilbert, axis=1)
-        x = self.norm_out(x, temb)
+        x = self.norm_out(x, temb, temb_alt, alt_mask_linear)
         x = self.proj_out(x)
         return self._unpatchify(x, t, hh, ww)
 

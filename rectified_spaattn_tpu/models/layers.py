@@ -57,25 +57,47 @@ class RMSNorm(nn.Module):
         return x.astype(dtype)
 
 
+def _select_mods(mods, mods_alt, alt_mask):
+    """Per-token two-way modulation select (HunyuanVideo I2V
+    ``token_replace``: first-frame tokens are conditioned at t=0, the rest
+    at the current step).  ``alt_mask`` [S] bool, True -> alt modulation.
+    The where of two broadcasts fuses into the consumer — no [B,S,6C]
+    tensor is ever materialised (the diffusers implementation slices a
+    contiguous first-frame prefix; ours selects, because Jenga curve order
+    scatters the first frame across the stream)."""
+    if mods_alt is None:
+        return mods
+    m = alt_mask[None, :, None]
+    return tuple(jnp.where(m, a, v) for v, a in zip(mods, mods_alt))
+
+
 class AdaLayerNormZero(nn.Module):
     """LayerNorm whose scale/shift/gates come from the conditioning vector
     (the DiT adaLN-Zero pattern).  Emits (normed_x, gate_msa, shift_mlp,
-    scale_mlp, gate_mlp)."""
+    scale_mlp, gate_mlp).
+
+    ``emb_alt``/``alt_mask``: optional second conditioning vector applied
+    to the masked tokens through the SAME projection (token_replace)."""
     dim: int
 
     @nn.compact
-    def __call__(self, x, emb):
-        emb = nn.Dense(6 * self.dim, name="linear")(nn.silu(emb))
-        shift_msa, scale_msa, gate_msa, shift_mlp, scale_mlp, gate_mlp = (
-            jnp.split(emb, 6, axis=-1))
+    def __call__(self, x, emb, emb_alt=None, alt_mask=None):
+        lin = nn.Dense(6 * self.dim, name="linear")
+
+        def mods_of(e):
+            parts = jnp.split(lin(nn.silu(e)), 6, axis=-1)
+            # emb may be [B, C] (broadcast) or [B, S, C] (per-token
+            # timesteps, Wan2.2 TI2V — scripts/main_wan22ti2v.py:81-96)
+            return tuple(v[:, None] if v.ndim == 2 else v for v in parts)
+
+        mods = _select_mods(mods_of(emb),
+                            mods_of(emb_alt) if emb_alt is not None else None,
+                            alt_mask)
+        shift_msa, scale_msa, gate_msa, shift_mlp, scale_mlp, gate_mlp = mods
         normed = nn.LayerNorm(use_bias=False, use_scale=False,
                               epsilon=1e-6)(x)
-        # emb may be [B, C] (broadcast) or [B, S, C] (per-token timesteps,
-        # Wan2.2 TI2V — reference: scripts/main_wan22ti2v.py:81-96)
-        def mod(v):
-            return v[:, None] if v.ndim == 2 else v
-        x = normed * (1 + mod(scale_msa)) + mod(shift_msa)
-        return x, mod(gate_msa), mod(shift_mlp), mod(scale_mlp), mod(gate_mlp)
+        x = normed * (1 + scale_msa) + shift_msa
+        return x, gate_msa, shift_mlp, scale_mlp, gate_mlp
 
 
 class AdaLayerNormZeroSingle(nn.Module):
@@ -84,14 +106,19 @@ class AdaLayerNormZeroSingle(nn.Module):
     dim: int
 
     @nn.compact
-    def __call__(self, x, emb):
-        emb = nn.Dense(3 * self.dim, name="linear")(nn.silu(emb))
-        shift, scale, gate = jnp.split(emb, 3, axis=-1)
-        def mod(v):
-            return v[:, None] if v.ndim == 2 else v
+    def __call__(self, x, emb, emb_alt=None, alt_mask=None):
+        lin = nn.Dense(3 * self.dim, name="linear")
+
+        def mods_of(e):
+            parts = jnp.split(lin(nn.silu(e)), 3, axis=-1)
+            return tuple(v[:, None] if v.ndim == 2 else v for v in parts)
+
+        shift, scale, gate = _select_mods(
+            mods_of(emb),
+            mods_of(emb_alt) if emb_alt is not None else None, alt_mask)
         normed = nn.LayerNorm(use_bias=False, use_scale=False,
                               epsilon=1e-6)(x)
-        return normed * (1 + mod(scale)) + mod(shift), mod(gate)
+        return normed * (1 + scale) + shift, gate
 
 
 class AdaLayerNormContinuous(nn.Module):
@@ -99,13 +126,18 @@ class AdaLayerNormContinuous(nn.Module):
     dim: int
 
     @nn.compact
-    def __call__(self, x, emb):
-        emb = nn.Dense(2 * self.dim, name="linear")(nn.silu(emb))
-        shift, scale = jnp.split(emb, 2, axis=-1)
-        def mod(v):
-            return v[:, None] if v.ndim == 2 else v
+    def __call__(self, x, emb, emb_alt=None, alt_mask=None):
+        lin = nn.Dense(2 * self.dim, name="linear")
+
+        def mods_of(e):
+            parts = jnp.split(lin(nn.silu(e)), 2, axis=-1)
+            return tuple(v[:, None] if v.ndim == 2 else v for v in parts)
+
+        shift, scale = _select_mods(
+            mods_of(emb),
+            mods_of(emb_alt) if emb_alt is not None else None, alt_mask)
         x = nn.LayerNorm(use_bias=False, use_scale=False, epsilon=1e-6)(x)
-        return x * (1 + mod(scale)) + mod(shift)
+        return x * (1 + scale) + shift
 
 
 class MLP(nn.Module):
@@ -240,8 +272,14 @@ class DualStreamBlock(nn.Module):
         self.ff = MLP(self.dim, self.mlp_mult, name="ff")
         self.ff_context = MLP(self.dim, self.mlp_mult, name="ff_context")
 
-    def __call__(self, x, ctx, temb, rope, attn_fn: AttnFn):
-        xn, xg_msa, x_shift, x_scale, xg_mlp = self.norm1(x, temb)
+    def __call__(self, x, ctx, temb, rope, attn_fn: AttnFn,
+                 temb_alt=None, alt_mask=None):
+        """``temb_alt``/``alt_mask``: HunyuanVideo I2V token_replace —
+        visual tokens under the mask are modulated by ``temb_alt`` (the
+        t=0 conditioning of the clean first frame); the text stream always
+        uses ``temb``."""
+        xn, xg_msa, x_shift, x_scale, xg_mlp = self.norm1(
+            x, temb, temb_alt, alt_mask)
         cn, cg_msa, c_shift, c_scale, cg_mlp = self.norm1_context(ctx, temb)
         attn_x, attn_c = self.attn(xn, cn, rope, attn_fn)
         x = x + xg_msa * attn_x
@@ -261,13 +299,17 @@ class SingleStreamBlock(nn.Module):
     mlp_mult: float = 4.0
 
     @nn.compact
-    def __call__(self, x, ctx, temb, rope, attn_fn: AttnFn):
+    def __call__(self, x, ctx, temb, rope, attn_fn: AttnFn,
+                 temb_alt=None, alt_mask=None):
         b, sv, _ = x.shape
         st = ctx.shape[1]
         hd = self.dim // self.heads
         fused = jnp.concatenate([x, ctx], axis=1)
+        if alt_mask is not None and alt_mask.shape[0] == sv:
+            # token_replace: text tail always uses the step conditioning
+            alt_mask = jnp.pad(alt_mask, (0, st))
         normed, gate = AdaLayerNormZeroSingle(self.dim, name="norm")(
-            fused, temb)
+            fused, temb, temb_alt, alt_mask)
 
         qkv = nn.Dense(3 * self.dim, name="to_qkv")(normed)
         q, k, v = jnp.split(qkv, 3, axis=-1)

@@ -63,6 +63,16 @@ class HunyuanVideoPipeline:
         self.timer = StageTimer()
         m = self.model
 
+        # token_replace I2V: the first LATENT frame's tokens (scattered by
+        # the curve) are modulated at t=0 while holding the clean image
+        # latent in the stream (models/hunyuan.py image_condition_type)
+        self.token_replace = cfg.image_condition_type == "token_replace"
+        if self.token_replace:
+            ff_tokens = self.lh * self.lw        # patch_size_t == 1
+            h2l_np = np.asarray(self.h2l)
+            self._ff_mask_curve = jnp.asarray(h2l_np < ff_tokens)
+            self._ff_mask_linear = jnp.arange(h2l_np.shape[0]) < ff_tokens
+
         # Activations run in the PARAM dtype (see base.param_compute_dtype);
         # RoPE tables stay fp32, the rotation upcasts locally
         # (models/layers.py::apply_rope_interleaved).
@@ -85,24 +95,33 @@ class HunyuanVideoPipeline:
             return (x.astype(cd), ctx.astype(cd), temb.astype(cd), rope,
                     sig.astype(cd))
 
-        def blocks(params, x, ctx, temb, rope, tlen, attn_mode: str):
+        def blocks(params, x, ctx, temb, rope, tlen, attn_mode: str,
+                   temb_tr=None):
             fn = self.site.attn_fn(attn_mode, text_len_rt=tlen,
                                    interpret=self.interpret,
                                    mesh=self.mesh)
-            return m.apply(params, x, ctx, temb, rope, fn,
+            mask = self._ff_mask_curve if temb_tr is not None else None
+            return m.apply(params, x, ctx, temb, rope, fn, temb_tr, mask,
                            method=HunyuanVideoDiT.run_blocks)
 
-        def head(params, x, temb):
+        def head(params, x, temb, temb_tr=None):
             t, hh, ww = self.grid
-            return m.apply(params, x, temb, self.l2h, t, hh, ww,
-                           method=HunyuanVideoDiT.head)
+            mask = self._ff_mask_linear if temb_tr is not None else None
+            return m.apply(params, x, temb, self.l2h, t, hh, ww, temb_tr,
+                           mask, method=HunyuanVideoDiT.head)
+
+        def temb_tr_fn(params, text, mask, guidance, pooled):
+            return m.apply(params, text, mask, guidance, pooled,
+                           method=HunyuanVideoDiT.token_replace_temb)
 
         self._embed = jax.jit(embed)
         self._blocks = jax.jit(blocks, static_argnames=("attn_mode",))
         self._head = jax.jit(head)
+        self._temb_tr = jax.jit(temb_tr_fn)
 
     def denoise(self, latents, text_emb, text_mask, rng=None,
-                pooled=None, num_steps: Optional[int] = None):
+                pooled=None, num_steps: Optional[int] = None,
+                first_frame=None):
         """Run the scheduler loop; returns final latents.
 
         latents: [B, C, T', H', W'] initial noise in LATENT grid units.
@@ -111,6 +130,8 @@ class HunyuanVideoPipeline:
         reference pipeline supplies this to the conditioning sum
         (HunyuanVideoPipeline pooled_prompt_embeds); None falls back to a
         learned mean-LLaMA projection for checkpoint-less runs.
+        first_frame: [B, C, 1, H', W'] clean image latent (token_replace
+        I2V): held in the stream every step, its tokens modulated at t=0.
         """
         steps = num_steps or self.num_steps
         sched = FlowMatchEulerScheduler(steps, shift=self.flow_shift)
@@ -120,6 +141,12 @@ class HunyuanVideoPipeline:
         guidance = jnp.full((latents.shape[0],),
                             self.guidance_scale * 1000.0)
         attn_mode = self.mode
+        tr = self.token_replace and first_frame is not None
+        temb_tr = None
+        if tr:
+            temb_tr = self._temb_tr(self.params, text_emb, text_mask,
+                                    guidance, pooled)
+            temb_tr = temb_tr.astype(self.compute_dtype)
 
         import contextlib
         mesh_ctx = (self.mesh if self.mesh is not None
@@ -128,6 +155,8 @@ class HunyuanVideoPipeline:
         t0 = time.perf_counter()
         with mesh_ctx:
             for i, t in enumerate(sched.timesteps):
+                if tr:
+                    latents = latents.at[:, :, :1].set(first_frame)
                 ts = jnp.full((latents.shape[0],), float(t))
                 x, ctx, temb, rope, sig = self._embed(
                     self.params, latents, ts, text_emb, text_mask,
@@ -137,18 +166,21 @@ class HunyuanVideoPipeline:
                 else:
                     x_in = x
                     x, ctx = self._blocks(self.params, x, ctx, temb, rope,
-                                          tlen, attn_mode)
+                                          tlen, attn_mode, temb_tr)
                     if tea.enabled:
                         tea.record_residual(x_in, x)
-                v_pred = self._head(self.params, x, temb)
+                v_pred = self._head(self.params, x, temb, temb_tr)
                 latents = sched.step(v_pred, latents, i)
+            if tr:
+                latents = latents.at[:, :, :1].set(first_frame)
         device_sync(latents)
         self.denoise_seconds = time.perf_counter() - t0
         self.teacache_stats = tea.stats()
         return latents
 
     def __call__(self, text_emb, text_mask, pooled=None, seed: int = 42,
-                 num_steps: Optional[int] = None, init_latents=None):
+                 num_steps: Optional[int] = None, init_latents=None,
+                 first_frame=None):
         cfg = self.model.cfg
         rng = jax.random.PRNGKey(seed)
         b = text_emb.shape[0]
@@ -159,7 +191,7 @@ class HunyuanVideoPipeline:
                 rng, (b, cfg.in_channels, self.grid[0], self.grid[1],
                       self.grid[2]), jnp.float32)
         latents = self.denoise(latents, text_emb, text_mask, pooled=pooled,
-                               num_steps=num_steps)
+                               num_steps=num_steps, first_frame=first_frame)
         if self.vae_decode is not None:
             return self.vae_decode(latents)
         return latents

@@ -1,5 +1,10 @@
 """Compare dense attention baselines at Hunyuan scale: stock pallas flash
-vs our gather kernel with full lists and wide q-tiles."""
+vs our gather kernel with full lists and wide q-tiles.
+
+Round-3 sweep: the kernel supports Sq != Skv, so q can be padded to ANY
+tile width regardless of sequence divisibility — bm 256 (the old forced
+choice at 115456 tokens), 512, and 1024 are measured head-to-head.
+"""
 
 import time
 import sys
@@ -17,6 +22,7 @@ def log(m):
 
 b, h, d = 1, 24, 128
 s = 115456
+FLOPS = 4 * b * h * s * s * d        # fwd attention: 2 matmuls
 rng = jax.random.PRNGKey(0)
 q = jax.random.normal(rng, (b, h, s, d), jnp.bfloat16)
 k = jax.random.normal(rng, (b, h, s, d), jnp.bfloat16)
@@ -38,10 +44,17 @@ def timed(f, n=3):
 
 stock = jax.jit(lambda q, k, v: dense_attention(q, k, v, mode="flash"))
 t1 = timed(stock)
-log(f"stock flash:            {t1*1e3:.0f} ms ({163e12/t1/1e12:.0f} TF/s)")
+log(f"stock flash:             {t1*1e3:.0f} ms "
+    f"({FLOPS/t1/1e12:.0f} TF/s)")
 
 tlen = jnp.zeros((b,), jnp.int32)
-windowed = jax.jit(lambda q, k, v: _windowed_dense_flash(
-    q, k, v, visual_len=s, text_start=None, tlen=tlen))
-t2 = timed(windowed)
-log(f"windowed gather (bm256): {t2*1e3:.0f} ms ({163e12/t2/1e12:.0f} TF/s)")
+for bm in (256, 512, 1024):
+    fn = jax.jit(lambda q, k, v, bm=bm: _windowed_dense_flash(
+        q, k, v, visual_len=s, text_start=None, tlen=tlen, block_m=bm))
+    try:
+        t = timed(fn)
+    except Exception as e:  # noqa: BLE001 — VMEM overflow at wide tiles
+        log(f"windowed gather bm{bm}:  FAILED ({type(e).__name__})")
+        continue
+    log(f"windowed gather bm{bm:<4}: {t*1e3:.0f} ms "
+        f"({FLOPS/t/1e12:.0f} TF/s)")

@@ -316,3 +316,34 @@ def test_int8_kv_quant_close_to_bf16(mode):
     lim_max, lim_mean = (0.06, 0.01) if mode == "int8" else (0.09, 0.015)
     assert err.max() < lim_max and err.mean() < lim_mean, (
         err.max(), err.mean())
+
+
+@pytest.mark.parametrize("bm", [128, 256, 512])
+def test_windowed_dense_padded_q_tiles(bm):
+    """The dense fallback pads the QUERY axis independently of KV so any
+    tile width is usable regardless of sequence divisibility (the kernel
+    supports Sq != Skv); every width must equal the vanilla oracle and
+    return the caller's sequence length."""
+    import jax
+    from rectified_spaattn_tpu.attention.modes import _windowed_dense_flash
+    from rectified_spaattn_tpu.attention.rectified import kv_validity
+    from rectified_spaattn_tpu.kernels import dense_attention
+
+    b, h, d = 1, 2, 32
+    sv, text_slot, tl = 300, 64, 40     # 300 visual -> s=364: no bm divides
+    s = sv + text_slot
+    rng = jax.random.PRNGKey(3)
+    q, k, v = (jax.random.normal(jax.random.fold_in(rng, i), (b, h, s, d))
+               for i in range(3))
+    tlen = jnp.array([tl], jnp.int32)
+    valid = kv_validity(b, s, sv, sv, tlen, text_slot)
+    want = np.asarray(dense_attention(q, k, v, valid, mode="vanilla"))
+
+    got = _windowed_dense_flash(
+        q.astype(jnp.bfloat16), k.astype(jnp.bfloat16),
+        v.astype(jnp.bfloat16), visual_len=sv, text_start=sv, tlen=tlen,
+        block_m=bm, interpret=True)
+    assert got.shape == (b, h, s, d)
+    np.testing.assert_allclose(
+        np.asarray(got[:, :, :sv + tl], np.float32),
+        want[:, :, :sv + tl], atol=2e-2, rtol=2e-2)

@@ -477,3 +477,79 @@ def test_flux_pipeline_sparse_close_to_dense():
     s = np.asarray(mk("sparse")(text, mask, pooled, seed=3))
     rel = np.abs(s - d).mean() / (np.abs(d).mean() + 1e-8)
     assert rel < 0.25, f"flux sparse deviates {rel:.3f}"
+
+
+def make_hunyuan_i2v_pipe(mode="vanilla", steps=3):
+    import dataclasses
+    cfg = dataclasses.replace(HunyuanVideoConfig.tiny(),
+                              image_condition_type="token_replace")
+    model = HunyuanVideoDiT(cfg)
+    height, width, frames = 64, 64, 8
+    rng = jax.random.PRNGKey(0)
+    text = jax.random.normal(rng, (1, 128, cfg.text_dim))
+    mask = jnp.zeros((1, 128), bool).at[:, :9].set(True)
+    lat = jnp.zeros((1, cfg.in_channels, frames // 4 * cfg.patch_size_t,
+                     height // 16 * cfg.patch_size,
+                     width // 16 * cfg.patch_size))
+    params = model.init(rng, lat, jnp.array([0.0]), text, mask,
+                        jnp.array([6000.0]), None, None)
+    pipe = HunyuanVideoPipeline(
+        model=model, params=params, height=height, width=width,
+        frames=frames, num_steps=steps, sa_drop_rate=0.5,
+        p_remain_rates=0.5, mode=mode, text_len=128, interpret=True)
+    return pipe, text, mask, lat.shape
+
+
+def test_hunyuan_token_replace_holds_first_frame():
+    """token_replace I2V (diffusers HunyuanVideo-I2V 720p): the clean
+    first latent frame is held in the stream every step and returned
+    unchanged; later frames are actually denoised."""
+    pipe, text, mask, lat_shape = make_hunyuan_i2v_pipe()
+    b, c, t, hh, ww = lat_shape
+    first = jax.random.normal(jax.random.PRNGKey(8), (b, c, 1, hh, ww))
+    out = pipe(text, mask, seed=1, first_frame=first)
+    np.testing.assert_allclose(np.asarray(out[:, :, :1]),
+                               np.asarray(first), rtol=0, atol=0)
+    assert np.isfinite(np.asarray(out)).all()
+    # the conditioning changes the denoise of the later frames too
+    out2 = pipe(text, mask, seed=1, first_frame=2.0 * first)
+    assert np.abs(np.asarray(out2[:, :, 1:]) -
+                  np.asarray(out[:, :, 1:])).max() > 1e-6
+
+
+def test_hunyuan_token_replace_select_is_noop_when_embs_equal():
+    """Wiring check: when the alt conditioning vector EQUALS the step
+    conditioning, the per-token modulation select must be exactly the
+    plain path (run_blocks and head bit-identical)."""
+    pipe, text, mask, lat_shape = make_hunyuan_i2v_pipe()
+    ts = jnp.array([500.0])
+    guidance = jnp.array([6000.0])
+    lat = jax.random.normal(jax.random.PRNGKey(2), lat_shape)
+    m = pipe.model
+    x, ctx, temb, rope = m.apply(
+        pipe.params, lat, ts, text, mask, guidance, pipe.h2l,
+        method=HunyuanVideoDiT.embed)
+    plain = m.apply(pipe.params, x, ctx, temb, rope,
+                    pipe.site.attn_fn("vanilla", interpret=True),
+                    method=HunyuanVideoDiT.run_blocks)
+    sel = m.apply(pipe.params, x, ctx, temb, rope,
+                  pipe.site.attn_fn("vanilla", interpret=True),
+                  temb, pipe._ff_mask_curve,
+                  method=HunyuanVideoDiT.run_blocks)
+    np.testing.assert_array_equal(np.asarray(plain[0]), np.asarray(sel[0]))
+    t, hh, ww = pipe.grid
+    h_plain = m.apply(pipe.params, plain[0], temb, pipe.l2h, t, hh, ww,
+                      method=HunyuanVideoDiT.head)
+    h_sel = m.apply(pipe.params, plain[0], temb, pipe.l2h, t, hh, ww,
+                    temb, pipe._ff_mask_linear,
+                    method=HunyuanVideoDiT.head)
+    np.testing.assert_array_equal(np.asarray(h_plain), np.asarray(h_sel))
+    # and with a DIFFERENT alt conditioning only the masked tokens move
+    temb0 = m.apply(pipe.params, text, mask, guidance,
+                    method=HunyuanVideoDiT.token_replace_temb)
+    h_tr = m.apply(pipe.params, plain[0], temb, pipe.l2h, t, hh, ww,
+                   temb0, pipe._ff_mask_linear,
+                   method=HunyuanVideoDiT.head)
+    diff = np.abs(np.asarray(h_tr) - np.asarray(h_plain))
+    assert diff[:, :, :1].max() > 1e-6          # first frame moved
+    np.testing.assert_array_equal(diff[:, :, 1:], 0)   # others did not
