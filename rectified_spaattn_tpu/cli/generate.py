@@ -23,13 +23,17 @@ from datetime import datetime
 import numpy as np
 
 MODEL_CHOICES = (
-    "hunyuan", "wan21-t2v", "wan21-i2v", "wan22-ti2v", "wan22-t2v",
-    "wan22-i2v", "cogvideox-t2v", "cogvideox-i2v", "flux-upscale",
+    "hunyuan", "hunyuan-i2v", "wan21-t2v", "wan21-i2v", "wan22-ti2v",
+    "wan22-t2v", "wan22-i2v", "cogvideox-t2v", "cogvideox-i2v",
+    "flux-upscale",
 )
 
 DEFAULTS = {
-    # (sa_drop_rate, teacache_thresh) per reference Inference.md
-    "hunyuan": (0.8, 0.15), "wan21-t2v": (0.75, 0.2),
+    # (sa_drop_rate, teacache_thresh) per reference Inference.md;
+    # hunyuan-i2v (token_replace, no reference driver) inherits the
+    # hunyuan T2V operating point
+    "hunyuan": (0.8, 0.15), "hunyuan-i2v": (0.8, 0.15),
+    "wan21-t2v": (0.75, 0.2),
     "wan21-i2v": (0.75, 0.3), "wan22-ti2v": (0.75, 0.1),
     "wan22-t2v": (0.85, 0.2), "wan22-i2v": (0.85, 0.3),
     "cogvideox-t2v": (0.85, 0.2), "cogvideox-i2v": (0.75, 0.2),
@@ -158,11 +162,21 @@ def _encode_prompt(encoders, prompt, dim, max_len, negative=""):
 
 
 def build_hunyuan(args):
+    """Returns (pipe, inputs, extra) — extra carries the token_replace
+    first-frame latent for hunyuan-i2v (empty for T2V)."""
+    import dataclasses as _dc
     import jax.numpy as jnp
     from ..models.hunyuan import HunyuanVideoConfig, HunyuanVideoDiT
     from ..pipelines import HunyuanVideoPipeline
+    from ..pipelines.hunyuan import i2v_first_frame
+    is_i2v = getattr(args, "model", "hunyuan") == "hunyuan-i2v"
     if args.ckpt_dir:
-        cfg, params, encoders, _, vae_decode = _from_ckpt(args, "hunyuan")
+        cfg, params, encoders, vae_encode, vae_decode = _from_ckpt(
+            args, "hunyuan")
+        if is_i2v and cfg.image_condition_type is None:
+            # T2V-shaped snapshot driven as I2V: force the token_replace
+            # path (the 720p I2V snapshot carries the flag itself)
+            cfg = _dc.replace(cfg, image_condition_type="token_replace")
         model = HunyuanVideoDiT(cfg)
         (text, mask), _ = _encode_prompt(encoders, args.prompt,
                                          cfg.text_dim, 256)
@@ -178,14 +192,26 @@ def build_hunyuan(args):
             enable_teacache=args.enable_teacache,
             rel_l1_thresh=args.teacache_thresh, interpret=_interpret(),
             vae_decode=vae_decode, mesh=_tp_mesh(args.tp))
-        return pipe, (text, mask, pooled)
+        extra = {}
+        if is_i2v:
+            if args.image is not None and vae_encode is not None:
+                img = _load_image(args.image, args.height, args.width)
+                extra["first_frame"] = i2v_first_frame(img, vae_encode)
+            else:
+                # I2V without --image: neutral zero first frame so the
+                # token_replace path still runs (matches the Wan I2V
+                # zero-conditioning convention above)
+                extra["first_frame"] = jnp.zeros(
+                    (1, cfg.in_channels, 1, *pipe.grid[1:]), jnp.float32)
+        return pipe, (text, mask, pooled), extra
     else:
         s = args.scale
         cfg = HunyuanVideoConfig(
             hidden_dim=max(128, int(3072 * s) // 128 * 128),
             heads=max(1, int(24 * s)), num_dual_blocks=max(1, int(20 * s)),
             num_single_blocks=max(1, int(40 * s)), text_dim=512,
-            pooled_dim=128, num_refiner_blocks=1)
+            pooled_dim=128, num_refiner_blocks=1,
+            image_condition_type="token_replace" if is_i2v else None)
     model = HunyuanVideoDiT(cfg)
     text, mask = _random_text(args.prompt, 256, cfg.text_dim)
     import jax
@@ -204,7 +230,17 @@ def build_hunyuan(args):
         enable_teacache=args.enable_teacache,
         rel_l1_thresh=args.teacache_thresh, interpret=_interpret(),
         mesh=_tp_mesh(args.tp))
-    return pipe, (text, mask)
+    extra = {}
+    if is_i2v:
+        if args.image is not None:
+            enc = _demo_vae_encoder(cfg.in_channels, (1, *pipe.grid[1:]),
+                                    video=True)
+            img = _load_image(args.image, args.height, args.width)
+            extra["first_frame"] = i2v_first_frame(img, enc)
+        else:
+            extra["first_frame"] = jnp.zeros(
+                (1, cfg.in_channels, 1, *pipe.grid[1:]), jnp.float32)
+    return pipe, (text, mask), extra
 
 
 def _demo_vae_encoder(zc, grid, video=True):
@@ -588,9 +624,9 @@ def main(argv=None):
 
 
 def _generate(args):
-    if args.model == "hunyuan":
-        pipe, inputs = build_hunyuan(args)
-        latents = pipe(*inputs, seed=args.seed)
+    if args.model.startswith("hunyuan"):
+        pipe, inputs, extra = build_hunyuan(args)
+        latents = pipe(*inputs, seed=args.seed, **extra)
     elif args.model.startswith("wan"):
         pipe, inputs, extra = build_wan(args)
         if hasattr(pipe, "high"):   # A14B dual transformer

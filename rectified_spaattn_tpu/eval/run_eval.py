@@ -23,8 +23,9 @@ import os
 
 import numpy as np
 
-FAMILIES = ("hunyuan", "wan21-t2v", "wan21-i2v", "wan22-t2v", "wan22-i2v",
-            "wan22-ti2v", "cogvideox-t2v", "cogvideox-i2v", "flux-upscale")
+FAMILIES = ("hunyuan", "hunyuan-i2v", "wan21-t2v", "wan21-i2v",
+            "wan22-t2v", "wan22-i2v", "wan22-ti2v", "cogvideox-t2v",
+            "cogvideox-i2v", "flux-upscale")
 
 
 FAMILY_KEYS = {"hunyuan": "hunyuan", "wan": "wan", "cog": "cogvideox",
@@ -79,13 +80,13 @@ def make_runner(args):
         lo, hi = lat.min(), lat.max()
         return (lat - lo) / (hi - lo + 1e-8)
 
-    if m == "hunyuan":
-        pipe, _ = G.build_hunyuan(args)
+    if m.startswith("hunyuan"):
+        pipe, _, extra = G.build_hunyuan(args)
         dim = pipe.model.cfg.text_dim
 
         def run(prompt, seed):
             text, mask = encode(prompt, 256, dim)
-            return to_frames(pipe(text, mask, seed=seed))
+            return to_frames(pipe(text, mask, seed=seed, **extra))
         return run, True
 
     if m.startswith("wan"):

@@ -67,7 +67,12 @@ def hunyuan_config_from_json(cfg: dict):
         patch_size_t=cfg.get("patch_size_t", 1),
         text_dim=cfg.get("text_embed_dim", 4096),
         pooled_dim=cfg.get("pooled_projection_dim", 768),
-        rope_axes_dim=tuple(cfg.get("rope_axes_dim", (16, 56, 56))))
+        rope_axes_dim=tuple(cfg.get("rope_axes_dim", (16, 56, 56))),
+        guidance_embeds=bool(cfg.get("guidance_embeds", True)),
+        # HunyuanVideo-I2V 720p (v2) snapshots carry
+        # image_condition_type="token_replace" in the transformer config
+        # (diffusers HunyuanVideoTransformer3DModel)
+        image_condition_type=cfg.get("image_condition_type"))
 
 
 def flux_config_from_json(cfg: dict):

@@ -24,6 +24,18 @@ from .base import build_site
 from .schedulers import FlowMatchEulerScheduler
 
 
+def i2v_first_frame(image, vae_encode):
+    """HunyuanVideo-I2V (720p token_replace variant): the conditioning
+    image VAE-encodes into the FIRST latent frame, which the pipeline
+    holds fixed every step while its tokens are modulated at t=0
+    (diffusers HunyuanVideoImageToVideoPipeline, image_condition_type
+    "token_replace"; the reference ships no Hunyuan-I2V driver — this
+    extends the family the way its Wan/Cog I2V drivers do).
+
+    Returns [B, Cz, 1, lh, lw]."""
+    return vae_encode(image[:, :, None])
+
+
 @dataclasses.dataclass
 class HunyuanVideoPipeline:
     """Args mirror the reference CLI (scripts/main_hunyuan.py:213-225)."""

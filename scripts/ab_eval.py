@@ -52,7 +52,7 @@ def main():
     A.ckpt_dir = None
 
     A.mode = "flash"
-    pipe_d, inputs = build_hunyuan(A)
+    pipe_d, inputs, _ = build_hunyuan(A)
     init = None
     if args.smooth_init:
         from bench_e2e import smooth_latents
@@ -62,7 +62,7 @@ def main():
     t_dense = pipe_d.denoise_seconds
 
     A.mode = "sparse"
-    pipe_s, _ = build_hunyuan(A)
+    pipe_s, _, _ = build_hunyuan(A)
     pipe_s.params = pipe_d.params
     sparse = np.asarray(pipe_s(*inputs, seed=args.seed, init_latents=init))
     t_sparse = pipe_s.denoise_seconds

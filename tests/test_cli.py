@@ -173,3 +173,25 @@ def test_flux_upscale_ckpt_branch_warns_without_controlnet(tmp_path):
         pipe, _ = build_flux(args)
     assert pipe.controlnet is None
     assert any("ControlNet" in str(x.message) for x in w)
+
+
+def test_hunyuan_i2v_build_and_run():
+    """hunyuan-i2v (token_replace — no reference driver; family extension
+    in the Wan/Cog I2V style): the builder returns a first_frame extra
+    (zeros without --image) and the pipeline holds it in the output."""
+    import numpy as np
+    from rectified_spaattn_tpu.cli.generate import parse_args, build_hunyuan
+
+    args = parse_args([
+        "--model", "hunyuan-i2v", "--height", "64", "--width", "64",
+        "--frame", "8", "--num_steps", "2", "--scale", "0.05",
+        "--sa_drop_rate", "0.5", "--teacache_thresh", "0.15",
+        "--mode", "vanilla"])
+    pipe, (text, mask), extra = build_hunyuan(args)
+    assert pipe.model.cfg.image_condition_type == "token_replace"
+    ff = extra["first_frame"]
+    assert ff.shape == (1, pipe.model.cfg.in_channels, 1, *pipe.grid[1:])
+    out = pipe(text, mask, seed=0, **extra)
+    np.testing.assert_array_equal(np.asarray(out[:, :, :1]),
+                                  np.asarray(ff))
+    assert np.isfinite(np.asarray(out)).all()
