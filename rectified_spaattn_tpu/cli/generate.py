@@ -193,7 +193,18 @@ def build_hunyuan(args):
             rel_l1_thresh=args.teacache_thresh, interpret=_interpret(),
             vae_decode=vae_decode, mesh=_tp_mesh(args.tp))
         extra = {}
-        if is_i2v:
+        if is_i2v and cfg.image_condition_type == "latent_concat":
+            # v1 (544p) variant: [noise 16 | image latents 16 | mask 1]
+            from ..pipelines.hunyuan import i2v_condition_concat
+            if args.image is not None and vae_encode is not None:
+                img = _load_image(args.image, args.height, args.width)
+                extra["condition"] = i2v_condition_concat(
+                    img, args.frame, vae_encode, pipe.grid[0])
+            else:
+                extra["condition"] = jnp.zeros(
+                    (1, cfg.in_channels - cfg.out_channels, *pipe.grid),
+                    jnp.float32)
+        elif is_i2v:
             if args.image is not None and vae_encode is not None:
                 img = _load_image(args.image, args.height, args.width)
                 extra["first_frame"] = i2v_first_frame(img, vae_encode)

@@ -47,7 +47,9 @@ class HunyuanVideoConfig:
     num_refiner_blocks: int = 2
     guidance_embeds: bool = True
     # "token_replace": HunyuanVideo-I2V (720p v2) — the clean first latent
-    # frame is held in the stream and its tokens are modulated at t=0
+    # frame is held in the stream and its tokens are modulated at t=0;
+    # "latent_concat": I2V v1 (544p) — [noise 16 | image latents 16 |
+    # mask 1] channel concat, handled at the pipeline seam
     # (diffusers HunyuanVideoTransformer3DModel image_condition_type);
     # None = T2V.  The reference has no Hunyuan-I2V driver — this mirrors
     # the diffusers model the reference's processors would patch.

@@ -24,6 +24,26 @@ from .base import build_site
 from .schedulers import FlowMatchEulerScheduler
 
 
+def i2v_condition_concat(image, frames: int, vae_encode, lt: int):
+    """HunyuanVideo-I2V v1 (544p, image_condition_type="latent_concat"):
+    the image VAE-encodes as a video whose first frame is the image and
+    the rest zeros; a 1-channel mask marks the first latent frame
+    (diffusers HunyuanVideoImageToVideoPipeline.prepare_latents).  The
+    result concatenates onto the 16 noise channels every step, feeding
+    the in_channels-33 transformer.
+
+    Returns [B, Cz + 1, lt, lh, lw]."""
+    b = image.shape[0]
+    video = jnp.concatenate(
+        [image[:, :, None],
+         jnp.zeros((b, image.shape[1], frames - 1, *image.shape[2:]),
+                   image.dtype)], axis=2)
+    z = vae_encode(video)
+    assert z.shape[2] == lt, (z.shape, lt)
+    mask = jnp.zeros((b, 1, lt, *z.shape[3:]), z.dtype).at[:, :, :1].set(1.0)
+    return jnp.concatenate([z, mask], axis=1)
+
+
 def i2v_first_frame(image, vae_encode):
     """HunyuanVideo-I2V (720p token_replace variant): the conditioning
     image VAE-encodes into the FIRST latent frame, which the pipeline
@@ -133,7 +153,7 @@ class HunyuanVideoPipeline:
 
     def denoise(self, latents, text_emb, text_mask, rng=None,
                 pooled=None, num_steps: Optional[int] = None,
-                first_frame=None):
+                first_frame=None, condition=None):
         """Run the scheduler loop; returns final latents.
 
         latents: [B, C, T', H', W'] initial noise in LATENT grid units.
@@ -144,6 +164,9 @@ class HunyuanVideoPipeline:
         learned mean-LLaMA projection for checkpoint-less runs.
         first_frame: [B, C, 1, H', W'] clean image latent (token_replace
         I2V): held in the stream every step, its tokens modulated at t=0.
+        condition: [B, Cz + 1, T', H', W'] latent_concat I2V conditioning
+        (i2v_condition_concat) channel-concatenated onto the noise every
+        step; latents then carry out_channels, the model in_channels.
         """
         steps = num_steps or self.num_steps
         sched = FlowMatchEulerScheduler(steps, shift=self.flow_shift)
@@ -170,8 +193,12 @@ class HunyuanVideoPipeline:
                 if tr:
                     latents = latents.at[:, :, :1].set(first_frame)
                 ts = jnp.full((latents.shape[0],), float(t))
+                model_in = (latents if condition is None else
+                            jnp.concatenate(
+                                [latents, condition.astype(latents.dtype)],
+                                axis=1))
                 x, ctx, temb, rope, sig = self._embed(
-                    self.params, latents, ts, text_emb, text_mask,
+                    self.params, model_in, ts, text_emb, text_mask,
                     guidance, pooled)
                 if tea.enabled and not tea.should_compute(sig):
                     x = tea.apply_residual(x)
@@ -192,18 +219,23 @@ class HunyuanVideoPipeline:
 
     def __call__(self, text_emb, text_mask, pooled=None, seed: int = 42,
                  num_steps: Optional[int] = None, init_latents=None,
-                 first_frame=None):
+                 first_frame=None, condition=None):
         cfg = self.model.cfg
         rng = jax.random.PRNGKey(seed)
         b = text_emb.shape[0]
         if init_latents is not None:
             latents = init_latents
         else:
+            # latent_concat: the noise carries out_channels; the condition
+            # fills the rest of in_channels at every model call
+            noise_ch = (cfg.in_channels if condition is None
+                        else cfg.in_channels - condition.shape[1])
             latents = jax.random.normal(
-                rng, (b, cfg.in_channels, self.grid[0], self.grid[1],
+                rng, (b, noise_ch, self.grid[0], self.grid[1],
                       self.grid[2]), jnp.float32)
         latents = self.denoise(latents, text_emb, text_mask, pooled=pooled,
-                               num_steps=num_steps, first_frame=first_frame)
+                               num_steps=num_steps, first_frame=first_frame,
+                               condition=condition)
         if self.vae_decode is not None:
             return self.vae_decode(latents)
         return latents

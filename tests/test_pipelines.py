@@ -553,3 +553,49 @@ def test_hunyuan_token_replace_select_is_noop_when_embs_equal():
     diff = np.abs(np.asarray(h_tr) - np.asarray(h_plain))
     assert diff[:, :, :1].max() > 1e-6          # first frame moved
     np.testing.assert_array_equal(diff[:, :, 1:], 0)   # others did not
+
+
+def test_hunyuan_latent_concat_i2v():
+    """latent_concat I2V (diffusers HunyuanVideo-I2V v1, in_channels 33):
+    noise carries out_channels, the condition fills the remaining input
+    channels every step, and changing the condition changes the result."""
+    import dataclasses
+    cfg = dataclasses.replace(
+        HunyuanVideoConfig.tiny(), in_channels=9, out_channels=4,
+        image_condition_type="latent_concat")      # 4 noise + 4 z + 1 mask
+    model = HunyuanVideoDiT(cfg)
+    height, width, frames = 64, 64, 8
+    rng = jax.random.PRNGKey(0)
+    text = jax.random.normal(rng, (1, 128, cfg.text_dim))
+    mask = jnp.zeros((1, 128), bool).at[:, :9].set(True)
+    lat = jnp.zeros((1, cfg.in_channels, frames // 4 * cfg.patch_size_t,
+                     height // 16 * cfg.patch_size,
+                     width // 16 * cfg.patch_size))
+    params = model.init(rng, lat, jnp.array([0.0]), text, mask,
+                        jnp.array([6000.0]), None, None)
+    pipe = HunyuanVideoPipeline(
+        model=model, params=params, height=height, width=width,
+        frames=frames, num_steps=2, sa_drop_rate=0.5, p_remain_rates=0.5,
+        mode="vanilla", text_len=128, interpret=True)
+
+    from rectified_spaattn_tpu.pipelines.hunyuan import i2v_condition_concat
+    img = jax.random.normal(jax.random.PRNGKey(4), (1, 3, height, width))
+    lt = pipe.grid[0]
+
+    def vae_encode(video_px):
+        # stand-in encoder: pool pixels onto the latent grid, 4 channels
+        z = jax.image.resize(video_px.astype(jnp.float32),
+                             (1, 3, lt, *pipe.grid[1:]), "linear")
+        return jnp.concatenate([z, z[:, :1]], axis=1)
+
+    cond = i2v_condition_concat(img, frames, vae_encode, lt)
+    assert cond.shape == (1, 5, lt, *pipe.grid[1:])
+    # mask channel: 1 on the first latent frame, 0 after
+    np.testing.assert_array_equal(np.asarray(cond[:, -1, 0]), 1.0)
+    np.testing.assert_array_equal(np.asarray(cond[:, -1, 1:]), 0.0)
+
+    out = pipe(text, mask, seed=1, condition=cond)
+    assert out.shape == (1, cfg.out_channels, *pipe.grid)
+    assert np.isfinite(np.asarray(out)).all()
+    out2 = pipe(text, mask, seed=1, condition=2.0 * cond)
+    assert np.abs(np.asarray(out2) - np.asarray(out)).max() > 1e-6
