@@ -27,6 +27,18 @@ noise) — the regime real diffusion checkpoints operate in, where pooled
 attention concentrates and the top-k floor dominates (density ~0.20).
 detail.random_inputs re-measures on iid-random inputs (density ~0.31,
 round-1's regime) so round-over-round numbers stay comparable.
+
+TIMING METHOD (round 3): one dispatch+readback through the axon tunnel
+costs ~30 ms regardless of the work dispatched (measured in
+scripts/bench_planstages.py: a trivial elementwise stage times the same
+~30 ms as the full 22 ms plan build).  The headline ``value`` is
+therefore computed from AMORTISED times — the measured path looped K
+times inside one jit with a forced data dependency, one readback — which
+is the true device time and matches how the path runs inside a pipeline
+step (one dispatch per ~40 attention calls, not one per call).  The
+round-1/2-comparable one-shot timings (which include the ~30 ms
+overhead on BOTH sides of the ratio) stay in the detail payload as
+*_ms_oneshot.
 """
 
 import json
@@ -125,14 +137,40 @@ def main():
                           .astype(jnp.float32)))
         return (time.perf_counter() - t0) / n
 
+    def amortized(f, *arrs, K=6):
+        """True device time: K in-jit iterations, one readback.  A scalar
+        from iteration i's output perturbs iteration i+1's input (by a
+        denormal-scale epsilon) so XLA cannot hoist or CSE the body."""
+        @jax.jit
+        def loop(*xs):
+            def body(i, s):
+                xs2 = list(xs)
+                x0 = xs2[0]
+                xs2[0] = x0.at[(0,) * x0.ndim].add(
+                    (s * 1e-20).astype(x0.dtype))
+                out = f(*xs2)
+                leaf = jax.tree_util.tree_leaves(out)[0]
+                return jnp.sum(leaf[(0,) * (leaf.ndim - 1)][:4]
+                               .astype(jnp.float32))
+            return jax.lax.fori_loop(0, K, body, jnp.float32(0.0))
+        float(loop(*arrs))                      # compile + warm
+        t0 = time.perf_counter()
+        float(loop(*arrs))
+        return (time.perf_counter() - t0) / K
+
     def density_of(*arrs):
         plan = plan_fn(*arrs)
         return float(jnp.mean(plan.counts)) / plan.indices.shape[-1]
 
-    t_sparse = timed(sparse_fn, q, k, v)
+    t_sparse_1 = timed(sparse_fn, q, k, v)
     t_dense = timed(dense_fn, q, k, v)
-    t_dense_ours = timed(dense_ours_fn, q, k, v)
+    t_dense_ours_1 = timed(dense_ours_fn, q, k, v)
     density = density_of(q, k, v)
+
+    # amortised (true device time — see TIMING METHOD in the docstring)
+    t_sparse = amortized(sparse_fn, q, k, v)
+    t_dense_ours = amortized(dense_ours_fn, q, k, v)
+    overhead_ms = ((t_sparse_1 - t_sparse) + (t_dense_ours_1 - t_dense_ours)) / 2 * 1e3
 
     # iid-random regime (round-1 comparability; same compiled programs)
     qr, kr, vr = random_inputs(jax.random.PRNGKey(1), h, s, d)
@@ -148,10 +186,14 @@ def main():
         "unit": "x",
         "vs_baseline": round(speedup / BASELINE_SPEEDUP, 3),
         "detail": {
-            "dense_stock_flash_ms": round(t_dense * 1e3, 1),
-            "dense_ours_ms": round(t_dense_ours * 1e3, 1),
             "sparse_ms": round(t_sparse * 1e3, 1),
-            "speedup_vs_stock_flash": round(t_dense / t_sparse, 3),
+            "dense_ours_ms": round(t_dense_ours * 1e3, 1),
+            "dense_stock_flash_ms_oneshot": round(t_dense * 1e3, 1),
+            "speedup_vs_stock_flash": round(t_dense / t_sparse_1, 3),
+            "sparse_ms_oneshot": round(t_sparse_1 * 1e3, 1),
+            "dense_ours_ms_oneshot": round(t_dense_ours_1 * 1e3, 1),
+            "speedup_oneshot": round(t_dense_ours_1 / t_sparse_1, 3),
+            "dispatch_readback_overhead_ms": round(overhead_ms, 1),
             "mask_density": round(density, 4),
             "random_inputs": {
                 "speedup_vs_own_dense": round(t_dense_ours_r / t_sparse_r,
