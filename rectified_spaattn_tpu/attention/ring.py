@@ -244,6 +244,13 @@ def _ring_joint(mesh, q, k, v, cfg, neighbor_mask, q_text, k_text, v_text,
         nb_rows = jax.lax.dynamic_slice(
             nbm, (me * nb_l, 0), (nb_l, nb))
         vis_cols = vis_cols | nb_rows[None, None]
+        if cfg.first_frame_blocks > 0:
+            # mirror sparse/pipeline.py:114-118 with GLOBAL row indices
+            row_g = me * nb_l + jnp.arange(nb_l)
+            col_g = jnp.arange(nb)
+            ff = ((row_g[:, None] < cfg.first_frame_blocks)
+                  & (col_g[None, :] < cfg.first_frame_blocks))
+            vis_cols = vis_cols | ff[None, None]
 
         partial = jnp.concatenate(
             [vis_cols | nogapr, jnp.ones((b, h, nb_l, 1), bool)], axis=-1)

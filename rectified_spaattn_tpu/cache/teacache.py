@@ -15,7 +15,9 @@ data-dependent and deliberately lives outside jit.
 
 from __future__ import annotations
 
+import contextlib
 import dataclasses
+import json
 from typing import Optional
 
 import jax
@@ -63,6 +65,26 @@ COEFFICIENTS: dict[str, list[float]] = {
 # then replayed through the reference's own decision code
 # (tests/test_teacache_schedule_parity.py::test_recorded_traces_replay).
 TRACE: Optional[list] = None
+
+
+@contextlib.contextmanager
+def trace_to(path: Optional[str]):
+    """Enable schedule tracing around the body and dump the records to
+    ``path`` as JSON (no-op when ``path`` is falsy).  Yields the live
+    trace list (None when disabled) so callers can summarise it.  The
+    single writer of the TRACE protocol — the bench scripts' --trace_out
+    all route through here."""
+    global TRACE
+    if not path:
+        yield None
+        return
+    TRACE = []
+    try:
+        yield TRACE
+    finally:
+        trace, TRACE = TRACE, None
+        with open(path, "w") as f:
+            json.dump(trace, f)
 
 
 def rel_l1_signal(modulated: jax.Array, previous: jax.Array) -> jax.Array:

@@ -33,10 +33,13 @@ FAMILY_KEYS = {"hunyuan": "hunyuan", "wan": "wan", "cog": "cogvideox",
 
 
 def _prompt_encoder(args):
-    """(encode(prompt, max_len, dim) -> (emb, mask), is_real): REAL text
-    encoders when --ckpt_dir carries them (VERDICT r2 item 6 — eval
-    scores must never be computed over hash pseudo-embeddings in a
-    weights-bearing environment), hash fallback otherwise."""
+    """(encode(prompt, max_len, dim) -> (emb, mask), pooled_fn, is_real):
+    REAL text encoders when --ckpt_dir carries them (VERDICT r2 item 6 —
+    eval scores must never be computed over hash pseudo-embeddings in a
+    weights-bearing environment), hash fallback otherwise.  pooled_fn
+    (prompt -> CLIP pooled embedding) is non-None when the checkpoint
+    ships a second (pooled) encoder — callers must re-pool PER PROMPT
+    (hunyuan/flux condition on it; the build-time pooled is prompts[0]'s)."""
     from ..cli import generate as G
     encoders = []
     if getattr(args, "ckpt_dir", None):
@@ -51,10 +54,14 @@ def _prompt_encoder(args):
         def encode(prompt, max_len, dim):
             emb, mask = encoders[0](prompt)
             return jnp.asarray(emb), jnp.asarray(mask)
-        return encode, True
+
+        pooled_fn = None
+        if len(encoders) > 1 and hasattr(encoders[1], "pooled"):
+            pooled_fn = lambda pr: jnp.asarray(encoders[1].pooled(pr))
+        return encode, pooled_fn, True
 
     return (lambda prompt, max_len, dim:
-            G._random_text(prompt, max_len, dim)), False
+            G._random_text(prompt, max_len, dim)), None, False
 
 
 def make_runner(args):
@@ -65,7 +72,7 @@ def make_runner(args):
     from ..cli import generate as G
 
     m = args.model
-    encode, args.real_text_encoders = _prompt_encoder(args)
+    encode, pooled_fn, args.real_text_encoders = _prompt_encoder(args)
 
     def to_frames(latents, video=True):
         arr = np.asarray(latents)
@@ -86,7 +93,10 @@ def make_runner(args):
 
         def run(prompt, seed):
             text, mask = encode(prompt, 256, dim)
-            return to_frames(pipe(text, mask, seed=seed, **extra))
+            kw = dict(extra)
+            if pooled_fn is not None:     # checkpoint CLIP pooled branch
+                kw["pooled"] = pooled_fn(prompt)
+            return to_frames(pipe(text, mask, seed=seed, **kw))
         return run, True
 
     if m.startswith("wan"):
@@ -126,7 +136,8 @@ def make_runner(args):
 
         def run(prompt, seed):
             text, tmask = encode(prompt, 512, dim)
-            return to_frames(pipe(text, tmask, pooled, seed=seed),
+            p = pooled_fn(prompt) if pooled_fn is not None else pooled
+            return to_frames(pipe(text, tmask, p, seed=seed),
                              video=False)
         return run, False
 
@@ -231,6 +242,8 @@ def main(argv=None):
                     help="diffusers snapshot: real weights AND real text "
                          "encoders for prompt embedding")
     ap.add_argument("--controlnet_dir", default=None)
+    ap.add_argument("--tp", type=int, default=1,
+                    help="tensor-parallel mesh size (as in the CLI)")
     ap.add_argument("--seed", type=int, default=42)
     args = ap.parse_args(argv)
 

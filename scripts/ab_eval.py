@@ -50,6 +50,7 @@ def main():
     A.enable_teacache = False
     A.teacache_thresh = 0.15
     A.ckpt_dir = None
+    A.tp = 1
 
     A.mode = "flash"
     pipe_d, inputs, _ = build_hunyuan(A)

@@ -151,16 +151,11 @@ def main():
             enable_teacache=True, rel_l1_thresh=args.teacache_thresh)
         pipe(text, mask, seed=1, num_steps=1, init_latents=init_latents)
         from rectified_spaattn_tpu.cache import teacache as tc_mod
-        if args.trace_out:
-            tc_mod.TRACE = []          # enable AFTER the warm-up run
         steps = max(args.steps, 6)
-        pipe(text, mask, seed=1, num_steps=steps,
-             init_latents=init_latents)
+        with tc_mod.trace_to(args.trace_out):  # enabled AFTER the warm-up
+            pipe(text, mask, seed=1, num_steps=steps,
+                 init_latents=init_latents)
         if args.trace_out:
-            import json as _json
-            with open(args.trace_out, "w") as f:
-                _json.dump(tc_mod.TRACE, f)
-            tc_mod.TRACE = None
             log(f"schedule trace -> {args.trace_out}")
         per_step = pipe.denoise_seconds / steps
         st = pipe.teacache_stats

@@ -123,15 +123,10 @@ def main():
             sparse_warm_calls=0, enable_teacache=True, teacache_thresh=0.2)
         pipe(text, neg, condition=condition, seed=1, num_steps=1)
         from rectified_spaattn_tpu.cache import teacache as tc_mod
-        if args.trace_out:
-            tc_mod.TRACE = []          # enable AFTER the warm-up run
         steps = max(args.steps, 6)
-        pipe(text, neg, condition=condition, seed=1, num_steps=steps)
+        with tc_mod.trace_to(args.trace_out):  # enabled AFTER the warm-up
+            pipe(text, neg, condition=condition, seed=1, num_steps=steps)
         if args.trace_out:
-            import json as _json
-            with open(args.trace_out, "w") as f:
-                _json.dump(tc_mod.TRACE, f)
-            tc_mod.TRACE = None
             log(f"schedule trace -> {args.trace_out}")
         per_step = pipe.denoise_seconds / steps
         st = pipe.teacache_stats

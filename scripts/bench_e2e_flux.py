@@ -108,15 +108,10 @@ def main():
             enable_teacache=True, rel_l1_thresh=0.8)
         pipe(text, mask, pooled, seed=1, num_steps=1)
         from rectified_spaattn_tpu.cache import teacache as tc_mod
-        if args.trace_out:
-            tc_mod.TRACE = []          # enable AFTER the warm-up run
         steps = max(args.steps, 6)
-        pipe(text, mask, pooled, seed=1, num_steps=steps)
+        with tc_mod.trace_to(args.trace_out):  # enabled AFTER the warm-up
+            pipe(text, mask, pooled, seed=1, num_steps=steps)
         if args.trace_out:
-            import json as _json
-            with open(args.trace_out, "w") as f:
-                _json.dump(tc_mod.TRACE, f)
-            tc_mod.TRACE = None
             log(f"schedule trace -> {args.trace_out}")
         per_step = pipe.denoise_seconds / steps
         st = pipe.teacache_stats

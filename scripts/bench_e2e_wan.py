@@ -178,16 +178,11 @@ def main():
             log("teacache: warm-up (compiles both transformers)...")
             pipe.denoise(lat, text, neg, condition=cond, num_steps=steps)
             from rectified_spaattn_tpu.cache import teacache as tc_mod
-            if args.trace_out:
-                tc_mod.TRACE = []
-            pipe.denoise(lat, text, neg, condition=cond, num_steps=steps)
+            with tc_mod.trace_to(args.trace_out) as trace:
+                pipe.denoise(lat, text, neg, condition=cond,
+                             num_steps=steps)
             per_step = pipe.denoise_seconds / steps
-            if args.trace_out:
-                import json as _json
-                trace = tc_mod.TRACE
-                with open(args.trace_out, "w") as f:
-                    _json.dump(trace, f)
-                tc_mod.TRACE = None
+            if trace is not None:
                 calls = [r for r in trace if "call" in r]
                 skipped = sum(not r["compute"] for r in calls)
                 log(f"schedule trace -> {args.trace_out} "
@@ -246,16 +241,11 @@ def main():
         pipe(text, neg, image_emb=image_emb, condition=condition,
              seed=1, num_steps=1)
         from rectified_spaattn_tpu.cache import teacache as tc_mod
-        if args.trace_out:
-            tc_mod.TRACE = []          # enable AFTER the warm-up run
         steps = max(args.steps, 6)
-        pipe(text, neg, image_emb=image_emb, condition=condition,
-             seed=1, num_steps=steps)
+        with tc_mod.trace_to(args.trace_out):  # enabled AFTER the warm-up
+            pipe(text, neg, image_emb=image_emb, condition=condition,
+                 seed=1, num_steps=steps)
         if args.trace_out:
-            import json as _json
-            with open(args.trace_out, "w") as f:
-                _json.dump(tc_mod.TRACE, f)
-            tc_mod.TRACE = None
             log(f"schedule trace -> {args.trace_out}")
         per_step = pipe.denoise_seconds / steps
         st = pipe.teacache_stats

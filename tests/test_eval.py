@@ -100,28 +100,58 @@ def test_run_eval_uses_real_encoders_when_present(monkeypatch):
 
     calls = []
 
+    calls_pooled = []
+
     class FakeEncoder:
         def __call__(self, prompt):
             calls.append(prompt)
             return (np.zeros((1, 4, 8), np.float32),
                     np.ones((1, 4), np.int32))
 
-    monkeypatch.setattr(pretrained, "load_text_encoders",
-                        lambda fam, root: [FakeEncoder()])
+    class FakePooledEncoder:
+        def pooled(self, prompt):
+            calls_pooled.append(prompt)
+            return np.zeros((1, 8), np.float32)
+
+    monkeypatch.setattr(
+        pretrained, "load_text_encoders",
+        lambda fam, root: [FakeEncoder(), FakePooledEncoder()])
 
     import argparse
     args = argparse.Namespace(model="hunyuan", ckpt_dir="/fake")
-    encode, is_real = run_eval._prompt_encoder(args)
+    encode, pooled_fn, is_real = run_eval._prompt_encoder(args)
     assert is_real
     emb, mask = encode("a red fox", 256, 8)
     assert calls == ["a red fox"]
     assert emb.shape == (1, 4, 8)
+    # the pooled embedding must be re-computed PER PROMPT (the build-time
+    # pooled is prompts[0]'s — code-review r3 finding)
+    assert pooled_fn is not None
+    pooled_fn("a blue fox")
+    assert calls_pooled == ["a blue fox"]
 
     # without a ckpt_dir the fallback is the hash embedding and scoring
     # must know it (real_text_encoders False -> CLIP/IR refusal path)
     args2 = argparse.Namespace(model="hunyuan", ckpt_dir=None)
-    _, is_real2 = run_eval._prompt_encoder(args2)
-    assert not is_real2
+    _, pooled2, is_real2 = run_eval._prompt_encoder(args2)
+    assert not is_real2 and pooled2 is None
+
+
+def test_run_eval_main_smoke(tmp_path):
+    """run_eval.main end-to-end on a tiny random-weight model: the
+    regression net for namespace attributes the CLI builders require
+    (a missing args.tp crashed EVERY eval invocation — code-review r3 —
+    because nothing drove main() through a real builder)."""
+    prompts = tmp_path / "prompts.txt"
+    prompts.write_text("a fox\n")
+    out = tmp_path / "out"
+    from rectified_spaattn_tpu.eval import run_eval
+    run_eval.main([
+        "--model", "cogvideox-t2v", "--prompts", str(prompts),
+        "--out_dir", str(out), "--height", "64", "--width", "64",
+        "--frame", "9", "--num_steps", "1", "--scale", "0.05",
+        "--mode", "flash"])
+    assert any(out.iterdir()), "no outputs written"
 
 
 def test_score_outputs_refuses_text_scores_on_hash_embeddings(

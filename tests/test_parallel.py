@@ -140,7 +140,9 @@ def test_ring_joint_layout_matches_single_device(mesh):
     sv = 8 * 128                   # 2 visual blocks per sp shard
     tlen_pad = 128
     cfg = SparseConfig(top_k_floor=1, p_remain=0.4, layout="joint",
-                       text_len=tlen_pad, topp_impl="sort")
+                       text_len=tlen_pad, topp_impl="sort",
+                       first_frame_blocks=1)   # code-review r3: must apply
+                                               # in the joint ring too
     g = np.random.default_rng(17)
     qv, kv_, vv = [jnp.asarray(
         g.normal(size=(b, h, sv, d)).astype(np.float32)) for _ in range(3)]
