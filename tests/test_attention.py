@@ -88,6 +88,37 @@ def test_visual_layout_end_to_end():
     np.testing.assert_allclose(got, want, rtol=2e-3, atol=2e-3)
 
 
+def test_batched_equals_per_sample():
+    """B=2 with DIFFERENT per-sample runtime text windows must equal two
+    independent B=1 runs — catches batch-broadcast mistakes in the plan,
+    the validity windows, and the kernel grid (production serving batches
+    prompts; nothing else in the suite ran the full path at B>1)."""
+    b, h, d = 2, 2, 64
+    nq, text_blocks = 3, 1
+    cfg = SparseConfig(top_k_floor=1, p_remain=0.3, layout="joint",
+                       text_len=text_blocks * BM)
+    s = nq * BM + cfg.text_len
+    q, k, v = make(7, b, h, s, d)
+    neighbors = np.eye(nq, dtype=bool)
+    visual_len = nq * BM
+    tlen = np.array([100, 37], np.int64)
+
+    got = np.asarray(rectified_sparse_attention(
+        jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), cfg,
+        jnp.asarray(neighbors), visual_len=visual_len,
+        text_len_rt=jnp.asarray(tlen, jnp.int32), interpret=True))
+    assert got.shape == (b, h, s, d)
+    for i in range(b):
+        want_i = np.asarray(rectified_sparse_attention(
+            jnp.asarray(q[i:i + 1]), jnp.asarray(k[i:i + 1]),
+            jnp.asarray(v[i:i + 1]), cfg, jnp.asarray(neighbors),
+            visual_len=visual_len,
+            text_len_rt=jnp.asarray(tlen[i:i + 1], jnp.int32),
+            interpret=True))
+        np.testing.assert_allclose(got[i:i + 1], want_i, rtol=2e-3,
+                                   atol=2e-3)
+
+
 def test_grouped_rows_equals_ungrouped():
     """cfg.group_rows is a pure execution-strategy knob: outputs must be
     identical to the one-row-per-program kernel (the executed mask always
