@@ -216,6 +216,16 @@ class TeaCache:
         if ctx_in is not None and ctx_out is not None:
             st.previous_residual_ctx = (ctx_out - ctx_in).astype(jnp.bfloat16)
 
+    def record_residual_value(self, residual, residual_ctx=None):
+        """Store an already-computed stack residual (the pipelines compute
+        it INSIDE the blocks jit so the pre-blocks activations can be
+        donated — at video scale that buffer is ~0.7 GB)."""
+        stream = (self._call_count - 1) % self.cfg_streams
+        st = self.states[stream]
+        st.previous_residual = residual
+        if residual_ctx is not None:
+            st.previous_residual_ctx = residual_ctx
+
     def stats(self) -> dict:
         return {
             "skipped": sum(s.skipped_steps for s in self.states),

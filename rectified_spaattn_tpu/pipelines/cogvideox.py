@@ -95,8 +95,12 @@ class CogVideoXPipeline:
                                     interpret=self.interpret,
                                     mesh=self.mesh)
                   if sparse else dense)
-            return m.apply(params, x, ctx, temb, rope, fn,
-                           method=CogVideoXDiT.run_blocks)
+            x2, ctx2 = m.apply(params, x, ctx, temb, rope, fn,
+                               method=CogVideoXDiT.run_blocks)
+            # residuals in-jit so x/ctx can be donated (TeaCache needs the
+            # encoder residual too — reference main_cogvideox.py:129-143)
+            return (x2, ctx2, (x2 - x).astype(jnp.bfloat16),
+                    (ctx2 - ctx).astype(jnp.bfloat16))
 
         def head(params, x, ctx, temb):
             t, hh, ww = self.grid
@@ -104,7 +108,8 @@ class CogVideoXPipeline:
                            method=CogVideoXDiT.head)
 
         self._embed = jax.jit(embed)
-        self._blocks = jax.jit(blocks, static_argnames=("sparse",))
+        self._blocks = jax.jit(blocks, static_argnames=("sparse",),
+                               donate_argnums=(1, 2))
         self._head = jax.jit(head)
 
     def denoise(self, latents, text_cond, text_uncond, condition=None,
@@ -141,12 +146,11 @@ class CogVideoXPipeline:
                     # main_cogvideox.py:129-143 previous_residual_encoder)
                     x, ctx = tea.apply_residual(x, ctx)
                 else:
-                    x_in, ctx_in = x, ctx
                     sparse_now = use_sparse and call >= self.sparse_warm_calls
-                    x, ctx = self._blocks(self.params, x, ctx, temb, rope,
-                                          tlen, sparse_now)
+                    x, ctx, res, res_c = self._blocks(
+                        self.params, x, ctx, temb, rope, tlen, sparse_now)
                     if tea.enabled:
-                        tea.record_residual(x_in, x, ctx_in, ctx)
+                        tea.record_residual_value(res, res_c)
                 outs.append(self._head(self.params, x, ctx, temb))
                 call += 1
             g = (dynamic_cfg_scale(self.guidance_scale, float(t), steps)

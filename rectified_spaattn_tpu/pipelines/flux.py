@@ -107,15 +107,18 @@ class FluxPipeline:
             else:
                 dual_fns = [dense] * n_dual
                 single_fns = [dense] * m.cfg.num_single_blocks
-            return m.apply(params, x, ctx, temb, rope, dense, dual_fns,
-                           single_fns, cn_dual, cn_single,
-                           method=FluxDiT.run_blocks)
+            x2, ctx2 = m.apply(params, x, ctx, temb, rope, dense, dual_fns,
+                               single_fns, cn_dual, cn_single,
+                               method=FluxDiT.run_blocks)
+            # residual in-jit so x can be donated (TeaCache)
+            return x2, ctx2, (x2 - x).astype(jnp.bfloat16)
 
         def head(params, x, temb):
             return m.apply(params, x, temb, self.l2h, method=FluxDiT.head)
 
         self._embed = jax.jit(embed)
-        self._blocks = jax.jit(blocks, static_argnames=("sparse",))
+        self._blocks = jax.jit(blocks, static_argnames=("sparse",),
+                               donate_argnums=(1,))
         self._head = jax.jit(head)
 
     def denoise(self, tokens, text_emb, text_mask, pooled,
@@ -153,11 +156,11 @@ class FluxPipeline:
             if tea.enabled and not tea.should_compute(sig):
                 x = tea.apply_residual(x)
             else:
-                x_in = x
-                x, ctx = self._blocks(self.params, x, ctx, temb, rope,
-                                      tlen, use_sparse, cn_dual, cn_single)
+                x, ctx, res = self._blocks(self.params, x, ctx, temb, rope,
+                                           tlen, use_sparse, cn_dual,
+                                           cn_single)
                 if tea.enabled:
-                    tea.record_residual(x_in, x)
+                    tea.record_residual_value(res)
             v = self._head(self.params, x, temb)
             tokens = sched.step(v, tokens, i)
         device_sync(tokens)

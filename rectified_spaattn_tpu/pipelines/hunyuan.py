@@ -133,8 +133,11 @@ class HunyuanVideoPipeline:
                                    interpret=self.interpret,
                                    mesh=self.mesh)
             mask = self._ff_mask_curve if temb_tr is not None else None
-            return m.apply(params, x, ctx, temb, rope, fn, temb_tr, mask,
-                           method=HunyuanVideoDiT.run_blocks)
+            x2, ctx2 = m.apply(params, x, ctx, temb, rope, fn, temb_tr,
+                               mask, method=HunyuanVideoDiT.run_blocks)
+            # stack residual computed in-jit (TeaCache) so x can be DONATED
+            # — at video scale that input buffer is ~0.7 GB of HBM
+            return x2, ctx2, (x2 - x).astype(jnp.bfloat16)
 
         def head(params, x, temb, temb_tr=None):
             t, hh, ww = self.grid
@@ -147,7 +150,8 @@ class HunyuanVideoPipeline:
                            method=HunyuanVideoDiT.token_replace_temb)
 
         self._embed = jax.jit(embed)
-        self._blocks = jax.jit(blocks, static_argnames=("attn_mode",))
+        self._blocks = jax.jit(blocks, static_argnames=("attn_mode",),
+                               donate_argnums=(1,))
         self._head = jax.jit(head)
         self._temb_tr = jax.jit(temb_tr_fn)
 
@@ -203,11 +207,11 @@ class HunyuanVideoPipeline:
                 if tea.enabled and not tea.should_compute(sig):
                     x = tea.apply_residual(x)
                 else:
-                    x_in = x
-                    x, ctx = self._blocks(self.params, x, ctx, temb, rope,
-                                          tlen, attn_mode, temb_tr)
+                    x, ctx, res = self._blocks(self.params, x, ctx, temb,
+                                               rope, tlen, attn_mode,
+                                               temb_tr)
                     if tea.enabled:
-                        tea.record_residual(x_in, x)
+                        tea.record_residual_value(res)
                 v_pred = self._head(self.params, x, temb, temb_tr)
                 latents = sched.step(v_pred, latents, i)
             if tr:

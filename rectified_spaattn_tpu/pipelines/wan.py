@@ -159,8 +159,10 @@ class WanPipeline:
                        for i in range(n)]
             else:
                 fns = [dense] * n
-            return m.apply(params, x, ctx, ctx_img, temb6, rope, dense,
-                           cross, fns, method=WanDiT.run_blocks)
+            x2 = m.apply(params, x, ctx, ctx_img, temb6, rope, dense,
+                         cross, fns, method=WanDiT.run_blocks)
+            # residual in-jit so x can be donated (TeaCache)
+            return x2, (x2 - x).astype(jnp.bfloat16)
 
         def head(params, x, temb):
             t, hh, ww = self.grid
@@ -172,7 +174,8 @@ class WanPipeline:
                            method=WanDiT.head)
 
         self._embed = jax.jit(embed)
-        self._blocks = jax.jit(blocks, static_argnames=("sparse",))
+        self._blocks = jax.jit(blocks, static_argnames=("sparse",),
+                               donate_argnums=(1,))
         self._head = jax.jit(head)
 
     def _scheduler(self, steps):
@@ -235,13 +238,12 @@ class WanPipeline:
                 if tea.enabled and not tea.should_compute(sig):
                     x = tea.apply_residual(x)
                 else:
-                    x_in = x
                     sparse_now = use_sparse and (
                         self.is_i2v or call >= self.warm_calls)
-                    x = self._blocks(self.params, x, ctx, ctx_img, temb6,
-                                     rope, sparse_now)
+                    x, res = self._blocks(self.params, x, ctx, ctx_img,
+                                          temb6, rope, sparse_now)
                     if tea.enabled:
-                        tea.record_residual(x_in, x)
+                        tea.record_residual_value(res)
                 outs.append(self._head(self.params, x, temb))
                 call += 1
             v = classifier_free_guidance(outs[0], outs[1],
@@ -328,11 +330,10 @@ class Wan22A14BPipeline:
                 if tea.enabled and not tea.should_compute(temb):
                     x = tea.apply_residual(x)
                 else:
-                    x_in = x
-                    x = pipe._blocks(pipe.params, x, ctx, ctx_img, temb6,
-                                     rope, use_sparse)
+                    x, res = pipe._blocks(pipe.params, x, ctx, ctx_img,
+                                          temb6, rope, use_sparse)
                     if tea.enabled:
-                        tea.record_residual(x_in, x)
+                        tea.record_residual_value(res)
                 outs.append(pipe._head(pipe.params, x, temb))
             v = classifier_free_guidance(outs[0], outs[1],
                                          pipe.guidance_scale)
