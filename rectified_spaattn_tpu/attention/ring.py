@@ -128,11 +128,9 @@ def ring_rectified_sparse_attention(
             nbm, (me * nb_l, 0), (nb_l, nb))                # my rows
         mask = onehot | nb_rows[None, None]
         if cfg.first_frame_blocks > 0:
-            row_g = me * nb_l + jnp.arange(nb_l)
-            col_g = jnp.arange(nb)
-            ff = ((row_g[:, None] < cfg.first_frame_blocks)
-                  & (col_g[None, :] < cfg.first_frame_blocks))
-            mask = mask | ff[None, None]
+            mask = mask | ops.ff_force_mask(
+                me * nb_l + jnp.arange(nb_l), nb,
+                cfg.first_frame_blocks)[None, None]
 
         partial = mask | nogapr
         r_factor = jnp.sum(jnp.where(partial, probs, 0.0), axis=-1)
@@ -245,12 +243,9 @@ def _ring_joint(mesh, q, k, v, cfg, neighbor_mask, q_text, k_text, v_text,
             nbm, (me * nb_l, 0), (nb_l, nb))
         vis_cols = vis_cols | nb_rows[None, None]
         if cfg.first_frame_blocks > 0:
-            # mirror sparse/pipeline.py:114-118 with GLOBAL row indices
-            row_g = me * nb_l + jnp.arange(nb_l)
-            col_g = jnp.arange(nb)
-            ff = ((row_g[:, None] < cfg.first_frame_blocks)
-                  & (col_g[None, :] < cfg.first_frame_blocks))
-            vis_cols = vis_cols | ff[None, None]
+            vis_cols = vis_cols | ops.ff_force_mask(
+                me * nb_l + jnp.arange(nb_l), nb,
+                cfg.first_frame_blocks)[None, None]
 
         partial = jnp.concatenate(
             [vis_cols | nogapr, jnp.ones((b, h, nb_l, 1), bool)], axis=-1)

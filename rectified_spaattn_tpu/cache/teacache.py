@@ -78,6 +78,7 @@ def trace_to(path: Optional[str]):
     if not path:
         yield None
         return
+    assert TRACE is None, "trace_to contexts must not nest (single writer)"
     TRACE = []
     try:
         yield TRACE
@@ -210,11 +211,10 @@ class TeaCache:
 
     def record_residual(self, hidden_in, hidden_out, ctx_in=None,
                         ctx_out=None):
-        stream = (self._call_count - 1) % self.cfg_streams
-        st = self.states[stream]
-        st.previous_residual = (hidden_out - hidden_in).astype(jnp.bfloat16)
-        if ctx_in is not None and ctx_out is not None:
-            st.previous_residual_ctx = (ctx_out - ctx_in).astype(jnp.bfloat16)
+        self.record_residual_value(
+            (hidden_out - hidden_in).astype(jnp.bfloat16),
+            (ctx_out - ctx_in).astype(jnp.bfloat16)
+            if ctx_in is not None and ctx_out is not None else None)
 
     def record_residual_value(self, residual, residual_ctx=None):
         """Store an already-computed stack residual (the pipelines compute

@@ -87,7 +87,8 @@ class CogVideoXPipeline:
             cd = self.compute_dtype
             return x.astype(cd), ctx.astype(cd), temb.astype(cd), rope
 
-        def blocks(params, x, ctx, temb, rope, tlen, sparse: bool):
+        def blocks(params, x, ctx, temb, rope, tlen, sparse: bool,
+                   want_residual: bool = False):
             dense = self.site.attn_fn(
                 "vanilla" if self.interpret else "flash", text_len_rt=tlen,
                 interpret=self.interpret)
@@ -98,7 +99,10 @@ class CogVideoXPipeline:
             x2, ctx2 = m.apply(params, x, ctx, temb, rope, fn,
                                method=CogVideoXDiT.run_blocks)
             # residuals in-jit so x/ctx can be donated (TeaCache needs the
-            # encoder residual too — reference main_cogvideox.py:129-143)
+            # encoder residual too — reference main_cogvideox.py:129-143);
+            # gated so non-TeaCache runs don't pay the output buffers
+            if not want_residual:
+                return x2, ctx2, None, None
             return (x2, ctx2, (x2 - x).astype(jnp.bfloat16),
                     (ctx2 - ctx).astype(jnp.bfloat16))
 
@@ -108,8 +112,9 @@ class CogVideoXPipeline:
                            method=CogVideoXDiT.head)
 
         self._embed = jax.jit(embed)
-        self._blocks = jax.jit(blocks, static_argnames=("sparse",),
-                               donate_argnums=(1, 2))
+        self._blocks = jax.jit(
+            blocks, static_argnames=("sparse", "want_residual"),
+            donate_argnums=(1, 2))
         self._head = jax.jit(head)
 
     def denoise(self, latents, text_cond, text_uncond, condition=None,
@@ -148,7 +153,8 @@ class CogVideoXPipeline:
                 else:
                     sparse_now = use_sparse and call >= self.sparse_warm_calls
                     x, ctx, res, res_c = self._blocks(
-                        self.params, x, ctx, temb, rope, tlen, sparse_now)
+                        self.params, x, ctx, temb, rope, tlen, sparse_now,
+                        want_residual=tea.enabled)
                     if tea.enabled:
                         tea.record_residual_value(res, res_c)
                 outs.append(self._head(self.params, x, ctx, temb))

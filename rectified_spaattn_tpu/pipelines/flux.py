@@ -91,7 +91,8 @@ class FluxPipeline:
                     sig)
 
         def blocks(params, x, ctx, temb, rope, tlen, sparse: bool,
-                   cn_dual=None, cn_single=None):
+                   cn_dual=None, cn_single=None,
+                   want_residual: bool = False):
             dense = self.site.attn_fn(
                 "vanilla" if self.interpret else "flash", text_len_rt=tlen,
                 interpret=self.interpret)
@@ -110,15 +111,18 @@ class FluxPipeline:
             x2, ctx2 = m.apply(params, x, ctx, temb, rope, dense, dual_fns,
                                single_fns, cn_dual, cn_single,
                                method=FluxDiT.run_blocks)
-            # residual in-jit so x can be donated (TeaCache)
-            return x2, ctx2, (x2 - x).astype(jnp.bfloat16)
+            # residual in-jit so x can be donated (TeaCache); gated so
+            # non-TeaCache runs don't pay the output buffer
+            res = (x2 - x).astype(jnp.bfloat16) if want_residual else None
+            return x2, ctx2, res
 
         def head(params, x, temb):
             return m.apply(params, x, temb, self.l2h, method=FluxDiT.head)
 
         self._embed = jax.jit(embed)
-        self._blocks = jax.jit(blocks, static_argnames=("sparse",),
-                               donate_argnums=(1,))
+        self._blocks = jax.jit(
+            blocks, static_argnames=("sparse", "want_residual"),
+            donate_argnums=(1,))
         self._head = jax.jit(head)
 
     def denoise(self, tokens, text_emb, text_mask, pooled,
@@ -158,7 +162,8 @@ class FluxPipeline:
             else:
                 x, ctx, res = self._blocks(self.params, x, ctx, temb, rope,
                                            tlen, use_sparse, cn_dual,
-                                           cn_single)
+                                           cn_single,
+                                           want_residual=tea.enabled)
                 if tea.enabled:
                     tea.record_residual_value(res)
             v = self._head(self.params, x, temb)

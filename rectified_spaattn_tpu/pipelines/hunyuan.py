@@ -128,7 +128,7 @@ class HunyuanVideoPipeline:
                     sig.astype(cd))
 
         def blocks(params, x, ctx, temb, rope, tlen, attn_mode: str,
-                   temb_tr=None):
+                   temb_tr=None, want_residual: bool = False):
             fn = self.site.attn_fn(attn_mode, text_len_rt=tlen,
                                    interpret=self.interpret,
                                    mesh=self.mesh)
@@ -136,8 +136,10 @@ class HunyuanVideoPipeline:
             x2, ctx2 = m.apply(params, x, ctx, temb, rope, fn, temb_tr,
                                mask, method=HunyuanVideoDiT.run_blocks)
             # stack residual computed in-jit (TeaCache) so x can be DONATED
-            # — at video scale that input buffer is ~0.7 GB of HBM
-            return x2, ctx2, (x2 - x).astype(jnp.bfloat16)
+            # — at video scale that input buffer is ~0.7 GB of HBM; gated
+            # so non-TeaCache runs don't pay the extra output buffer
+            res = (x2 - x).astype(jnp.bfloat16) if want_residual else None
+            return x2, ctx2, res
 
         def head(params, x, temb, temb_tr=None):
             t, hh, ww = self.grid
@@ -150,8 +152,9 @@ class HunyuanVideoPipeline:
                            method=HunyuanVideoDiT.token_replace_temb)
 
         self._embed = jax.jit(embed)
-        self._blocks = jax.jit(blocks, static_argnames=("attn_mode",),
-                               donate_argnums=(1,))
+        self._blocks = jax.jit(
+            blocks, static_argnames=("attn_mode", "want_residual"),
+            donate_argnums=(1,))
         self._head = jax.jit(head)
         self._temb_tr = jax.jit(temb_tr_fn)
 
@@ -209,7 +212,8 @@ class HunyuanVideoPipeline:
                 else:
                     x, ctx, res = self._blocks(self.params, x, ctx, temb,
                                                rope, tlen, attn_mode,
-                                               temb_tr)
+                                               temb_tr,
+                                               want_residual=tea.enabled)
                     if tea.enabled:
                         tea.record_residual_value(res)
                 v_pred = self._head(self.params, x, temb, temb_tr)

@@ -145,7 +145,8 @@ class WanPipeline:
             return (x.astype(cd), ctx.astype(cd), ctx_img,
                     temb.astype(cd), temb6.astype(cd), rope)
 
-        def blocks(params, x, ctx, ctx_img, temb6, rope, sparse: bool):
+        def blocks(params, x, ctx, ctx_img, temb6, rope, sparse: bool,
+                   want_residual: bool = False):
             dense = self.site.attn_fn(
                 "vanilla" if self.interpret else "flash",
                 interpret=self.interpret)
@@ -161,8 +162,10 @@ class WanPipeline:
                 fns = [dense] * n
             x2 = m.apply(params, x, ctx, ctx_img, temb6, rope, dense,
                          cross, fns, method=WanDiT.run_blocks)
-            # residual in-jit so x can be donated (TeaCache)
-            return x2, (x2 - x).astype(jnp.bfloat16)
+            # residual in-jit so x can be donated (TeaCache); gated so
+            # non-TeaCache runs don't pay the output buffer
+            res = (x2 - x).astype(jnp.bfloat16) if want_residual else None
+            return x2, res
 
         def head(params, x, temb):
             t, hh, ww = self.grid
@@ -174,8 +177,9 @@ class WanPipeline:
                            method=WanDiT.head)
 
         self._embed = jax.jit(embed)
-        self._blocks = jax.jit(blocks, static_argnames=("sparse",),
-                               donate_argnums=(1,))
+        self._blocks = jax.jit(
+            blocks, static_argnames=("sparse", "want_residual"),
+            donate_argnums=(1,))
         self._head = jax.jit(head)
 
     def _scheduler(self, steps):
@@ -241,7 +245,8 @@ class WanPipeline:
                     sparse_now = use_sparse and (
                         self.is_i2v or call >= self.warm_calls)
                     x, res = self._blocks(self.params, x, ctx, ctx_img,
-                                          temb6, rope, sparse_now)
+                                          temb6, rope, sparse_now,
+                                          want_residual=tea.enabled)
                     if tea.enabled:
                         tea.record_residual_value(res)
                 outs.append(self._head(self.params, x, temb))
@@ -331,7 +336,8 @@ class Wan22A14BPipeline:
                     x = tea.apply_residual(x)
                 else:
                     x, res = pipe._blocks(pipe.params, x, ctx, ctx_img,
-                                          temb6, rope, use_sparse)
+                                          temb6, rope, use_sparse,
+                                          want_residual=tea.enabled)
                     if tea.enabled:
                         tea.record_residual_value(res)
                 outs.append(pipe._head(pipe.params, x, temb))

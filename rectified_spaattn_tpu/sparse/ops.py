@@ -207,6 +207,17 @@ def mask_to_indices(mask: jax.Array):
     return jnp.minimum(indices, nb - 1), counts
 
 
+def ff_force_mask(row_idx: jax.Array, n_cols: int, ffb: int) -> jax.Array:
+    """First-frame force-include mask (Wan retention, reference:
+    rectified_wan21_attn.py:270-271): True where q-block row < ffb AND
+    k-block col < ffb.  ``row_idx`` are the rows' GLOBAL block indices
+    (shifted under sequence sharding).  Shared by the single-device plan
+    and both ring layouts so the executed-mask == planned-mask invariant
+    cannot drift between them.  Returns [len(row_idx), n_cols] bool."""
+    col = jnp.arange(n_cols)
+    return (row_idx[:, None] < ffb) & (col[None, :] < ffb)
+
+
 def group_rows(mask: jax.Array, group: int, clean_blocks: int = 0):
     """Group ``group`` adjacent query-block rows for the
     G-rows-per-program kernel.

@@ -112,10 +112,9 @@ def build_sparse_plan(
     if neighbor_mask is not None:
         vis_cols = vis_cols | neighbor_mask[None, None, :nq, :vis_cols.shape[-1]]
     if cfg.first_frame_blocks > 0:
-        ffb = cfg.first_frame_blocks
-        qb = jnp.arange(nq) < ffb
-        kb = jnp.arange(vis_cols.shape[-1]) < ffb
-        vis_cols = vis_cols | (qb[:, None] & kb[None, :])[None, None]
+        vis_cols = vis_cols | ops.ff_force_mask(
+            jnp.arange(nq), vis_cols.shape[-1],
+            cfg.first_frame_blocks)[None, None]
     if cfg.layout == "joint":
         text_cols = jnp.ones((b, h, nq, cfg.text_blocks), bool)
         block_mask = jnp.concatenate([vis_cols, text_cols], axis=-1)

@@ -122,7 +122,8 @@ def test_ring_sequence_parallel_matches_single_device(mesh):
     np.testing.assert_allclose(got, want, rtol=2e-3, atol=2e-3)
 
 
-def test_ring_joint_layout_matches_single_device(mesh):
+@pytest.mark.parametrize("ffb", [0, 1])
+def test_ring_joint_layout_matches_single_device(mesh, ffb):
     """Joint-layout ring sp (VERDICT r2 item 5): visual tokens sharded,
     text tail replicated — visual rows ring + local text pass, text rows
     exact via ring-merged full-list passes.  Must equal the single-device
@@ -141,8 +142,8 @@ def test_ring_joint_layout_matches_single_device(mesh):
     tlen_pad = 128
     cfg = SparseConfig(top_k_floor=1, p_remain=0.4, layout="joint",
                        text_len=tlen_pad, topp_impl="sort",
-                       first_frame_blocks=1)   # code-review r3: must apply
-                                               # in the joint ring too
+                       first_frame_blocks=ffb)  # code-review r3: ffb must
+                                                # apply in the joint ring too
     g = np.random.default_rng(17)
     qv, kv_, vv = [jnp.asarray(
         g.normal(size=(b, h, sv, d)).astype(np.float32)) for _ in range(3)]
