@@ -1,0 +1,150 @@
+"""Long-context headroom: the full rectified sparse path at token counts
+BEYOND the reference's longest exercised context.
+
+The reference's long-context mechanism is single-GPU block sparsity, and
+its largest exercised workload is HunyuanVideo 720p x 128 frames =
+115,200 visual + 256 text tokens (reference: scripts/main_hunyuan.py:240-249,
+SURVEY.md section 5 "Long-context").  This script measures the same
+rectified path (plan + gather kernel + rectification + exact text rows)
+at 2x that context on ONE v5e chip — 720p x 256 frames — plus, memory
+permitting, a 2.5x point, against our own dense gather path at the same
+token count.
+
+Timing: amortised in-jit loop (one dispatch+readback through the axon
+tunnel costs a flat ~30 ms — see RESULTS_r3.md "Timing methodology");
+K=4 iterations with a forced data dependency, one readback.
+
+Usage:  python scripts/bench_longctx.py [--frames 256] [--also 320]
+"""
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import numpy as np
+
+
+def log(m):
+    print(f"[{time.strftime('%H:%M:%S')}] {m}", flush=True)
+
+
+def smooth_inputs(key, h, s_vis, text_len, d, coords, alpha=4.0, sigma=1.0):
+    """Spatially-smooth token fields (the real-checkpoint regime) —
+    same construction as bench.py::smooth_inputs."""
+    import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def one(noise_key):
+        k1, k2, k3 = jax.random.split(jax.random.fold_in(key, 7), 3)
+        nfreq = 16
+        w = jax.random.normal(k1, (3, nfreq)) * 3.0
+        phase = jax.random.uniform(k2, (nfreq,)) * 2 * np.pi
+        proj = coords @ w + phase
+        basis = jnp.concatenate([jnp.sin(proj), jnp.cos(proj)], -1)
+        mix = jax.random.normal(k3, (h, 2 * nfreq, d)) / np.sqrt(2 * nfreq)
+        field = jnp.einsum("sf,hfd->hsd", basis, mix)
+        field = jnp.pad(field, ((0, 0), (0, text_len), (0, 0)))
+        noise = jax.random.normal(noise_key, (h, s_vis + text_len, d))
+        return (alpha * field + sigma * noise)[None].astype(jnp.bfloat16)
+
+    ks = jax.random.split(key, 3)
+    return tuple(jax.block_until_ready(one(k)) for k in ks)
+
+
+def amortized(f, *arrs, K=4):
+    import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def loop(*xs):
+        def body(i, s):
+            xs2 = list(xs)
+            x0 = xs2[0]
+            xs2[0] = x0.at[(0,) * x0.ndim].add((s * 1e-20).astype(x0.dtype))
+            out = f(*xs2)
+            leaf = jax.tree_util.tree_leaves(out)[0]
+            return jnp.sum(leaf[(0,) * (leaf.ndim - 1)][:4]
+                           .astype(jnp.float32))
+        return jax.lax.fori_loop(0, K, body, jnp.float32(0.0))
+
+    float(loop(*arrs))
+    t0 = time.perf_counter()
+    float(loop(*arrs))
+    return (time.perf_counter() - t0) / K
+
+
+def run_point(frames, heads=24, d=128, text_len=256, drop=0.8, p_remain=0.3):
+    import jax
+    import jax.numpy as jnp
+    from rectified_spaattn_tpu.attention import rectified_sparse_attention
+    from rectified_spaattn_tpu.attention.modes import _windowed_dense_flash
+    from rectified_spaattn_tpu.curves import cached_curve
+    from rectified_spaattn_tpu.sparse import SparseConfig, select_block_num
+    from rectified_spaattn_tpu.sparse.pipeline import build_sparse_plan
+
+    lt, lh, lw = frames // 4, 45, 80          # 720p latent grid
+    sv = lt * lh * lw
+    s = sv + text_len
+    log(f"--- {frames} frames -> {sv} visual + {text_len} text tokens "
+        f"({s} total) ---")
+
+    t0 = time.perf_counter()
+    l2h, h2l, neighbors = cached_curve(lt, lh, lw, block_size=128)
+    log(f"curve ready ({time.perf_counter() - t0:.1f}s incl. cache)")
+    neighbors = jnp.asarray(neighbors)
+    cfg = SparseConfig(
+        top_k_floor=max(1, select_block_num(drop, sv // 128)),
+        p_remain=p_remain, layout="joint", text_len=text_len)
+
+    lin = np.asarray(h2l)
+    tt, hh, ww = np.unravel_index(lin, (lt, lh, lw))
+    coords = jnp.asarray(np.stack([tt / lt, hh / lh, ww / lw], -1),
+                         jnp.float32)
+    q, k, v = smooth_inputs(jax.random.PRNGKey(0), heads, sv, text_len, d,
+                            coords)
+    tlen = jnp.full((1,), text_len, jnp.int32)
+    log("inputs on device")
+
+    sparse_fn = jax.jit(lambda q, k, v: rectified_sparse_attention(
+        q, k, v, cfg, neighbors, visual_len=sv, text_len_rt=tlen))
+    dense_fn = jax.jit(lambda q, k, v: _windowed_dense_flash(
+        q, k, v, visual_len=sv, text_start=sv, tlen=tlen))
+    plan_fn = jax.jit(lambda q, k, v: build_sparse_plan(
+        q[:, :, :sv], k, v, cfg, neighbor_mask=neighbors))
+
+    plan = plan_fn(q, k, v)
+    density = float(jnp.mean(plan.counts)) / plan.indices.shape[-1]
+    log(f"plan built, mask density {density:.4f}")
+    del plan
+
+    t_sparse = amortized(sparse_fn, q, k, v)
+    log(f"sparse (amortised): {t_sparse * 1e3:.1f} ms")
+    t_dense = amortized(dense_fn, q, k, v)
+    log(f"dense ours (amortised): {t_dense * 1e3:.1f} ms "
+        f"-> speedup {t_dense / t_sparse:.2f}x")
+    return dict(frames=frames, tokens=s, density=round(density, 4),
+                sparse_ms=round(t_sparse * 1e3, 1),
+                dense_ms=round(t_dense * 1e3, 1),
+                speedup=round(t_dense / t_sparse, 3))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--frames", type=int, default=256)
+    ap.add_argument("--also", type=int, default=0,
+                    help="optional second (larger) frame count")
+    ap.add_argument("--heads", type=int, default=24)
+    args = ap.parse_args()
+
+    results = [run_point(args.frames, heads=args.heads)]
+    if args.also:
+        results.append(run_point(args.also, heads=args.heads))
+    import json
+    print(json.dumps(results))
+
+
+if __name__ == "__main__":
+    main()
