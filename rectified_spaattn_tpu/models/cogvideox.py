@@ -20,6 +20,7 @@ import jax
 import jax.numpy as jnp
 import flax.linen as nn
 
+from .quant import QDense
 from .layers import (MLP, apply_rope_interleaved, rope_axial_freqs,
                      timestep_embedding, AttnFn)
 
@@ -64,7 +65,7 @@ class CogVideoXBlock(nn.Module):
         def zero_norm(name, stream_x, stream_c):
             # chunk order matches diffusers CogVideoXLayerNormZero:
             # (shift, scale, gate, enc_shift, enc_scale, enc_gate)
-            g = nn.Dense(6 * self.dim, name=f"{name}_lin")(nn.silu(temb))
+            g = QDense(6 * self.dim, name=f"{name}_lin")(nn.silu(temb))
             shx, sx, gx, shc, sc, gc = jnp.split(g, 6, axis=-1)
             ln = nn.LayerNorm(epsilon=1e-5, name=f"{name}_ln")
             nx = ln(stream_x) * (1 + sx[:, None]) + shx[:, None]
@@ -73,9 +74,9 @@ class CogVideoXBlock(nn.Module):
 
         xn, cn, gx, gc = zero_norm("norm1", x, ctx)
         fused = jnp.concatenate([xn, cn], axis=1)
-        q = nn.Dense(self.dim, name="to_q")(fused)
-        k = nn.Dense(self.dim, name="to_k")(fused)
-        v = nn.Dense(self.dim, name="to_v")(fused)
+        q = QDense(self.dim, name="to_q")(fused)
+        k = QDense(self.dim, name="to_k")(fused)
+        v = QDense(self.dim, name="to_v")(fused)
         split = lambda t: t.reshape(b, -1, self.heads, hd).transpose(0, 2, 1, 3)
         q, k, v = split(q), split(k), split(v)
         # CogVideoX uses per-head LayerNorm for q/k (diffusers
@@ -83,12 +84,19 @@ class CogVideoXBlock(nn.Module):
         q = nn.LayerNorm(epsilon=1e-6, name="norm_q")(q)
         k = nn.LayerNorm(epsilon=1e-6, name="norm_k")(k)
         if rope is not None:
+            # concatenate, NOT .at[].set() — XLA:CPU miscompiles the
+            # dynamic-update-slice fused into the attention dot (see
+            # models/layers.py SingleStreamBlock)
             cos, sin = rope
-            q = q.at[:, :, :sv].set(apply_rope_interleaved(q[:, :, :sv], cos, sin))
-            k = k.at[:, :, :sv].set(apply_rope_interleaved(k[:, :, :sv], cos, sin))
+            q = jnp.concatenate(
+                [apply_rope_interleaved(q[:, :, :sv], cos, sin),
+                 q[:, :, sv:]], axis=2)
+            k = jnp.concatenate(
+                [apply_rope_interleaved(k[:, :, :sv], cos, sin),
+                 k[:, :, sv:]], axis=2)
         attn = attn_fn(q, k, v)
         attn = attn.transpose(0, 2, 1, 3).reshape(b, sv + st, self.dim)
-        attn = nn.Dense(self.dim, name="to_out")(attn)
+        attn = QDense(self.dim, name="to_out")(attn)
         x = x + gx * attn[:, :sv]
         ctx = ctx + gc * attn[:, sv:]
 
@@ -104,13 +112,13 @@ class CogVideoXDiT(nn.Module):
 
     def setup(self):
         c = self.cfg
-        self.patch_embed = nn.Dense(c.hidden_dim, name="patch_embed")
-        self.text_proj = nn.Dense(c.hidden_dim, name="text_proj")
-        self.time_in = nn.Dense(c.time_embed_dim, name="time_in")
+        self.patch_embed = QDense(c.hidden_dim, name="patch_embed")
+        self.text_proj = QDense(c.hidden_dim, name="text_proj")
+        self.time_in = QDense(c.time_embed_dim, name="time_in")
         self.time_mlp = MLP(c.time_embed_dim, 1.0, activation="silu",
                             name="time_mlp")
         if c.use_ofs_embed:
-            self.ofs_in = nn.Dense(c.time_embed_dim, name="ofs_in")
+            self.ofs_in = QDense(c.time_embed_dim, name="ofs_in")
             self.ofs_mlp = MLP(c.time_embed_dim, 1.0, activation="silu",
                                name="ofs_mlp")
         self.blocks = [
@@ -118,9 +126,9 @@ class CogVideoXDiT(nn.Module):
                            name=f"block_{i}")
             for i in range(c.num_blocks)]
         self.norm_final = nn.LayerNorm(epsilon=1e-5, name="norm_final")
-        self.norm_out_lin = nn.Dense(2 * c.hidden_dim, name="norm_out_lin")
+        self.norm_out_lin = QDense(2 * c.hidden_dim, name="norm_out_lin")
         self.norm_out_ln = nn.LayerNorm(epsilon=1e-5, name="norm_out_ln")
-        self.proj_out = nn.Dense(
+        self.proj_out = QDense(
             c.patch_size_t * c.patch_size * c.patch_size * c.out_channels,
             name="proj_out")
 

@@ -18,6 +18,7 @@ import jax
 import jax.numpy as jnp
 import flax.linen as nn
 
+from .quant import QDense
 from .layers import (AdaLayerNormContinuous, DualStreamBlock, MLP,
                      SingleStreamBlock, rope_axial_freqs,
                      timestep_embedding, AttnFn)
@@ -54,16 +55,16 @@ class FluxDiT(nn.Module):
 
     def setup(self):
         c = self.cfg
-        self.x_embedder = nn.Dense(c.hidden_dim, name="x_embedder")
-        self.context_embedder = nn.Dense(c.hidden_dim, name="context_embedder")
-        self.time_in = nn.Dense(c.hidden_dim, name="time_in")
+        self.x_embedder = QDense(c.hidden_dim, name="x_embedder")
+        self.context_embedder = QDense(c.hidden_dim, name="context_embedder")
+        self.time_in = QDense(c.hidden_dim, name="time_in")
         self.time_mlp = MLP(c.hidden_dim, 1.0, activation="silu",
                             name="time_mlp")
-        self.pooled_in = nn.Dense(c.hidden_dim, name="pooled_in")
+        self.pooled_in = QDense(c.hidden_dim, name="pooled_in")
         self.pooled_mlp = MLP(c.hidden_dim, 1.0, activation="silu",
                               name="pooled_mlp")
         if c.guidance_embeds:
-            self.guide_in = nn.Dense(c.hidden_dim, name="guide_in")
+            self.guide_in = QDense(c.hidden_dim, name="guide_in")
             self.guide_mlp = MLP(c.hidden_dim, 1.0, activation="silu",
                                  name="guide_mlp")
         self.dual_blocks = [
@@ -75,7 +76,7 @@ class FluxDiT(nn.Module):
                               name=f"single_{i}")
             for i in range(c.num_single_blocks)]
         self.norm_out = AdaLayerNormContinuous(c.hidden_dim, name="norm_out")
-        self.proj_out = nn.Dense(c.out_channels, name="proj_out")
+        self.proj_out = QDense(c.out_channels, name="proj_out")
 
     def _rope(self, grid_h, grid_w, perm):
         c = self.cfg
@@ -197,21 +198,21 @@ class FluxControlNet(nn.Module):
 
     def setup(self):
         c = self.cfg
-        self.x_embedder = nn.Dense(c.hidden_dim, name="x_embedder")
+        self.x_embedder = QDense(c.hidden_dim, name="x_embedder")
         # zero-init: at init the ControlNet is a no-op, as in diffusers
-        self.controlnet_x_embedder = nn.Dense(
+        self.controlnet_x_embedder = QDense(
             c.hidden_dim, kernel_init=nn.initializers.zeros,
             bias_init=nn.initializers.zeros, name="controlnet_x_embedder")
-        self.context_embedder = nn.Dense(c.hidden_dim,
+        self.context_embedder = QDense(c.hidden_dim,
                                          name="context_embedder")
-        self.time_in = nn.Dense(c.hidden_dim, name="time_in")
+        self.time_in = QDense(c.hidden_dim, name="time_in")
         self.time_mlp = MLP(c.hidden_dim, 1.0, activation="silu",
                             name="time_mlp")
-        self.pooled_in = nn.Dense(c.hidden_dim, name="pooled_in")
+        self.pooled_in = QDense(c.hidden_dim, name="pooled_in")
         self.pooled_mlp = MLP(c.hidden_dim, 1.0, activation="silu",
                               name="pooled_mlp")
         if c.guidance_embeds:
-            self.guide_in = nn.Dense(c.hidden_dim, name="guide_in")
+            self.guide_in = QDense(c.hidden_dim, name="guide_in")
             self.guide_mlp = MLP(c.hidden_dim, 1.0, activation="silu",
                                  name="guide_mlp")
         self.dual_blocks = [
@@ -223,11 +224,11 @@ class FluxControlNet(nn.Module):
                               name=f"single_{i}")
             for i in range(c.num_single_blocks)]
         self.controlnet_blocks = [
-            nn.Dense(c.hidden_dim, kernel_init=nn.initializers.zeros,
+            QDense(c.hidden_dim, kernel_init=nn.initializers.zeros,
                      bias_init=nn.initializers.zeros, name=f"cn_proj_{i}")
             for i in range(c.num_dual_blocks)]
         self.controlnet_single_blocks = [
-            nn.Dense(c.hidden_dim, kernel_init=nn.initializers.zeros,
+            QDense(c.hidden_dim, kernel_init=nn.initializers.zeros,
                      bias_init=nn.initializers.zeros,
                      name=f"cn_single_proj_{i}")
             for i in range(c.num_single_blocks)]

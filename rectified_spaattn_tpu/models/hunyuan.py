@@ -23,6 +23,7 @@ import jax
 import jax.numpy as jnp
 import flax.linen as nn
 
+from .quant import QDense
 from .layers import (
     AdaLayerNormContinuous, DualStreamBlock, MLP, RMSNorm, SingleStreamBlock,
     rope_axial_freqs, timestep_embedding, AttnFn)
@@ -76,7 +77,7 @@ class TokenRefiner(nn.Module):
         c = self.cfg
         t_emb = timestep_embedding(timestep, 256)
         t_emb = MLP(c.hidden_dim, 1.0, activation="silu", name="time_mlp")(
-            nn.Dense(c.hidden_dim, name="time_in")(t_emb))
+            QDense(c.hidden_dim, name="time_in")(t_emb))
         if text_mask is None:
             pooled = jnp.mean(text_emb, axis=1)
         else:
@@ -84,16 +85,16 @@ class TokenRefiner(nn.Module):
             pooled = jnp.sum(text_emb * w, axis=1) / jnp.clip(
                 jnp.sum(w, axis=1), 1e-3)
         p_emb = MLP(c.hidden_dim, 1.0, activation="silu", name="pool_mlp")(
-            nn.Dense(c.hidden_dim, name="pool_in")(pooled))
+            QDense(c.hidden_dim, name="pool_in")(pooled))
         cond = t_emb + p_emb
 
-        x = nn.Dense(c.hidden_dim, name="proj_in")(text_emb)
+        x = QDense(c.hidden_dim, name="proj_in")(text_emb)
         hd = c.hidden_dim // c.heads
         for i in range(c.num_refiner_blocks):
-            gate = nn.Dense(2 * c.hidden_dim, name=f"blk{i}_ada")(nn.silu(cond))
+            gate = QDense(2 * c.hidden_dim, name=f"blk{i}_ada")(nn.silu(cond))
             g_attn, g_mlp = jnp.split(gate, 2, axis=-1)
             xn = nn.LayerNorm(epsilon=1e-6, name=f"blk{i}_norm1")(x)
-            qkv = nn.Dense(3 * c.hidden_dim, name=f"blk{i}_qkv")(xn)
+            qkv = QDense(3 * c.hidden_dim, name=f"blk{i}_qkv")(xn)
             q, k, v = jnp.split(qkv, 3, axis=-1)
             split = lambda t: t.reshape(t.shape[0], -1, c.heads, hd).transpose(0, 2, 1, 3)
             q, k, v = split(q), split(k), split(v)
@@ -102,7 +103,7 @@ class TokenRefiner(nn.Module):
                 scores = jnp.where(text_mask[:, None, None, :], scores, -1e9)
             attn = jnp.einsum("bhqk,bhkd->bhqd", jax.nn.softmax(scores, -1), v)
             attn = attn.transpose(0, 2, 1, 3).reshape(x.shape)
-            x = x + g_attn[:, None] * nn.Dense(c.hidden_dim,
+            x = x + g_attn[:, None] * QDense(c.hidden_dim,
                                                name=f"blk{i}_proj")(attn)
             xm = nn.LayerNorm(epsilon=1e-6, name=f"blk{i}_norm2")(x)
             x = x + g_mlp[:, None] * MLP(c.hidden_dim, c.mlp_mult,
@@ -116,17 +117,17 @@ class HunyuanVideoDiT(nn.Module):
 
     def setup(self):
         c = self.cfg
-        self.x_embedder = nn.Dense(c.hidden_dim, name="x_embedder")
+        self.x_embedder = QDense(c.hidden_dim, name="x_embedder")
         self.refiner = TokenRefiner(c, name="context_embedder")
-        self.time_in = nn.Dense(c.hidden_dim, name="time_in")
+        self.time_in = QDense(c.hidden_dim, name="time_in")
         self.time_mlp = MLP(c.hidden_dim, 1.0, activation="silu",
                             name="time_mlp")
-        self.pooled_in = nn.Dense(c.hidden_dim, name="pooled_in")
+        self.pooled_in = QDense(c.hidden_dim, name="pooled_in")
         self.pooled_mlp = MLP(c.hidden_dim, 1.0, activation="silu",
                               name="pooled_mlp")
-        self.clip_pool_proj = nn.Dense(c.pooled_dim, name="clip_pool_proj")
+        self.clip_pool_proj = QDense(c.pooled_dim, name="clip_pool_proj")
         if c.guidance_embeds:
-            self.guide_in = nn.Dense(c.hidden_dim, name="guide_in")
+            self.guide_in = QDense(c.hidden_dim, name="guide_in")
             self.guide_mlp = MLP(c.hidden_dim, 1.0, activation="silu",
                                  name="guide_mlp")
         self.dual_blocks = [
@@ -138,7 +139,7 @@ class HunyuanVideoDiT(nn.Module):
                               name=f"single_{i}")
             for i in range(c.num_single_blocks)]
         self.norm_out = AdaLayerNormContinuous(c.hidden_dim, name="norm_out")
-        self.proj_out = nn.Dense(
+        self.proj_out = QDense(
             c.patch_size_t * c.patch_size * c.patch_size * c.out_channels,
             name="proj_out")
 

@@ -17,6 +17,8 @@ import jax
 import jax.numpy as jnp
 import flax.linen as nn
 
+from .quant import QDense
+
 # An attention function: (q, k, v) [B,H,S,D] -> [B,H,S,D].
 AttnFn = Callable[[jax.Array, jax.Array, jax.Array], jax.Array]
 
@@ -82,7 +84,7 @@ class AdaLayerNormZero(nn.Module):
 
     @nn.compact
     def __call__(self, x, emb, emb_alt=None, alt_mask=None):
-        lin = nn.Dense(6 * self.dim, name="linear")
+        lin = QDense(6 * self.dim, name="linear")
 
         def mods_of(e):
             parts = jnp.split(lin(nn.silu(e)), 6, axis=-1)
@@ -107,7 +109,7 @@ class AdaLayerNormZeroSingle(nn.Module):
 
     @nn.compact
     def __call__(self, x, emb, emb_alt=None, alt_mask=None):
-        lin = nn.Dense(3 * self.dim, name="linear")
+        lin = QDense(3 * self.dim, name="linear")
 
         def mods_of(e):
             parts = jnp.split(lin(nn.silu(e)), 3, axis=-1)
@@ -127,7 +129,7 @@ class AdaLayerNormContinuous(nn.Module):
 
     @nn.compact
     def __call__(self, x, emb, emb_alt=None, alt_mask=None):
-        lin = nn.Dense(2 * self.dim, name="linear")
+        lin = QDense(2 * self.dim, name="linear")
 
         def mods_of(e):
             parts = jnp.split(lin(nn.silu(e)), 2, axis=-1)
@@ -148,7 +150,7 @@ class MLP(nn.Module):
     @nn.compact
     def __call__(self, x):
         hidden = int(self.dim * self.mult)
-        x = nn.Dense(hidden, name="fc1")(x)
+        x = QDense(hidden, name="fc1")(x)
         if self.activation == "gelu_tanh":
             x = nn.gelu(x, approximate=True)
         elif self.activation == "gelu":
@@ -157,7 +159,7 @@ class MLP(nn.Module):
             x = nn.silu(x)
         else:
             raise ValueError(self.activation)
-        return nn.Dense(self.dim, name="fc2")(x)
+        return QDense(self.dim, name="fc2")(x)
 
 
 # ----------------------------------------------------------------- RoPE ----
@@ -221,9 +223,9 @@ class JointAttention(nn.Module):
         hd = self.dim // self.heads
 
         def qkv(stream, prefix):
-            q = nn.Dense(self.dim, name=f"{prefix}to_q")(stream)
-            k = nn.Dense(self.dim, name=f"{prefix}to_k")(stream)
-            v = nn.Dense(self.dim, name=f"{prefix}to_v")(stream)
+            q = QDense(self.dim, name=f"{prefix}to_q")(stream)
+            k = QDense(self.dim, name=f"{prefix}to_k")(stream)
+            v = QDense(self.dim, name=f"{prefix}to_v")(stream)
             split = lambda t: t.reshape(b, -1, self.heads, hd).transpose(0, 2, 1, 3)
             return split(q), split(k), split(v)
 
@@ -245,8 +247,8 @@ class JointAttention(nn.Module):
         out = attn_fn(q, k, v)                       # [B,H,Sv+St,D]
         out = out.transpose(0, 2, 1, 3).reshape(b, sv + st, self.dim)
         out_x, out_c = out[:, :sv], out[:, sv:]
-        out_x = nn.Dense(self.dim, name="to_out")(out_x)
-        out_c = nn.Dense(self.dim, name="to_add_out")(out_c)
+        out_x = QDense(self.dim, name="to_out")(out_x)
+        out_c = QDense(self.dim, name="to_add_out")(out_c)
         return out_x, out_c
 
 
@@ -311,22 +313,31 @@ class SingleStreamBlock(nn.Module):
         normed, gate = AdaLayerNormZeroSingle(self.dim, name="norm")(
             fused, temb, temb_alt, alt_mask)
 
-        qkv = nn.Dense(3 * self.dim, name="to_qkv")(normed)
+        qkv = QDense(3 * self.dim, name="to_qkv")(normed)
         q, k, v = jnp.split(qkv, 3, axis=-1)
         split = lambda t: t.reshape(b, -1, self.heads, hd).transpose(0, 2, 1, 3)
         q, k, v = split(q), split(k), split(v)
         q = RMSNorm(hd, name="norm_q")(q)
         k = RMSNorm(hd, name="norm_k")(k)
         if rope is not None:
+            # concatenate, NOT .at[:, :, :sv].set(): XLA:CPU miscompiles the
+            # dynamic-update-slice when it fuses into the attention dot
+            # (jit output deviates ~10% from the fp64 oracle; eager is
+            # correct — verified empirically, jax 0.8.x).  concat lowers to
+            # the same copy and is safe on both backends.
             cos, sin = rope
-            q = q.at[:, :, :sv].set(apply_rope_interleaved(q[:, :, :sv], cos, sin))
-            k = k.at[:, :, :sv].set(apply_rope_interleaved(k[:, :, :sv], cos, sin))
+            q = jnp.concatenate(
+                [apply_rope_interleaved(q[:, :, :sv], cos, sin),
+                 q[:, :, sv:]], axis=2)
+            k = jnp.concatenate(
+                [apply_rope_interleaved(k[:, :, :sv], cos, sin),
+                 k[:, :, sv:]], axis=2)
         attn = attn_fn(q, k, v)
         attn = attn.transpose(0, 2, 1, 3).reshape(b, sv + st, self.dim)
 
-        mlp_h = nn.Dense(int(self.dim * self.mlp_mult), name="proj_mlp")(normed)
+        mlp_h = QDense(int(self.dim * self.mlp_mult), name="proj_mlp")(normed)
         mlp_h = nn.gelu(mlp_h, approximate=True)
-        out = nn.Dense(self.dim, name="proj_out")(
+        out = QDense(self.dim, name="proj_out")(
             jnp.concatenate([attn, mlp_h], axis=-1))
         fused = fused + gate * out
         return fused[:, :sv], fused[:, sv:]
@@ -367,33 +378,33 @@ class CrossAttnBlock(nn.Module):
                           name="norm1")(x)
         xn = xn * (1 + scale_msa) + shift_msa
         q = split(RMSNorm(self.dim, name="attn1_norm_q")(
-            nn.Dense(self.dim, name="attn1_to_q")(xn)))
+            QDense(self.dim, name="attn1_to_q")(xn)))
         k = split(RMSNorm(self.dim, name="attn1_norm_k")(
-            nn.Dense(self.dim, name="attn1_to_k")(xn)))
-        v = split(nn.Dense(self.dim, name="attn1_to_v")(xn))
+            QDense(self.dim, name="attn1_to_k")(xn)))
+        v = split(QDense(self.dim, name="attn1_to_v")(xn))
         if rope is not None:
             cos, sin = rope
             q = apply_rope_complex(q, cos, sin)
             k = apply_rope_complex(k, cos, sin)
         attn = merge(self_attn_fn(q, k, v))
-        attn = nn.Dense(self.dim, name="attn1_to_out")(attn)
+        attn = QDense(self.dim, name="attn1_to_out")(attn)
         x = x + gate_msa * attn
 
         # Cross attention to text (always dense).
         xc = nn.LayerNorm(epsilon=1e-6, use_scale=True, use_bias=True,
                           name="norm2")(x)
         q2 = split(RMSNorm(self.dim, name="attn2_norm_q")(
-            nn.Dense(self.dim, name="attn2_to_q")(xc)))
+            QDense(self.dim, name="attn2_to_q")(xc)))
         k2 = split(RMSNorm(self.dim, name="attn2_norm_k")(
-            nn.Dense(self.dim, name="attn2_to_k")(ctx)))
-        v2 = split(nn.Dense(self.dim, name="attn2_to_v")(ctx))
+            QDense(self.dim, name="attn2_to_k")(ctx)))
+        v2 = split(QDense(self.dim, name="attn2_to_v")(ctx))
         cross = cross_attn_fn(q2, k2, v2)
         if self.image_cross and ctx_img is not None:
             k2i = split(RMSNorm(self.dim, name="attn2_norm_added_k")(
-                nn.Dense(self.dim, name="attn2_add_k_proj")(ctx_img)))
-            v2i = split(nn.Dense(self.dim, name="attn2_add_v_proj")(ctx_img))
+                QDense(self.dim, name="attn2_add_k_proj")(ctx_img)))
+            v2i = split(QDense(self.dim, name="attn2_add_v_proj")(ctx_img))
             cross = cross + cross_attn_fn(q2, k2i, v2i)
-        x = x + nn.Dense(self.dim, name="attn2_to_out")(merge(cross))
+        x = x + QDense(self.dim, name="attn2_to_out")(merge(cross))
 
         xm = nn.LayerNorm(use_bias=False, use_scale=False, epsilon=1e-6,
                           name="norm3")(x)

@@ -1,0 +1,86 @@
+"""Scan-over-blocks execution: one traced block instead of N unrolled.
+
+The reference never compiles its transformer (eager torch, graph rebuilt
+every call); under XLA an unrolled 60-block HunyuanVideo program is ~60x
+the HLO of one block, which at video scale means multi-hour remote
+compiles and a scheduler free to overlap cross-block temporaries (see
+models/hunyuan.py::run_blocks on why that OOMs).  ``lax.scan`` over
+stacked per-block parameters compiles the block ONCE and serializes
+iterations by construction — the TPU-idiomatic layout for deep uniform
+stacks (and the standard trick from the scaling playbook).
+
+Params for the scanned segment are stacked leaf-wise to [L, ...] by
+``stack_block_params``; weight-only quantization (models/quant.py)
+composes — quantize_params handles the stacked kernels, and lax.scan
+slices the int8/int4 leaves per iteration.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .layers import AdaLayerNormZero, AttnFn, DualStreamBlock, SingleStreamBlock
+
+
+def stack_block_params(tree: dict, prefix: str, n: int):
+    """Split ``{prefix}0..{prefix}{n-1}`` out of a params dict and stack
+    them leaf-wise to [n, ...].  Returns (rest, stacked).  Stacking stays
+    in the leaves' own memory space (numpy in, numpy out) so a 13B host
+    tree never doubles on device."""
+    names = [f"{prefix}{i}" for i in range(n)]
+    missing = [m for m in names if m not in tree]
+    if missing:
+        raise KeyError(f"blocks missing from params: {missing[:3]}...")
+    subs = [tree[m] for m in names]
+    rest = {k: v for k, v in tree.items() if k not in set(names)}
+    is_np = isinstance(jax.tree_util.tree_leaves(subs[0])[0], np.ndarray)
+    stack = (lambda *xs: np.stack(xs)) if is_np else (lambda *xs: jnp.stack(xs))
+    return rest, jax.tree_util.tree_map(stack, *subs)
+
+
+def unstack_block_params(stacked: dict, prefix: str) -> dict:
+    """Inverse of stack_block_params (tests / checkpoint export)."""
+    n = jax.tree_util.tree_leaves(stacked)[0].shape[0]
+    return {f"{prefix}{i}": jax.tree_util.tree_map(lambda a: a[i], stacked)
+            for i in range(n)}
+
+
+def hunyuan_run_blocks_scan(cfg, dual_stack: dict, single_stack: dict,
+                            x, ctx, temb, rope, attn_fn: AttnFn,
+                            temb_alt=None, alt_mask=None):
+    """Functional equivalent of HunyuanVideoDiT.run_blocks over stacked
+    params (reference hot loop: scripts/main_hunyuan.py:134-157).  No
+    optimization_barrier needed — scan serializes iterations itself, so
+    only one block's temporaries are ever live."""
+    dual = DualStreamBlock(cfg.hidden_dim, cfg.heads, cfg.mlp_mult)
+    single = SingleStreamBlock(cfg.hidden_dim, cfg.heads, cfg.mlp_mult)
+
+    def dual_body(carry, p):
+        cx, cc = carry
+        return dual.apply({"params": p}, cx, cc, temb, rope, attn_fn,
+                          temb_alt, alt_mask), None
+
+    def single_body(carry, p):
+        cx, cc = carry
+        return single.apply({"params": p}, cx, cc, temb, rope, attn_fn,
+                            temb_alt, alt_mask), None
+
+    if cfg.num_dual_blocks:
+        (x, ctx), _ = jax.lax.scan(dual_body, (x, ctx), dual_stack)
+    if cfg.num_single_blocks:
+        (x, ctx), _ = jax.lax.scan(single_body, (x, ctx), single_stack)
+    return x, ctx
+
+
+def hunyuan_teacache_signal_scan(cfg, dual_stack: dict, x, temb):
+    """Block-0 norm1 modulated input from the stacked tree (the unrolled
+    path's HunyuanVideoDiT.teacache_signal; reference
+    scripts/main_hunyuan.py:113)."""
+    if not cfg.num_dual_blocks:
+        return x + temb[:, None]
+    p0 = jax.tree_util.tree_map(lambda a: a[0], dual_stack["norm1"])
+    return AdaLayerNormZero(cfg.hidden_dim).apply({"params": p0}, x, temb)[0]

@@ -22,6 +22,7 @@ import jax
 import jax.numpy as jnp
 import flax.linen as nn
 
+from .quant import QDense
 from .layers import (CrossAttnBlock, MLP, rope_axial_freqs,
                      timestep_embedding, AttnFn)
 
@@ -59,18 +60,18 @@ class WanDiT(nn.Module):
 
     def setup(self):
         c = self.cfg
-        self.patch_embedding = nn.Dense(c.hidden_dim, name="patch_embedding")
+        self.patch_embedding = QDense(c.hidden_dim, name="patch_embedding")
         # text_embedder: linear(text_dim->hidden), gelu, linear(hidden->
         # hidden) — diffusers WanTextEmbedder layout
         self.text_embedder = MLP(c.hidden_dim, 1.0, activation="gelu",
                                  name="text_embedder")
-        self.time_in = nn.Dense(c.hidden_dim, name="time_in")
+        self.time_in = QDense(c.hidden_dim, name="time_in")
         self.time_embedder = MLP(c.hidden_dim, 1.0, activation="silu",
                                  name="time_embedder")
         # shared 6-way modulation projection consumed by every block
         # (diffusers `timestep_proj`; the reference's TeaCache signal when
         # use_ret_steps, scripts/main_wan21t2v.py:103)
-        self.time_proj = nn.Dense(6 * c.hidden_dim, name="time_proj")
+        self.time_proj = QDense(6 * c.hidden_dim, name="time_proj")
         if c.image_cross:
             # diffusers WanImageEmbedding: norm1 -> ff(gelu) -> norm2 over
             # the CLIP-vision features
@@ -88,7 +89,7 @@ class WanDiT(nn.Module):
         self.norm_out = nn.LayerNorm(use_bias=False, use_scale=False,
                                      epsilon=1e-6, name="norm_out")
         pt, ph, pw = c.patch_size
-        self.proj_out = nn.Dense(pt * ph * pw * c.out_channels,
+        self.proj_out = QDense(pt * ph * pw * c.out_channels,
                                  name="proj_out")
 
     def _patchify(self, latents):

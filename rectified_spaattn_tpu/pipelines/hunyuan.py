@@ -80,6 +80,10 @@ class HunyuanVideoPipeline:
     # sparse path runs head-parallel via shard_map, and XLA partitions
     # the rest — the reference has no multi-device execution at all.
     mesh: Optional[object] = None
+    # Scan-over-blocks execution (models/scan.py): compile each block type
+    # ONCE instead of unrolling 20+40 copies — the full-depth serving mode
+    # (composes with quantize_params; see scripts/bench_e2e.py --full).
+    scan_blocks: bool = False
 
     def __post_init__(self):
         cfg = self.model.cfg
@@ -110,6 +114,27 @@ class HunyuanVideoPipeline:
         # (models/layers.py::apply_rope_interleaved).
         from .base import param_compute_dtype
         self.compute_dtype = param_compute_dtype(self.params)
+        if self.scan_blocks:
+            if self.mesh is not None:
+                raise NotImplementedError(
+                    "scan_blocks + mesh: shard_params' name patterns don't "
+                    "cover stacked trees yet — use one or the other")
+            if "scan_dual" not in self.params:   # accept pre-stacked trees
+                from ..models.scan import stack_block_params
+                inner = dict(self.params["params"])
+                inner, dual_stack = stack_block_params(
+                    inner, "dual_", cfg.num_dual_blocks)
+                inner, single_stack = stack_block_params(
+                    inner, "single_", cfg.num_single_blocks)
+                # extra collections ride along unused through m.apply
+                self.params = {"params": inner, "scan_dual": dual_stack,
+                               "scan_single": single_stack}
+        # Host (numpy) trees — the quantize/stack path builds them host-side
+        # — must be device-put ONCE, or every jitted call re-transfers the
+        # full weight tree through the tunnel.
+        if any(isinstance(l, np.ndarray)
+               for l in jax.tree_util.tree_leaves(self.params)):
+            self.params = jax.tree_util.tree_map(jnp.asarray, self.params)
         if self.mesh is not None:
             from ..parallel import shard_params
             self.params = shard_params(self.mesh, self.params)
@@ -118,8 +143,13 @@ class HunyuanVideoPipeline:
             x, ctx, temb, rope = m.apply(
                 params, latents, t, text, mask, guidance, self.h2l,
                 pooled, method=HunyuanVideoDiT.embed)
-            sig = m.apply(params, x, temb,
-                          method=HunyuanVideoDiT.teacache_signal)
+            if self.scan_blocks:
+                from ..models.scan import hunyuan_teacache_signal_scan
+                sig = hunyuan_teacache_signal_scan(
+                    cfg, params["scan_dual"], x, temb)
+            else:
+                sig = m.apply(params, x, temb,
+                              method=HunyuanVideoDiT.teacache_signal)
             cd = self.compute_dtype
             # sig is STORED by TeaCache as previous_modulated — keep it in
             # the model dtype like the reference (main_hunyuan.py:126 on a
@@ -133,8 +163,14 @@ class HunyuanVideoPipeline:
                                    interpret=self.interpret,
                                    mesh=self.mesh)
             mask = self._ff_mask_curve if temb_tr is not None else None
-            x2, ctx2 = m.apply(params, x, ctx, temb, rope, fn, temb_tr,
-                               mask, method=HunyuanVideoDiT.run_blocks)
+            if self.scan_blocks:
+                from ..models.scan import hunyuan_run_blocks_scan
+                x2, ctx2 = hunyuan_run_blocks_scan(
+                    cfg, params["scan_dual"], params["scan_single"],
+                    x, ctx, temb, rope, fn, temb_tr, mask)
+            else:
+                x2, ctx2 = m.apply(params, x, ctx, temb, rope, fn, temb_tr,
+                                   mask, method=HunyuanVideoDiT.run_blocks)
             # stack residual computed in-jit (TeaCache) so x can be DONATED
             # — at video scale that input buffer is ~0.7 GB of HBM; gated
             # so non-TeaCache runs don't pay the extra output buffer

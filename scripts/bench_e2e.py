@@ -30,10 +30,11 @@ def log(m):
     print(f"[{time.strftime('%H:%M:%S')}] {m}", flush=True)
 
 
-def host_bf16_params(model, cfg, text_dim, scale=0.02, seed=0):
+def host_bf16_params(model, cfg, text_dim, scale=0.02, seed=0, host=False):
     """Random bf16 params built leaf-by-leaf on the host: a full fp32
     device init would need 2x the bf16 footprint and blows HBM at real
-    width×depth."""
+    width×depth.  host=True keeps leaves as numpy (for quantize_params /
+    stack_block_params before any device transfer)."""
     rng = jax.random.PRNGKey(seed)
     text = jnp.zeros((1, 8, text_dim), jnp.float32)
     mask = jnp.ones((1, 8), bool)
@@ -42,12 +43,13 @@ def host_bf16_params(model, cfg, text_dim, scale=0.02, seed=0):
     shapes = jax.eval_shape(model.init, rng, lat, jnp.array([0.0]), text,
                             mask, jnp.array([6000.0]), None, None)
     g = np.random.default_rng(seed)
+    conv = (lambda x, d: x.astype(d)) if host else jnp.asarray
 
     def leaf(sd):
         if not jnp.issubdtype(sd.dtype, jnp.floating):
-            return jnp.zeros(sd.shape, sd.dtype)
+            return conv(np.zeros(sd.shape), sd.dtype)
         x = g.normal(size=sd.shape, scale=scale).astype(np.float32)
-        return jnp.asarray(x, jnp.bfloat16)
+        return conv(x, jnp.bfloat16)
 
     return jax.tree_util.tree_map(leaf, shapes)
 
@@ -90,6 +92,12 @@ def main():
     ap.add_argument("--dense_ref", type=float, default=None,
                     help="dense s/step from a prior run (for the "
                          "teacache-only process)")
+    ap.add_argument("--scan_blocks", action="store_true",
+                    help="lax.scan execution (one traced block per stream "
+                         "type) — required for full 20+40 depth")
+    ap.add_argument("--quant", type=int, default=0, choices=(0, 4, 8),
+                    help="weight-only quantization bits (models/quant.py);"
+                         " 8 or 4 lets the full 13B flagship fit 16 GB")
     args = ap.parse_args()
 
     from rectified_spaattn_tpu.models.hunyuan import (
@@ -103,11 +111,18 @@ def main():
     model = HunyuanVideoDiT(cfg)
     log(f"host-init bf16 params (hidden {cfg.hidden_dim}, "
         f"{args.dual}+{args.single} blocks)...")
-    params = host_bf16_params(model, cfg, cfg.text_dim)
+    host = bool(args.quant) or args.scan_blocks
+    params = host_bf16_params(model, cfg, cfg.text_dim, host=host)
     n_params = sum(int(np.prod(x.shape))
                    for x in jax.tree_util.tree_leaves(params))
     log(f"{n_params/1e9:.2f}B params "
         f"({n_params*2/1e9:.1f} GB bf16 resident)")
+    if args.quant:
+        from rectified_spaattn_tpu.models.quant import (
+            quantize_params, quantized_nbytes)
+        params = quantize_params(params, bits=args.quant)
+        log(f"int{args.quant} weight-only: "
+            f"{quantized_nbytes(params)/1e9:.1f} GB resident")
 
     rng = jax.random.PRNGKey(0)
     text = jax.random.normal(rng, (1, 256, cfg.text_dim), jnp.float32)
@@ -127,7 +142,9 @@ def main():
             model=model, params=params, height=args.height,
             width=args.width, frames=args.frame, num_steps=args.steps,
             sa_drop_rate=args.sa_drop_rate,
-            p_remain_rates=args.p_remain, mode=mode)
+            p_remain_rates=args.p_remain, mode=mode,
+            scan_blocks=args.scan_blocks)
+        params = pipe.params   # share ONE device copy across pipelines
         log(f"{mode}: warm-up (compiles)...")
         pipe(text, mask, seed=1, num_steps=1, init_latents=init_latents)
         log(f"{mode}: timed {args.steps} steps...")
@@ -148,7 +165,8 @@ def main():
             width=args.width, frames=args.frame, num_steps=args.steps,
             sa_drop_rate=args.sa_drop_rate,
             p_remain_rates=args.p_remain, mode="sparse",
-            enable_teacache=True, rel_l1_thresh=args.teacache_thresh)
+            enable_teacache=True, rel_l1_thresh=args.teacache_thresh,
+            scan_blocks=args.scan_blocks)
         pipe(text, mask, seed=1, num_steps=1, init_latents=init_latents)
         from rectified_spaattn_tpu.cache import teacache as tc_mod
         steps = max(args.steps, 6)
