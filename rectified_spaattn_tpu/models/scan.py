@@ -23,7 +23,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .layers import AdaLayerNormZero, AttnFn, DualStreamBlock, SingleStreamBlock
+from .layers import (AdaLayerNormZero, AttnFn, CrossAttnBlock,
+                     DualStreamBlock, SingleStreamBlock)
 
 
 def stack_block_params(tree: dict, prefix: str, n: int):
@@ -74,6 +75,94 @@ def hunyuan_run_blocks_scan(cfg, dual_stack: dict, single_stack: dict,
     if cfg.num_single_blocks:
         (x, ctx), _ = jax.lax.scan(single_body, (x, ctx), single_stack)
     return x, ctx
+
+
+def wan_run_blocks_scan(cfg, stack: dict, x, ctx, ctx_img, temb6, rope,
+                        segments, cross_attn_fn: AttnFn):
+    """Functional equivalent of WanDiT.run_blocks over stacked params.
+
+    ``segments``: [(start, end, self_attn_fn), ...] covering [0, n) in
+    order — the reference's per-layer warm gates (dense head/tail layers,
+    sparse middle; rectified_wan21_attn.py:467, rectified_wan22_attn.py:246)
+    become one scan per contiguous segment, so the block still compiles
+    once per DISTINCT attention fn instead of once per layer."""
+    blk = CrossAttnBlock(cfg.hidden_dim, cfg.heads,
+                         cfg.ffn_dim / cfg.hidden_dim,
+                         image_cross=cfg.image_cross)
+    for start, end, fn in segments:
+        if start >= end:
+            continue
+        sub = jax.tree_util.tree_map(lambda a: a[start:end], stack)
+
+        def body(carry, p, fn=fn):
+            return blk.apply({"params": p}, carry, ctx, temb6, rope, fn,
+                             cross_attn_fn, ctx_img=ctx_img), None
+
+        x, _ = jax.lax.scan(body, x, sub)
+    return x
+
+
+def flux_run_blocks_scan(cfg, dual_stack: dict, single_stack: dict,
+                         x, ctx, temb, rope, dual_segments,
+                         single_segments, cn_dual=None, cn_single=None):
+    """Functional equivalent of FluxDiT.run_blocks over stacked params.
+
+    ``*_segments``: [(start, end, attn_fn), ...] covering the stack — the
+    reference's sparse layer gate (fused id < 37 or >= 57 sparse,
+    rectified_flux_attn.py:493) becomes one scan per contiguous segment.
+
+    ``cn_dual`` / ``cn_single``: the RAW ControlNet sample lists (NOT
+    interval-expanded) — each iteration dynamically indexes sample
+    min(i // ceil(L/N), N-1) (reference main_upflux.py:163-172), so HBM
+    holds N samples instead of the L duplicates a stacked expansion
+    would materialize."""
+    import math
+    dual = DualStreamBlock(cfg.hidden_dim, cfg.heads, cfg.mlp_mult)
+    single = SingleStreamBlock(cfg.hidden_dim, cfg.heads, cfg.mlp_mult)
+
+    def run(blk, stack, segments, cn, n_blocks, carry):
+        samples = jnp.stack(cn) if cn else None        # [N, B, S, H]
+        interval = math.ceil(n_blocks / samples.shape[0]) if cn else 1
+        for start, end, fn in segments:
+            if start >= end:
+                continue
+            sub = jax.tree_util.tree_map(lambda a: a[start:end], stack)
+            idx = jnp.asarray(
+                [min(i // interval, (len(cn) if cn else 1) - 1)
+                 for i in range(start, end)], jnp.int32)
+
+            def body(c, s, fn=fn, use_cn=samples is not None):
+                p, j = s
+                cx, cc = blk.apply({"params": p}, c[0], c[1], temb, rope,
+                                   fn)
+                if use_cn:
+                    cx = cx + samples[j]
+                return (cx, cc), None
+
+            carry, _ = jax.lax.scan(body, carry, (sub, idx))
+        return carry
+
+    if cfg.num_dual_blocks:
+        x, ctx = run(dual, dual_stack, dual_segments, cn_dual,
+                     cfg.num_dual_blocks, (x, ctx))
+    if cfg.num_single_blocks:
+        x, ctx = run(single, single_stack, single_segments, cn_single,
+                     cfg.num_single_blocks, (x, ctx))
+    return x, ctx
+
+
+def gate_segments(n: int, fn_of_index) -> list:
+    """Collapse a per-layer attn-fn assignment into contiguous
+    (start, end, fn) segments (fewer distinct scans == fewer traced block
+    programs)."""
+    segs = []
+    for i in range(n):
+        fn = fn_of_index(i)
+        if segs and segs[-1][2] is fn:
+            segs[-1] = (segs[-1][0], i + 1, fn)
+        else:
+            segs.append((i, i + 1, fn))
+    return segs
 
 
 def hunyuan_teacache_signal_scan(cfg, dual_stack: dict, x, temb):

@@ -64,6 +64,10 @@ class FluxPipeline:
     # tp-sharded and the sparse path runs head-parallel (shard_map); see
     # pipelines/hunyuan.py
     mesh: Optional[object] = None
+    # Scan-over-blocks execution (models/scan.py): one traced block per
+    # (type, attention gate) — the full-depth 12B serving mode (composes
+    # with models/quant.py weight-only quantization).
+    scan_blocks: bool = False
 
     def __post_init__(self):
         # latent grid: 2x2-packed 16ch latents → h/16 x w/16 tokens
@@ -77,6 +81,26 @@ class FluxPipeline:
         n_dual = m.cfg.num_dual_blocks
         from .base import param_compute_dtype
         self.compute_dtype = param_compute_dtype(self.params)
+        if self.scan_blocks:
+            if self.mesh is not None:
+                raise NotImplementedError(
+                    "scan_blocks + mesh: shard_params' name patterns don't "
+                    "cover stacked trees yet — use one or the other")
+            if "scan_dual" not in self.params:   # accept pre-stacked trees
+                from ..models.scan import stack_block_params
+                inner = dict(self.params["params"])
+                inner, dual_stack = stack_block_params(
+                    inner, "dual_", m.cfg.num_dual_blocks)
+                inner, single_stack = stack_block_params(
+                    inner, "single_", m.cfg.num_single_blocks)
+                self.params = {"params": inner, "scan_dual": dual_stack,
+                               "scan_single": single_stack}
+        import numpy as _np
+        if any(isinstance(l, _np.ndarray)
+               for l in jax.tree_util.tree_leaves(self.params)):
+            # host (quantize/stack) trees must be device-put ONCE, or every
+            # jitted call re-transfers the weights through the tunnel
+            self.params = jax.tree_util.tree_map(jnp.asarray, self.params)
         if self.mesh is not None:
             from ..parallel import shard_params
             self.params = shard_params(self.mesh, self.params)
@@ -85,7 +109,15 @@ class FluxPipeline:
             x, ctx, temb, rope = m.apply(
                 params, tokens, t, text, pooled, guidance, self.gh,
                 self.gw, self.h2l, method=FluxDiT.embed)
-            sig = m.apply(params, x, temb, method=FluxDiT.teacache_signal)
+            if self.scan_blocks:
+                # same block-0 norm1 signal from the stacked tree (Flux's
+                # dual blocks share Hunyuan's DualStreamBlock)
+                from ..models.scan import hunyuan_teacache_signal_scan
+                sig = hunyuan_teacache_signal_scan(
+                    m.cfg, params["scan_dual"], x, temb)
+            else:
+                sig = m.apply(params, x, temb,
+                              method=FluxDiT.teacache_signal)
             cd = self.compute_dtype
             return (x.astype(cd), ctx.astype(cd), temb.astype(cd), rope,
                     sig)
@@ -108,9 +140,26 @@ class FluxPipeline:
             else:
                 dual_fns = [dense] * n_dual
                 single_fns = [dense] * m.cfg.num_single_blocks
-            x2, ctx2 = m.apply(params, x, ctx, temb, rope, dense, dual_fns,
-                               single_fns, cn_dual, cn_single,
-                               method=FluxDiT.run_blocks)
+            if self.scan_blocks:
+                from ..models.scan import flux_run_blocks_scan, gate_segments
+                n_single = m.cfg.num_single_blocks
+                if sparse:
+                    dual_segs = gate_segments(n_dual, gate)
+                    single_segs = gate_segments(
+                        n_single, lambda i: gate(n_dual + i))
+                else:
+                    dual_segs = [(0, n_dual, dense)]
+                    single_segs = [(0, n_single, dense)]
+                # cn_* are the RAW sample lists here (denoise skips the
+                # interval expansion in scan mode)
+                x2, ctx2 = flux_run_blocks_scan(
+                    m.cfg, params["scan_dual"], params["scan_single"],
+                    x, ctx, temb, rope, dual_segs, single_segs,
+                    cn_dual, cn_single)
+            else:
+                x2, ctx2 = m.apply(params, x, ctx, temb, rope, dense,
+                                   dual_fns, single_fns, cn_dual, cn_single,
+                                   method=FluxDiT.run_blocks)
             # residual in-jit so x can be donated (TeaCache); gated so
             # non-TeaCache runs don't pay the output buffer
             res = (x2 - x).astype(jnp.bfloat16) if want_residual else None
@@ -153,10 +202,14 @@ class FluxPipeline:
             cn_dual = cn_single = None
             if controlnet_fn is not None:
                 dual_s, single_s = controlnet_fn(tokens, float(t))
-                cn_dual = distribute_controlnet_samples(
-                    dual_s, m.cfg.num_dual_blocks)
-                cn_single = distribute_controlnet_samples(
-                    single_s, m.cfg.num_single_blocks)
+                if self.scan_blocks:
+                    # raw samples; the scan body interval-indexes them
+                    cn_dual, cn_single = list(dual_s), list(single_s)
+                else:
+                    cn_dual = distribute_controlnet_samples(
+                        dual_s, m.cfg.num_dual_blocks)
+                    cn_single = distribute_controlnet_samples(
+                        single_s, m.cfg.num_single_blocks)
             if tea.enabled and not tea.should_compute(sig):
                 x = tea.apply_residual(x)
             else:

@@ -101,6 +101,10 @@ class WanPipeline:
     # tp-sharded and the sparse path runs head-parallel (shard_map); see
     # pipelines/hunyuan.py
     mesh: Optional[object] = None
+    # Scan-over-blocks execution (models/scan.py): one traced block per
+    # distinct attention gate — the full-depth 14B serving mode (composes
+    # with quantize_params; see scripts/bench_e2e_wan.py).
+    scan_blocks: bool = False
 
     def __post_init__(self):
         cfg = self.model.cfg
@@ -116,6 +120,22 @@ class WanPipeline:
         m = self.model
         from .base import param_compute_dtype
         self.compute_dtype = param_compute_dtype(self.params)
+        if self.scan_blocks:
+            if self.mesh is not None:
+                raise NotImplementedError(
+                    "scan_blocks + mesh: shard_params' name patterns don't "
+                    "cover stacked trees yet — use one or the other")
+            if "scan_blocks" not in self.params:  # accept pre-stacked trees
+                from ..models.scan import stack_block_params
+                inner = dict(self.params["params"])
+                inner, stack = stack_block_params(
+                    inner, "block_", cfg.num_blocks)
+                self.params = {"params": inner, "scan_blocks": stack}
+        if any(isinstance(l, np.ndarray)
+               for l in jax.tree_util.tree_leaves(self.params)):
+            # host (quantize/stack) trees must be device-put ONCE, or every
+            # jitted call re-transfers the weights through the tunnel
+            self.params = jax.tree_util.tree_map(jnp.asarray, self.params)
         if self.mesh is not None:
             from ..parallel import shard_params
             self.params = shard_params(self.mesh, self.params)
@@ -160,8 +180,21 @@ class WanPipeline:
                        for i in range(n)]
             else:
                 fns = [dense] * n
-            x2 = m.apply(params, x, ctx, ctx_img, temb6, rope, dense,
-                         cross, fns, method=WanDiT.run_blocks)
+            if self.scan_blocks:
+                from ..models.scan import wan_run_blocks_scan
+                if sparse:
+                    segments = [(0, self.warm_layers, dense),
+                                (self.warm_layers,
+                                 n - self.warm_last_layers, sp),
+                                (n - self.warm_last_layers, n, dense)]
+                else:
+                    segments = [(0, n, dense)]
+                x2 = wan_run_blocks_scan(m.cfg, params["scan_blocks"], x,
+                                         ctx, ctx_img, temb6, rope,
+                                         segments, cross)
+            else:
+                x2 = m.apply(params, x, ctx, ctx_img, temb6, rope, dense,
+                             cross, fns, method=WanDiT.run_blocks)
             # residual in-jit so x can be donated (TeaCache); gated so
             # non-TeaCache runs don't pay the output buffer
             res = (x2 - x).astype(jnp.bfloat16) if want_residual else None

@@ -30,7 +30,9 @@ def log(m):
     print(f"[{time.strftime('%H:%M:%S')}] {m}", flush=True)
 
 
-def host_bf16_params(model, cfg, seed=0, scale=0.02):
+def host_bf16_params(model, cfg, seed=0, scale=0.02, host=False):
+    """host=True keeps leaves as numpy (for quantize_params /
+    stack_block_params before any device transfer)."""
     rng = jax.random.PRNGKey(seed)
     text = jnp.zeros((1, 8, cfg.text_dim), jnp.float32)
     lat = jnp.zeros((1, cfg.in_channels, 2 * cfg.patch_size[0],
@@ -41,13 +43,13 @@ def host_bf16_params(model, cfg, seed=0, scale=0.02):
         lambda r, l, t, tx: model.init(r, l, t, tx, img),
         rng, lat, jnp.array([0.0]), text)
     g = np.random.default_rng(seed)
+    conv = (lambda x, d: x.astype(d)) if host else jnp.asarray
 
     def leaf(sd):
         if not jnp.issubdtype(sd.dtype, jnp.floating):
-            return jnp.zeros(sd.shape, sd.dtype)
-        return jnp.asarray(
-            g.normal(size=sd.shape, scale=scale).astype(np.float32),
-            jnp.bfloat16)
+            return conv(np.zeros(sd.shape), sd.dtype)
+        x = g.normal(size=sd.shape, scale=scale).astype(np.float32)
+        return conv(x, jnp.bfloat16)
 
     return jax.tree_util.tree_map(leaf, shapes)
 
@@ -80,6 +82,13 @@ def main():
                     help="Wan2.2 TI2V-5B shape: hidden 3072/24 heads, 30 "
                          "blocks (the COMPLETE model fits one chip), "
                          "48-ch latents, VAE stride 32, 704x1280x121f")
+    ap.add_argument("--scan_blocks", action="store_true",
+                    help="lax.scan execution (one traced block per "
+                         "attention gate) — required for full 40-block "
+                         "depth")
+    ap.add_argument("--quant", type=int, default=0, choices=(0, 4, 8),
+                    help="weight-only quantization bits (models/quant.py);"
+                         " 4 lets the full 14B model fit 16 GB")
     args = ap.parse_args()
 
     from rectified_spaattn_tpu.models.wan import WanConfig, WanDiT
@@ -106,10 +115,17 @@ def main():
     model = WanDiT(cfg)
     log(f"host-init bf16 params (hidden {cfg.hidden_dim}, "
         f"{args.blocks} blocks)...")
-    params = host_bf16_params(model, cfg)
+    host = bool(args.quant) or args.scan_blocks
+    params = host_bf16_params(model, cfg, host=host)
     n = sum(int(np.prod(x.shape))
             for x in jax.tree_util.tree_leaves(params))
     log(f"{n/1e9:.2f}B params ({n*2/1e9:.1f} GB bf16)")
+    if args.quant:
+        from rectified_spaattn_tpu.models.quant import (
+            quantize_params, quantized_nbytes)
+        params = quantize_params(params, bits=args.quant)
+        log(f"int{args.quant} weight-only: "
+            f"{quantized_nbytes(params)/1e9:.1f} GB resident")
 
     rng = jax.random.PRNGKey(0)
     text = jax.random.normal(rng, (1, 512, cfg.text_dim), jnp.float32)
@@ -127,7 +143,8 @@ def main():
                 width=args.width, frames=args.frame, num_steps=args.steps,
                 sa_drop_rate=args.sa_drop_rate,
                 p_remain_rates=args.p_remain, mode=mode,
-                warm_layers=0, warm_calls=0, vae_stride=vae_stride)
+                warm_layers=0, warm_calls=0, vae_stride=vae_stride,
+                scan_blocks=args.scan_blocks)
             pipe = Wan22A14BPipeline(high=mk(params), low=mk(params2))
             cond = None
             noise_ch = cfg.in_channels
@@ -162,7 +179,8 @@ def main():
                 sa_drop_rate=args.sa_drop_rate,
                 p_remain_rates=args.p_remain, mode="sparse",
                 warm_layers=0, warm_calls=0, vae_stride=vae_stride,
-                enable_teacache=True, teacache_thresh=thresh)
+                enable_teacache=True, teacache_thresh=thresh,
+                scan_blocks=args.scan_blocks)
             pipe = Wan22A14BPipeline(high=mk_t(params), low=mk_t(params2))
             cond = None
             noise_ch = cfg.in_channels
@@ -214,7 +232,9 @@ def main():
             width=args.width, frames=args.frame, num_steps=args.steps,
             sa_drop_rate=args.sa_drop_rate,
             p_remain_rates=args.p_remain, mode=mode,
-            warm_layers=0, warm_calls=0, vae_stride=vae_stride)
+            warm_layers=0, warm_calls=0, vae_stride=vae_stride,
+            scan_blocks=args.scan_blocks)
+        params = pipe.params   # share ONE device copy across pipelines
         log(f"{mode}: warm-up (compiles)...")
         pipe(text, neg, image_emb=image_emb, condition=condition,
              seed=1, num_steps=1)
@@ -237,7 +257,8 @@ def main():
             sa_drop_rate=args.sa_drop_rate,
             p_remain_rates=args.p_remain, mode="sparse",
             warm_layers=0, warm_calls=0, vae_stride=vae_stride,
-            enable_teacache=True, teacache_thresh=0.2, use_ret_steps=True)
+            enable_teacache=True, teacache_thresh=0.2, use_ret_steps=True,
+            scan_blocks=args.scan_blocks)
         pipe(text, neg, image_emb=image_emb, condition=condition,
              seed=1, num_steps=1)
         from rectified_spaattn_tpu.cache import teacache as tc_mod

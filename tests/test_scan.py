@@ -141,6 +141,124 @@ def test_pipeline_scan_quantized_runs():
     assert rel < 0.15, rel
 
 
+def _mk_wan_pipe(scan, mode="vanilla", quant_bits=None):
+    from rectified_spaattn_tpu.models.wan import WanConfig, WanDiT
+    from rectified_spaattn_tpu.pipelines import WanPipeline
+    cfg = WanConfig.tiny()
+    cfg = type(cfg)(**{**cfg.__dict__, "num_blocks": 4})
+    model = WanDiT(cfg)
+    height, width, frames = 32, 32, 5
+    rng = jax.random.PRNGKey(1)
+    text_c = jax.random.normal(rng, (1, 16, cfg.text_dim))
+    text_u = jnp.zeros_like(text_c)
+    lat = jnp.zeros((1, cfg.in_channels,
+                     (frames + 3) // 4 * cfg.patch_size[0],
+                     height // 16 * cfg.patch_size[1],
+                     width // 16 * cfg.patch_size[2]))
+    params = model.init(rng, lat, jnp.array([0.0]), text_c)
+    if quant_bits:
+        params = quantize_params(jax.device_get(params), bits=quant_bits,
+                                 min_size=1)
+    pipe = WanPipeline(
+        model=model, params=params, height=height, width=width,
+        frames=frames, num_steps=2, sa_drop_rate=0.5, mode=mode,
+        warm_layers=1, warm_calls=0, interpret=True, scan_blocks=scan)
+    return pipe, text_c, text_u
+
+
+def test_wan_pipeline_scan_matches_unrolled():
+    """Scan mode with the reference's per-layer warm gates (dense leading
+    layer + sparse middle becomes two scan segments) equals the unrolled
+    path."""
+    for mode in ("vanilla", "sparse"):
+        pipe_u, tc, tu = _mk_wan_pipe(scan=False, mode=mode)
+        pipe_s, _, _ = _mk_wan_pipe(scan=True, mode=mode)
+        a = np.asarray(pipe_u(tc, tu, seed=3))
+        b = np.asarray(pipe_s(tc, tu, seed=3))
+        np.testing.assert_allclose(b, a, rtol=2e-4, atol=2e-4,
+                                   err_msg=f"mode={mode}")
+
+
+def test_wan_pipeline_scan_quantized_runs():
+    pipe, tc, tu = _mk_wan_pipe(scan=True, quant_bits=8)
+    out = np.asarray(pipe(tc, tu, seed=3))
+    assert np.isfinite(out).all()
+    ref, _, _ = _mk_wan_pipe(scan=False)
+    r = np.asarray(ref(tc, tu, seed=3))
+    rel = np.abs(out - r).mean() / (np.abs(r).mean() + 1e-8)
+    assert rel < 0.15, rel
+
+
+def _mk_flux_pipe(scan, mode="vanilla", quant_bits=None, cn=False):
+    from rectified_spaattn_tpu.models.flux import (
+        FluxConfig, FluxDiT, FluxControlNet, FluxControlNetConfig)
+    from rectified_spaattn_tpu.pipelines import FluxPipeline
+    cfg = FluxConfig.tiny()
+    cfg = type(cfg)(**{**cfg.__dict__, "num_dual_blocks": 2,
+                       "num_single_blocks": 4})
+    model = FluxDiT(cfg)
+    rng = jax.random.PRNGKey(4)
+    text = jax.random.normal(rng, (1, 128, cfg.text_dim))
+    mask = jnp.zeros((1, 128), bool).at[:, :7].set(True)
+    pooled = jax.random.normal(rng, (1, cfg.pooled_dim))
+    tokens = jnp.zeros((1, 64, cfg.in_channels))
+    params = model.init(rng, tokens, jnp.array([0.5]), text, pooled,
+                        jnp.array([3.5]), 8, 8)
+    if quant_bits:
+        params = quantize_params(jax.device_get(params), bits=quant_bits,
+                                 min_size=1)
+    pipe = FluxPipeline(
+        model=model, params=params, height=128, width=128, num_steps=2,
+        sa_drop_rate=0.5, mode=mode, text_len=128, interpret=True,
+        # pids 0..5: dense band [3,5) => single segs sparse/dense/sparse
+        sparse_layer_gate=(3, 5), scan_blocks=scan)
+    cn_fn = None
+    if cn:
+        cn_cfg = FluxControlNetConfig.tiny()
+        net = FluxControlNet(cn_cfg)
+        cn_params = net.init(rng, tokens, tokens, jnp.array([0.5]), text,
+                             pooled, jnp.array([3.5]), 8, 8)
+        # randomize the zero-init projections so residuals actually bite
+        cn_params = jax.tree.map(
+            lambda x: x + 0.05 * jax.random.normal(
+                jax.random.PRNGKey(8), x.shape, x.dtype), cn_params)
+        control = jax.random.normal(jax.random.PRNGKey(9), tokens.shape)
+
+        def cn_fn(toks, t):
+            return net.apply(cn_params, toks, control,
+                             jnp.full((toks.shape[0],), t / 1000.0), text,
+                             pooled, jnp.array([3.5]), 8, 8)
+    return pipe, text, mask, pooled, cn_fn
+
+
+def test_flux_pipeline_scan_matches_unrolled():
+    """Scan mode under the reference's sparse layer gate
+    (rectified_flux_attn.py:493 — here shrunk to a [3,5) dense band so the
+    single stack splits into sparse/dense/sparse segments) equals the
+    unrolled path, including interval-distributed ControlNet residuals."""
+    for mode, cn in (("vanilla", False), ("sparse", False),
+                     ("vanilla", True)):
+        pipe_u, text, mask, pooled, fn_u = _mk_flux_pipe(
+            scan=False, mode=mode, cn=cn)
+        pipe_s, _, _, _, fn_s = _mk_flux_pipe(scan=True, mode=mode, cn=cn)
+        a = np.asarray(pipe_u(text, mask, pooled, seed=3,
+                              controlnet_fn=fn_u))
+        b = np.asarray(pipe_s(text, mask, pooled, seed=3,
+                              controlnet_fn=fn_s))
+        np.testing.assert_allclose(b, a, rtol=2e-4, atol=2e-4,
+                                   err_msg=f"mode={mode} cn={cn}")
+
+
+def test_flux_pipeline_scan_quantized_runs():
+    pipe, text, mask, pooled, _ = _mk_flux_pipe(scan=True, quant_bits=8)
+    out = np.asarray(pipe(text, mask, pooled, seed=3))
+    assert np.isfinite(out).all()
+    ref, _, _, _, _ = _mk_flux_pipe(scan=False)
+    r = np.asarray(ref(text, mask, pooled, seed=3))
+    rel = np.abs(out - r).mean() / (np.abs(r).mean() + 1e-8)
+    assert rel < 0.15, rel
+
+
 def test_pipeline_scan_teacache():
     """TeaCache's signal/skip machinery works in scan mode (the signal is
     computed from the stacked tree)."""
