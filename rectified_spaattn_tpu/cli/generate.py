@@ -75,6 +75,14 @@ def parse_args(argv=None):
                    help="model-size scale for random-weight smoke runs")
     p.add_argument("--profile", type=str, default=None, metavar="LOG_DIR",
                    help="write a jax.profiler trace of the run to LOG_DIR")
+    p.add_argument("--scan_blocks", action="store_true",
+                   help="lax.scan block execution (one traced block per "
+                        "attention gate): the full-depth serving mode — "
+                        "required to fit 13-14B models on one 16 GB chip "
+                        "(hunyuan/wan/flux families)")
+    p.add_argument("--quant", type=int, default=0, choices=(0, 4, 8),
+                   help="weight-only quantization bits (models/quant.py); "
+                        "4 fits the full 13B flagship on one v5e")
     p.add_argument("--image", type=str, default=None,
                    help="conditioning image for I2V/TI2V models (png/jpg; "
                         "npy accepted for headless runs)")
@@ -133,6 +141,20 @@ def _tp_mesh(tp: int):
     return Mesh(np.array(devs[:tp]).reshape(1, tp, 1), ("dp", "tp", "sp"))
 
 
+def _serving(args, params, supports_scan=True):
+    """Apply the --quant / --scan_blocks serving options: returns
+    (params, extra_pipeline_kwargs).  Quantization runs host-side
+    (models/quant.py) so a 13B tree never holds two device copies."""
+    if args.scan_blocks and not supports_scan:
+        raise SystemExit(f"--scan_blocks is not supported for this family")
+    if args.quant:
+        import jax
+        from ..models.quant import quantize_params
+        params = quantize_params(jax.device_get(params), bits=args.quant)
+    return params, ({"scan_blocks": True}
+                    if args.scan_blocks and supports_scan else {})
+
+
 def _from_ckpt(args, family):
     """Assemble (cfg, params, encoders, vae_encode, vae_decode) from a
     local diffusers snapshot (reference: one from_pretrained call gives
@@ -183,6 +205,7 @@ def build_hunyuan(args):
         pooled = None
         if len(encoders) > 1:    # CLIP pooled prompt embeds
             pooled = jnp.asarray(encoders[1].pooled(args.prompt))
+        params, sv = _serving(args, params)
         pipe = HunyuanVideoPipeline(
             model=model, params=params, height=args.height,
             width=args.width, frames=args.frame, num_steps=args.num_steps,
@@ -191,7 +214,7 @@ def build_hunyuan(args):
             mode="flash" if args.mode == "torch" else args.mode,
             enable_teacache=args.enable_teacache,
             rel_l1_thresh=args.teacache_thresh, interpret=_interpret(),
-            vae_decode=vae_decode, mesh=_tp_mesh(args.tp))
+            vae_decode=vae_decode, mesh=_tp_mesh(args.tp), **sv)
         extra = {}
         if is_i2v and cfg.image_condition_type == "latent_concat":
             # v1 (544p) variant: [noise 16 | image latents 16 | mask 1]
@@ -233,6 +256,7 @@ def build_hunyuan(args):
         jnp.zeros((1, cfg.in_channels, 2 * cfg.patch_size_t,
                    8 * cfg.patch_size, 8 * cfg.patch_size)),
         jnp.array([0.0]), text, mask, jnp.array([6000.0]), None, None)
+    params, sv = _serving(args, params)
     pipe = HunyuanVideoPipeline(
         model=model, params=params, height=args.height, width=args.width,
         frames=args.frame, num_steps=args.num_steps,
@@ -240,7 +264,7 @@ def build_hunyuan(args):
         mode="flash" if args.mode == "torch" else args.mode,
         enable_teacache=args.enable_teacache,
         rel_l1_thresh=args.teacache_thresh, interpret=_interpret(),
-        mesh=_tp_mesh(args.tp))
+        mesh=_tp_mesh(args.tp), **sv)
     extra = {}
     if is_i2v:
         if args.image is not None:
@@ -305,6 +329,7 @@ def build_wan(args):
         model = WanDiT(cfg)
         (text, _), (neg, _) = _encode_prompt(encoders, args.prompt,
                                              cfg.text_dim, 512)
+        params, sv = _serving(args, params)
         pipe = WanPipeline(
             model=model, params=params, height=args.height,
             width=args.width, frames=args.frame, num_steps=args.num_steps,
@@ -318,7 +343,7 @@ def build_wan(args):
             warm_last_layers=2 if args.model in ("wan22-t2v", "wan22-i2v")
             else 0,
             scheduler="euler" if is_22 else "unipc", vae_decode=vae_decode,
-            mesh=_tp_mesh(args.tp))
+            mesh=_tp_mesh(args.tp), **sv)
         extra = {}
         if args.image is not None and vae_encode is not None and (
                 is_i2v or args.model == "wan22-ti2v"):
@@ -345,6 +370,7 @@ def build_wan(args):
                 from ..models.pretrained import load_transformer
                 cfg2, params2 = load_transformer(
                     "wan", args.ckpt_dir + "/transformer_2")
+                params2, _ = _serving(args, params2)
                 low = _dc.replace(pipe, model=WanDiT(cfg2), params=params2)
             return Wan22A14BPipeline(high=pipe, low=low), (text, neg), extra
         return pipe, (text, neg), extra
@@ -374,6 +400,7 @@ def build_wan(args):
         img_emb0 = (jnp.zeros((1, 257, cfg.image_dim))
                     if cfg.image_cross else None)
         params = model.init(jax.random.PRNGKey(0), lat, t0, text, img_emb0)
+        params, sv = _serving(args, params)
         return WanPipeline(
             model=model, params=params, height=args.height,
             width=args.width, frames=args.frame, num_steps=args.num_steps,
@@ -387,7 +414,7 @@ def build_wan(args):
             warm_last_layers=2 if args.model in ("wan22-t2v", "wan22-i2v")
             else 0,
             scheduler="euler" if is_22 else "unipc",
-            mesh=_tp_mesh(args.tp))
+            mesh=_tp_mesh(args.tp), **sv)
 
     extra = {}
     pipe0 = make_pipe()
@@ -437,6 +464,7 @@ def build_cogvideox(args):
         model = CogVideoXDiT(cfg)
         (text, _), (neg, _) = _encode_prompt(encoders, args.prompt,
                                              cfg.text_dim, 226)
+        params, _ = _serving(args, params, supports_scan=False)
         pipe = CogVideoXPipeline(
             model=model, params=params, height=args.height,
             width=args.width, frames=args.frame, num_steps=args.num_steps,
@@ -469,6 +497,7 @@ def build_cogvideox(args):
     lat = jnp.zeros((1, cfg.in_channels, 2 * cfg.patch_size_t,
                      8 * cfg.patch_size, 8 * cfg.patch_size))
     params = model.init(jax.random.PRNGKey(0), lat, jnp.array([0.0]), text)
+    params, _ = _serving(args, params, supports_scan=False)
     pipe = CogVideoXPipeline(
         model=model, params=params, height=args.height, width=args.width,
         frames=args.frame, num_steps=args.num_steps,
@@ -506,6 +535,8 @@ def build_flux(args):
         if len(encoders) > 1:
             pooled = jnp.asarray(encoders[1].pooled(args.prompt))
 
+        params, sv = _serving(args, params)
+
         def mk(hh, ww, steps, decode=None):
             return FluxPipeline(
                 model=model, params=params, height=hh, width=ww,
@@ -514,11 +545,12 @@ def build_flux(args):
                 mode="flash" if args.mode == "torch" else args.mode,
                 enable_teacache=args.enable_teacache,
                 rel_l1_thresh=args.teacache_thresh, interpret=_interpret(),
-                vae_decode=decode, mesh=_tp_mesh(args.tp))
+                vae_decode=decode, mesh=_tp_mesh(args.tp), **sv)
 
         # base stage returns TOKENS (control prep needs them); only the
         # upscaled stage decodes to pixels (with the 2x2 token unpack)
         base = mk(args.height // 4, args.width // 4, args.num_steps)
+        params = base.params   # ONE device copy (stacked/quantized) shared
         gh_u, gw_u = args.height // 16, args.width // 16
         up_decode = (
             (lambda t: vae_decode(flux_unpack_latents(t, gh_u, gw_u)))
@@ -562,6 +594,8 @@ def build_flux(args):
     params = model.init(jax.random.PRNGKey(0), tokens, jnp.array([0.5]),
                         text, pooled, jnp.array([3.5]), 8, 8)
 
+    params, sv = _serving(args, params)
+
     def mk(hh, ww, steps):
         return FluxPipeline(
             model=model, params=params, height=hh, width=ww,
@@ -570,9 +604,10 @@ def build_flux(args):
             mode="flash" if args.mode == "torch" else args.mode,
             enable_teacache=args.enable_teacache,
             rel_l1_thresh=args.teacache_thresh, interpret=_interpret(),
-            mesh=_tp_mesh(args.tp))
+            mesh=_tp_mesh(args.tp), **sv)
 
     base = mk(args.height // 4, args.width // 4, args.num_steps)
+    params = base.params   # ONE device copy (stacked/quantized) shared
     up = mk(args.height, args.width, args.num_steps)
     # ControlNet conditioning network (reference: jasperai upscaler,
     # main_upflux.py:300-305).  Random-weight demo: the zero-init output

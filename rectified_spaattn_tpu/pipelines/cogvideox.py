@@ -77,6 +77,12 @@ class CogVideoXPipeline:
         m = self.model
         from .base import param_compute_dtype
         self.compute_dtype = param_compute_dtype(self.params)
+        import numpy as _np
+        if any(isinstance(l, _np.ndarray)
+               for l in jax.tree_util.tree_leaves(self.params)):
+            # host (quantized) trees must be device-put ONCE, or every
+            # jitted call re-transfers the weights through the tunnel
+            self.params = jax.tree_util.tree_map(jnp.asarray, self.params)
         if self.mesh is not None:
             from ..parallel import shard_params
             self.params = shard_params(self.mesh, self.params)
