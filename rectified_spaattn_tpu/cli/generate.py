@@ -78,8 +78,7 @@ def parse_args(argv=None):
     p.add_argument("--scan_blocks", action="store_true",
                    help="lax.scan block execution (one traced block per "
                         "attention gate): the full-depth serving mode — "
-                        "required to fit 13-14B models on one 16 GB chip "
-                        "(hunyuan/wan/flux families)")
+                        "required to fit 13-14B models on one 16 GB chip")
     p.add_argument("--quant", type=int, default=0, choices=(0, 4, 8),
                    help="weight-only quantization bits (models/quant.py); "
                         "4 fits the full 13B flagship on one v5e")
@@ -464,7 +463,7 @@ def build_cogvideox(args):
         model = CogVideoXDiT(cfg)
         (text, _), (neg, _) = _encode_prompt(encoders, args.prompt,
                                              cfg.text_dim, 226)
-        params, _ = _serving(args, params, supports_scan=False)
+        params, sv = _serving(args, params)
         pipe = CogVideoXPipeline(
             model=model, params=params, height=args.height,
             width=args.width, frames=args.frame, num_steps=args.num_steps,
@@ -474,7 +473,7 @@ def build_cogvideox(args):
             enable_teacache=args.enable_teacache,
             teacache_thresh=args.teacache_thresh,
             is_i2v=is_i2v, interpret=_interpret(), vae_decode=vae_decode,
-            mesh=_tp_mesh(args.tp))
+            mesh=_tp_mesh(args.tp), **sv)
         extra = {}
         if is_i2v and args.image is not None and vae_encode is not None:
             img = _load_image(args.image, args.height, args.width)
@@ -497,7 +496,7 @@ def build_cogvideox(args):
     lat = jnp.zeros((1, cfg.in_channels, 2 * cfg.patch_size_t,
                      8 * cfg.patch_size, 8 * cfg.patch_size))
     params = model.init(jax.random.PRNGKey(0), lat, jnp.array([0.0]), text)
-    params, _ = _serving(args, params, supports_scan=False)
+    params, sv = _serving(args, params)
     pipe = CogVideoXPipeline(
         model=model, params=params, height=args.height, width=args.width,
         frames=args.frame, num_steps=args.num_steps,
@@ -505,7 +504,8 @@ def build_cogvideox(args):
         mode="flash" if args.mode == "torch" else args.mode,
         enable_teacache=args.enable_teacache,
         teacache_thresh=args.teacache_thresh,
-        is_i2v=is_i2v, interpret=_interpret(), mesh=_tp_mesh(args.tp))
+        is_i2v=is_i2v, interpret=_interpret(), mesh=_tp_mesh(args.tp),
+        **sv)
     extra = {}
     if is_i2v and args.image is not None:
         from ..pipelines.cogvideox import cog_i2v_condition

@@ -151,6 +151,23 @@ def flux_run_blocks_scan(cfg, dual_stack: dict, single_stack: dict,
     return x, ctx
 
 
+def cog_run_blocks_scan(cfg, stack: dict, x, ctx, temb, rope,
+                        attn_fn: AttnFn):
+    """Functional equivalent of CogVideoXDiT.run_blocks over stacked
+    params (Cog gates sparsity by CALL, not layer —
+    rectified_cogvideo_attn.py warm_calls — so one scan covers the whole
+    stack)."""
+    from .cogvideox import CogVideoXBlock
+    blk = CogVideoXBlock(cfg.hidden_dim, cfg.heads, cfg.mlp_mult)
+
+    def body(carry, p):
+        return blk.apply({"params": p}, carry[0], carry[1], temb, rope,
+                         attn_fn), None
+
+    (x, ctx), _ = jax.lax.scan(body, (x, ctx), stack)
+    return x, ctx
+
+
 def gate_segments(n: int, fn_of_index) -> list:
     """Collapse a per-layer attn-fn assignment into contiguous
     (start, end, fn) segments (fewer distinct scans == fewer traced block

@@ -61,6 +61,9 @@ class CogVideoXPipeline:
     # tp-sharded and the sparse path runs head-parallel (shard_map); see
     # pipelines/hunyuan.py
     mesh: Optional[object] = None
+    # Scan-over-blocks execution (models/scan.py): one traced block —
+    # composes with models/quant.py weight-only quantization.
+    scan_blocks: bool = False
 
     def __post_init__(self):
         cfg = self.model.cfg
@@ -77,6 +80,17 @@ class CogVideoXPipeline:
         m = self.model
         from .base import param_compute_dtype
         self.compute_dtype = param_compute_dtype(self.params)
+        if self.scan_blocks:
+            if self.mesh is not None:
+                raise NotImplementedError(
+                    "scan_blocks + mesh: shard_params' name patterns don't "
+                    "cover stacked trees yet — use one or the other")
+            if "scan_blocks" not in self.params:  # accept pre-stacked trees
+                from ..models.scan import stack_block_params
+                inner = dict(self.params["params"])
+                inner, stack = stack_block_params(
+                    inner, "block_", cfg.num_blocks)
+                self.params = {"params": inner, "scan_blocks": stack}
         import numpy as _np
         if any(isinstance(l, _np.ndarray)
                for l in jax.tree_util.tree_leaves(self.params)):
@@ -102,8 +116,13 @@ class CogVideoXPipeline:
                                     interpret=self.interpret,
                                     mesh=self.mesh)
                   if sparse else dense)
-            x2, ctx2 = m.apply(params, x, ctx, temb, rope, fn,
-                               method=CogVideoXDiT.run_blocks)
+            if self.scan_blocks:
+                from ..models.scan import cog_run_blocks_scan
+                x2, ctx2 = cog_run_blocks_scan(
+                    m.cfg, params["scan_blocks"], x, ctx, temb, rope, fn)
+            else:
+                x2, ctx2 = m.apply(params, x, ctx, temb, rope, fn,
+                                   method=CogVideoXDiT.run_blocks)
             # residuals in-jit so x/ctx can be donated (TeaCache needs the
             # encoder residual too — reference main_cogvideox.py:129-143);
             # gated so non-TeaCache runs don't pay the output buffers

@@ -259,6 +259,48 @@ def test_flux_pipeline_scan_quantized_runs():
     assert rel < 0.15, rel
 
 
+def _mk_cog_pipe(scan, mode="vanilla", quant_bits=None):
+    from rectified_spaattn_tpu.models.cogvideox import (CogVideoXConfig,
+                                                        CogVideoXDiT)
+    from rectified_spaattn_tpu.pipelines import CogVideoXPipeline
+    cfg = CogVideoXConfig.tiny()
+    cfg = type(cfg)(**{**cfg.__dict__, "num_blocks": 3})
+    model = CogVideoXDiT(cfg)
+    rng = jax.random.PRNGKey(5)
+    text_c = jax.random.normal(rng, (1, 128, cfg.text_dim))
+    text_u = jnp.zeros_like(text_c)
+    lat = jnp.zeros((1, cfg.in_channels, 2, 8, 8))
+    params = model.init(rng, lat, jnp.array([0.0]), text_c)
+    if quant_bits:
+        params = quantize_params(jax.device_get(params), bits=quant_bits,
+                                 min_size=1)
+    pipe = CogVideoXPipeline(
+        model=model, params=params, height=64, width=64, frames=9,
+        num_steps=2, sa_drop_rate=0.5, mode=mode, text_len=128,
+        sparse_warm_calls=0, interpret=True, scan_blocks=scan)
+    return pipe, text_c, text_u
+
+
+def test_cog_pipeline_scan_matches_unrolled():
+    for mode in ("vanilla", "sparse"):
+        pipe_u, tc, tu = _mk_cog_pipe(scan=False, mode=mode)
+        pipe_s, _, _ = _mk_cog_pipe(scan=True, mode=mode)
+        a = np.asarray(pipe_u(tc, tu, seed=3))
+        b = np.asarray(pipe_s(tc, tu, seed=3))
+        np.testing.assert_allclose(b, a, rtol=2e-4, atol=2e-4,
+                                   err_msg=f"mode={mode}")
+
+
+def test_cog_pipeline_scan_quantized_runs():
+    pipe, tc, tu = _mk_cog_pipe(scan=True, quant_bits=8)
+    out = np.asarray(pipe(tc, tu, seed=3))
+    assert np.isfinite(out).all()
+    ref, _, _ = _mk_cog_pipe(scan=False)
+    r = np.asarray(ref(tc, tu, seed=3))
+    rel = np.abs(out - r).mean() / (np.abs(r).mean() + 1e-8)
+    assert rel < 0.15, rel
+
+
 def test_pipeline_scan_teacache():
     """TeaCache's signal/skip machinery works in scan mode (the signal is
     computed from the stacked tree)."""
