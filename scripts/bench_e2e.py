@@ -30,26 +30,117 @@ def log(m):
     print(f"[{time.strftime('%H:%M:%S')}] {m}", flush=True)
 
 
-def host_bf16_params(model, cfg, text_dim, scale=0.02, seed=0, host=False):
-    """Random bf16 params built leaf-by-leaf on the host: a full fp32
-    device init would need 2x the bf16 footprint and blows HBM at real
-    width×depth.  host=True keeps leaves as numpy (for quantize_params /
-    stack_block_params before any device transfer)."""
+def pool_normal_sampler(seed: int, scale: float, pool_bits: int = 26):
+    """Draw-from-a-cyclic-pool normal sampler: this box's single throttled
+    core generates float64 normals at ~6M/s, which prices a 13B-param
+    honest init at hours.  A 2^26 iid pool + cyclic windows with a prime
+    stride keeps exact N(0, scale^2) marginals (cross-leaf correlations
+    are irrelevant for timing benches; tests use real init)."""
+    g = np.random.default_rng(seed)
+    pool = g.normal(size=1 << pool_bits, scale=scale).astype(np.float32)
+    P = pool.shape[0]
+    off = [0]
+
+    def draw(shape):
+        n = int(np.prod(shape))
+        s = off[0] % P
+        off[0] += n + 9973
+        if s + n <= P:
+            seg = pool[s:s + n]
+        else:
+            seg = np.concatenate(
+                [pool[s:]] + [pool] * ((s + n - P) // P) + [pool[:(s + n) % P]])
+        return seg.reshape(shape)
+
+    return draw
+
+
+def host_quantized_tree(shapes, bits: int, scale=0.02, seed=0,
+                        group_size=128, min_size=1 << 20):
+    """Generate a weight-only-quantized param tree DIRECTLY in the
+    models/quant.py layout (kernel_q/kernel_q4 + kernel_scale), skipping
+    the bf16 build + quantize passes — on this box's throttled core the
+    honest path prices a 13B tree at >1 h; cyclic byte-pool windows build
+    it in minutes.  Timing-equivalent: uniform int4/int8 values with
+    constant scales matched to the N(0, scale^2) std that quantizing a
+    real random tree would produce."""
+    from collections.abc import Mapping
+    g = np.random.default_rng(seed)
+    bpool = g.integers(0, 256, size=1 << 25, dtype=np.uint8)
+    BP = bpool.shape[0]
+    boff = [0]
+
+    def draw_bytes(shape):
+        n = int(np.prod(shape))
+        s = boff[0] % BP
+        boff[0] += n + 9973
+        if s + n <= BP:
+            seg = bpool[s:s + n].copy()
+        else:
+            seg = np.concatenate(
+                [bpool[s:]] + [bpool] * ((s + n - BP) // BP)
+                + [bpool[:(s + n) % BP]])
+        return seg.reshape(shape)
+
+    # bf16 residue (embeds/norms/biases) is small — a 4M pool suffices
+    fdraw = pool_normal_sampler(seed + 1, scale, pool_bits=22)
+
+    def leaf(sd):
+        if not jnp.issubdtype(sd.dtype, jnp.floating):
+            return np.zeros(sd.shape, np.dtype(sd.dtype))
+        return fdraw(sd.shape).astype(jnp.bfloat16)
+
+    def walk(tree):
+        if not isinstance(tree, Mapping):
+            return leaf(tree)
+        k = tree.get("kernel")
+        if (k is not None and hasattr(k, "ndim") and k.ndim >= 2
+                and int(np.prod(k.shape)) >= min_size
+                and k.shape[-2] % 2 == 0):
+            *lead, din, dout = k.shape
+            out = {}
+            if bits == 8:
+                # uniform int8 std 73.9 -> scale matches N(0, scale^2)
+                out["kernel_q"] = draw_bytes(k.shape).view(np.int8)
+                out["kernel_scale"] = np.full((*lead, dout),
+                                              scale / 73.9, np.float32)
+            else:
+                # two uniform nibbles/byte, signed [-8, 7], std 4.61
+                out["kernel_q4"] = draw_bytes((*lead, din // 2, dout))
+                out["kernel_scale"] = np.full(
+                    (*lead, din // min(group_size, din), dout),
+                    scale / 4.61, np.float32)
+            out.update({n: leaf(v) for n, v in tree.items()
+                        if n != "kernel"})
+            return out
+        return {n: walk(v) for n, v in tree.items()}
+
+    return walk(shapes)
+
+
+def param_shapes(model, cfg, text_dim, seed=0):
     rng = jax.random.PRNGKey(seed)
     text = jnp.zeros((1, 8, text_dim), jnp.float32)
     mask = jnp.ones((1, 8), bool)
     lat = jnp.zeros((1, cfg.in_channels, 2 * cfg.patch_size_t,
                      8 * cfg.patch_size, 8 * cfg.patch_size))
-    shapes = jax.eval_shape(model.init, rng, lat, jnp.array([0.0]), text,
-                            mask, jnp.array([6000.0]), None, None)
-    g = np.random.default_rng(seed)
+    return jax.eval_shape(model.init, rng, lat, jnp.array([0.0]), text,
+                          mask, jnp.array([6000.0]), None, None)
+
+
+def host_bf16_params(model, cfg, text_dim, scale=0.02, seed=0, host=False):
+    """Random bf16 params built leaf-by-leaf on the host: a full fp32
+    device init would need 2x the bf16 footprint and blows HBM at real
+    width×depth.  host=True keeps leaves as numpy (for quantize_params /
+    stack_block_params before any device transfer)."""
+    shapes = param_shapes(model, cfg, text_dim, seed)
+    draw = pool_normal_sampler(seed, scale)
     conv = (lambda x, d: x.astype(d)) if host else jnp.asarray
 
     def leaf(sd):
         if not jnp.issubdtype(sd.dtype, jnp.floating):
             return conv(np.zeros(sd.shape), sd.dtype)
-        x = g.normal(size=sd.shape, scale=scale).astype(np.float32)
-        return conv(x, jnp.bfloat16)
+        return conv(draw(sd.shape), jnp.bfloat16)
 
     return jax.tree_util.tree_map(leaf, shapes)
 
@@ -109,20 +200,23 @@ def main():
         num_dual_blocks=args.dual, num_single_blocks=args.single,
         text_dim=1024, pooled_dim=256, num_refiner_blocks=1)
     model = HunyuanVideoDiT(cfg)
-    log(f"host-init bf16 params (hidden {cfg.hidden_dim}, "
-        f"{args.dual}+{args.single} blocks)...")
-    host = bool(args.quant) or args.scan_blocks
-    params = host_bf16_params(model, cfg, cfg.text_dim, host=host)
-    n_params = sum(int(np.prod(x.shape))
-                   for x in jax.tree_util.tree_leaves(params))
+    n_params = sum(int(np.prod(x.shape)) for x in jax.tree_util.
+                   tree_leaves(param_shapes(model, cfg, cfg.text_dim)))
     log(f"{n_params/1e9:.2f}B params "
-        f"({n_params*2/1e9:.1f} GB bf16 resident)")
+        f"({n_params*2/1e9:.1f} GB bf16)")
     if args.quant:
-        from rectified_spaattn_tpu.models.quant import (
-            quantize_params, quantized_nbytes)
-        params = quantize_params(params, bits=args.quant)
+        from rectified_spaattn_tpu.models.quant import quantized_nbytes
+        log(f"host-init DIRECT int{args.quant} tree (hidden "
+            f"{cfg.hidden_dim}, {args.dual}+{args.single} blocks)...")
+        params = host_quantized_tree(
+            param_shapes(model, cfg, cfg.text_dim), bits=args.quant)
         log(f"int{args.quant} weight-only: "
             f"{quantized_nbytes(params)/1e9:.1f} GB resident")
+    else:
+        log(f"host-init bf16 params (hidden {cfg.hidden_dim}, "
+            f"{args.dual}+{args.single} blocks)...")
+        params = host_bf16_params(model, cfg, cfg.text_dim,
+                                  host=args.scan_blocks)
 
     rng = jax.random.PRNGKey(0)
     text = jax.random.normal(rng, (1, 256, cfg.text_dim), jnp.float32)

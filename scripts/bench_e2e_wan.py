@@ -33,6 +33,7 @@ def log(m):
 def host_bf16_params(model, cfg, seed=0, scale=0.02, host=False):
     """host=True keeps leaves as numpy (for quantize_params /
     stack_block_params before any device transfer)."""
+    from bench_e2e import pool_normal_sampler
     rng = jax.random.PRNGKey(seed)
     text = jnp.zeros((1, 8, cfg.text_dim), jnp.float32)
     lat = jnp.zeros((1, cfg.in_channels, 2 * cfg.patch_size[0],
@@ -42,14 +43,13 @@ def host_bf16_params(model, cfg, seed=0, scale=0.02, host=False):
     shapes = jax.eval_shape(
         lambda r, l, t, tx: model.init(r, l, t, tx, img),
         rng, lat, jnp.array([0.0]), text)
-    g = np.random.default_rng(seed)
+    draw = pool_normal_sampler(seed, scale)
     conv = (lambda x, d: x.astype(d)) if host else jnp.asarray
 
     def leaf(sd):
         if not jnp.issubdtype(sd.dtype, jnp.floating):
             return conv(np.zeros(sd.shape), sd.dtype)
-        x = g.normal(size=sd.shape, scale=scale).astype(np.float32)
-        return conv(x, jnp.bfloat16)
+        return conv(draw(sd.shape), jnp.bfloat16)
 
     return jax.tree_util.tree_map(leaf, shapes)
 
