@@ -25,22 +25,39 @@ def log(m):
     print(f"[{time.strftime('%H:%M:%S')}] {m}", flush=True)
 
 
-def host_bf16_params(model, cfg, seed=0, scale=0.02):
+def flux_param_shapes(model, cfg, seed=0):
     rng = jax.random.PRNGKey(seed)
     text = jnp.zeros((1, 8, cfg.text_dim), jnp.float32)
     pooled = jnp.zeros((1, cfg.pooled_dim), jnp.float32)
     tokens = jnp.zeros((1, 64, cfg.in_channels))
-    shapes = jax.eval_shape(
+    return jax.eval_shape(
         lambda r, tk, t, tx, p, g: model.init(r, tk, t, tx, p, g, 8, 8),
         rng, tokens, jnp.array([0.5]), text, pooled, jnp.array([3.5]))
-    g = np.random.default_rng(seed)
+
+
+def build_params(model, cfg, quant, scan, seed=0, scale=0.02):
+    """Quantized runs generate the models/quant.py tree DIRECTLY
+    (bench_e2e.host_quantized_tree); bf16 runs draw from a cyclic normal
+    pool — both avoid hour-scale honest inits on this box's one core."""
+    from bench_e2e import pool_normal_sampler, host_quantized_tree
+    shapes = flux_param_shapes(model, cfg, seed)
+    n = sum(int(np.prod(x.shape))
+            for x in jax.tree_util.tree_leaves(shapes))
+    log(f"{n/1e9:.2f}B params ({n*2/1e9:.1f} GB bf16)")
+    if quant:
+        from rectified_spaattn_tpu.models.quant import quantized_nbytes
+        log(f"host-init DIRECT int{quant} tree...")
+        p = host_quantized_tree(shapes, bits=quant, seed=seed)
+        log(f"int{quant} weight-only: "
+            f"{quantized_nbytes(p)/1e9:.1f} GB resident")
+        return p
+    draw = pool_normal_sampler(seed, scale)
+    conv = (lambda x, d: x.astype(d)) if scan else jnp.asarray
 
     def leaf(sd):
         if not jnp.issubdtype(sd.dtype, jnp.floating):
-            return jnp.zeros(sd.shape, sd.dtype)
-        return jnp.asarray(
-            g.normal(size=sd.shape, scale=scale).astype(np.float32),
-            jnp.bfloat16)
+            return conv(np.zeros(sd.shape), sd.dtype)
+        return conv(draw(sd.shape), jnp.bfloat16)
 
     return jax.tree_util.tree_map(leaf, shapes)
 
@@ -58,6 +75,12 @@ def main():
     ap.add_argument("--trace_out", type=str, default=None,
                     help="write the organic TeaCache schedule trace as "
                          "JSON (enabled after warm-up)")
+    ap.add_argument("--scan_blocks", action="store_true",
+                    help="lax.scan execution (one traced block per gate "
+                         "segment) — required for full 19+38 depth")
+    ap.add_argument("--quant", type=int, default=0, choices=(0, 4, 8),
+                    help="weight-only quantization bits (models/quant.py);"
+                         " 4 lets the full 12B model fit 16 GB")
     args = ap.parse_args()
 
     from rectified_spaattn_tpu.models.flux import FluxConfig, FluxDiT
@@ -66,12 +89,20 @@ def main():
     cfg = FluxConfig(num_dual_blocks=args.dual,
                      num_single_blocks=args.single)   # full width
     model = FluxDiT(cfg)
-    log(f"host-init bf16 params (hidden {cfg.hidden_dim}, "
+    log(f"host-init params (hidden {cfg.hidden_dim}, "
         f"{args.dual}+{args.single} blocks)...")
-    params = host_bf16_params(model, cfg)
-    n = sum(int(np.prod(x.shape))
-            for x in jax.tree_util.tree_leaves(params))
-    log(f"{n/1e9:.2f}B params ({n*2/1e9:.1f} GB bf16)")
+    params = build_params(model, cfg, args.quant, args.scan_blocks)
+
+    depth = args.dual + args.single
+    # At full depth, use the reference's REAL layer gate (dense band
+    # [37, 57), rectified_flux_attn.py) instead of the all-sparse slice
+    # approximation: the complete-model number needs no extrapolation
+    # and no gate dilution argument.
+    full_depth = (args.dual, args.single) == (19, 38)
+    gate = FluxPipeline.sparse_layer_gate if full_depth \
+        else (depth + 1, depth + 1)
+    if full_depth:
+        log("full 19+38 depth: reference layer gate [37,57) dense band")
 
     rng = jax.random.PRNGKey(0)
     text = jax.random.normal(rng, (1, 512, cfg.text_dim), jnp.float32)
@@ -80,13 +111,13 @@ def main():
                                (1, cfg.pooled_dim), jnp.float32)
 
     results = {}
-    depth = args.dual + args.single
     for mode in [m for m in args.modes.split(",") if m]:
         pipe = FluxPipeline(
             model=model, params=params, height=args.size, width=args.size,
             num_steps=args.steps, sa_drop_rate=args.sa_drop_rate,
             p_remain_rates=args.p_remain, mode=mode,
-            sparse_layer_gate=(depth + 1, depth + 1))   # all-sparse slice
+            sparse_layer_gate=gate, scan_blocks=args.scan_blocks)
+        params = pipe.params   # share ONE device copy across pipelines
         log(f"{mode}: warm-up (compiles)...")
         pipe(text, mask, pooled, seed=1, num_steps=1)
         log(f"{mode}: timed {args.steps} steps...")
@@ -104,7 +135,7 @@ def main():
             model=model, params=params, height=args.size, width=args.size,
             num_steps=args.steps, sa_drop_rate=args.sa_drop_rate,
             p_remain_rates=args.p_remain, mode="sparse",
-            sparse_layer_gate=(depth + 1, depth + 1),
+            sparse_layer_gate=gate, scan_blocks=args.scan_blocks,
             enable_teacache=True, rel_l1_thresh=0.8)
         pipe(text, mask, pooled, seed=1, num_steps=1)
         from rectified_spaattn_tpu.cache import teacache as tc_mod

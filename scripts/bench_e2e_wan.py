@@ -30,19 +30,23 @@ def log(m):
     print(f"[{time.strftime('%H:%M:%S')}] {m}", flush=True)
 
 
-def host_bf16_params(model, cfg, seed=0, scale=0.02, host=False):
-    """host=True keeps leaves as numpy (for quantize_params /
-    stack_block_params before any device transfer)."""
-    from bench_e2e import pool_normal_sampler
+def wan_param_shapes(model, cfg, seed=0):
     rng = jax.random.PRNGKey(seed)
     text = jnp.zeros((1, 8, cfg.text_dim), jnp.float32)
     lat = jnp.zeros((1, cfg.in_channels, 2 * cfg.patch_size[0],
                      8 * cfg.patch_size[1], 8 * cfg.patch_size[2]))
     img = (jnp.zeros((1, 257, cfg.image_dim), jnp.float32)
            if cfg.image_cross else None)
-    shapes = jax.eval_shape(
+    return jax.eval_shape(
         lambda r, l, t, tx: model.init(r, l, t, tx, img),
         rng, lat, jnp.array([0.0]), text)
+
+
+def host_bf16_params(model, cfg, seed=0, scale=0.02, host=False):
+    """host=True keeps leaves as numpy (for quantize_params /
+    stack_block_params before any device transfer)."""
+    from bench_e2e import pool_normal_sampler
+    shapes = wan_param_shapes(model, cfg, seed)
     draw = pool_normal_sampler(seed, scale)
     conv = (lambda x, d: x.astype(d)) if host else jnp.asarray
 
@@ -52,6 +56,25 @@ def host_bf16_params(model, cfg, seed=0, scale=0.02, host=False):
         return conv(draw(sd.shape), jnp.bfloat16)
 
     return jax.tree_util.tree_map(leaf, shapes)
+
+
+def build_params(model, cfg, quant, scan, seed=0):
+    """Quantized runs generate the models/quant.py tree DIRECTLY
+    (bench_e2e.host_quantized_tree) — the bf16-build + quantize passes
+    price a 14B tree in tens of minutes on this box's one core."""
+    shapes = wan_param_shapes(model, cfg, seed)
+    n = sum(int(np.prod(x.shape))
+            for x in jax.tree_util.tree_leaves(shapes))
+    log(f"{n/1e9:.2f}B params ({n*2/1e9:.1f} GB bf16)")
+    if quant:
+        from bench_e2e import host_quantized_tree
+        from rectified_spaattn_tpu.models.quant import quantized_nbytes
+        log(f"host-init DIRECT int{quant} tree...")
+        p = host_quantized_tree(shapes, bits=quant, seed=seed)
+        log(f"int{quant} weight-only: "
+            f"{quantized_nbytes(p)/1e9:.1f} GB resident")
+        return p
+    return host_bf16_params(model, cfg, seed=seed, host=scan)
 
 
 def main():
@@ -113,19 +136,9 @@ def main():
         cfg = WanConfig(num_blocks=args.blocks)   # full width, sliced depth
         vae_stride = (4, 16, 16)
     model = WanDiT(cfg)
-    log(f"host-init bf16 params (hidden {cfg.hidden_dim}, "
+    log(f"host-init params (hidden {cfg.hidden_dim}, "
         f"{args.blocks} blocks)...")
-    host = bool(args.quant) or args.scan_blocks
-    params = host_bf16_params(model, cfg, host=host)
-    n = sum(int(np.prod(x.shape))
-            for x in jax.tree_util.tree_leaves(params))
-    log(f"{n/1e9:.2f}B params ({n*2/1e9:.1f} GB bf16)")
-    if args.quant:
-        from rectified_spaattn_tpu.models.quant import (
-            quantize_params, quantized_nbytes)
-        params = quantize_params(params, bits=args.quant)
-        log(f"int{args.quant} weight-only: "
-            f"{quantized_nbytes(params)/1e9:.1f} GB resident")
+    params = build_params(model, cfg, args.quant, args.scan_blocks)
 
     rng = jax.random.PRNGKey(0)
     text = jax.random.normal(rng, (1, 512, cfg.text_dim), jnp.float32)
@@ -135,7 +148,8 @@ def main():
     if args.a14b:
         from rectified_spaattn_tpu.pipelines import Wan22A14BPipeline
         log("host-init second (low-noise) transformer...")
-        params2 = host_bf16_params(model, cfg, seed=1)
+        params2 = build_params(model, cfg, args.quant, args.scan_blocks,
+                               seed=1)
         results = {}
         for mode in [m for m in args.modes.split(",") if m]:
             mk = lambda p_: WanPipeline(
