@@ -112,6 +112,27 @@ def classifier_free_guidance(cond, uncond, scale):
     return uncond + scale * (cond - uncond)
 
 
+def finalize_params(params, mesh):
+    """Device-place a (possibly host/numpy) param tree exactly once.
+
+    With a mesh: one device_put per leaf against the param_shardings plan
+    (numpy leaves transfer straight to their sharded placement — no
+    intermediate single-device copy of a multi-GB tree).  Without: a plain
+    transfer, only if any leaf is still host-side — jitted calls would
+    otherwise re-stream the full weight tree through the tunnel every
+    step."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    if mesh is not None:
+        from ..parallel import shard_params
+        return shard_params(mesh, params)
+    if any(isinstance(l, np.ndarray)
+           for l in jax.tree_util.tree_leaves(params)):
+        params = jax.tree_util.tree_map(jnp.asarray, params)
+    return params
+
+
 def param_compute_dtype(params):
     """Activation dtype for a parameter tree: bf16 when the params are
     bf16 (real checkpoints), else fp32.  jnp promotion would otherwise

@@ -81,25 +81,14 @@ class CogVideoXPipeline:
         from .base import param_compute_dtype
         self.compute_dtype = param_compute_dtype(self.params)
         if self.scan_blocks:
-            if self.mesh is not None:
-                raise NotImplementedError(
-                    "scan_blocks + mesh: shard_params' name patterns don't "
-                    "cover stacked trees yet — use one or the other")
             if "scan_blocks" not in self.params:  # accept pre-stacked trees
                 from ..models.scan import stack_block_params
                 inner = dict(self.params["params"])
                 inner, stack = stack_block_params(
                     inner, "block_", cfg.num_blocks)
                 self.params = {"params": inner, "scan_blocks": stack}
-        import numpy as _np
-        if any(isinstance(l, _np.ndarray)
-               for l in jax.tree_util.tree_leaves(self.params)):
-            # host (quantized) trees must be device-put ONCE, or every
-            # jitted call re-transfers the weights through the tunnel
-            self.params = jax.tree_util.tree_map(jnp.asarray, self.params)
-        if self.mesh is not None:
-            from ..parallel import shard_params
-            self.params = shard_params(self.mesh, self.params)
+        from .base import finalize_params
+        self.params = finalize_params(self.params, self.mesh)
 
         def embed(params, latents, t, text, ofs):
             x, ctx, temb, rope = m.apply(params, latents, t, text, self.h2l,

@@ -82,10 +82,6 @@ class FluxPipeline:
         from .base import param_compute_dtype
         self.compute_dtype = param_compute_dtype(self.params)
         if self.scan_blocks:
-            if self.mesh is not None:
-                raise NotImplementedError(
-                    "scan_blocks + mesh: shard_params' name patterns don't "
-                    "cover stacked trees yet — use one or the other")
             if "scan_dual" not in self.params:   # accept pre-stacked trees
                 from ..models.scan import stack_block_params
                 inner = dict(self.params["params"])
@@ -95,15 +91,8 @@ class FluxPipeline:
                     inner, "single_", m.cfg.num_single_blocks)
                 self.params = {"params": inner, "scan_dual": dual_stack,
                                "scan_single": single_stack}
-        import numpy as _np
-        if any(isinstance(l, _np.ndarray)
-               for l in jax.tree_util.tree_leaves(self.params)):
-            # host (quantize/stack) trees must be device-put ONCE, or every
-            # jitted call re-transfers the weights through the tunnel
-            self.params = jax.tree_util.tree_map(jnp.asarray, self.params)
-        if self.mesh is not None:
-            from ..parallel import shard_params
-            self.params = shard_params(self.mesh, self.params)
+        from .base import finalize_params
+        self.params = finalize_params(self.params, self.mesh)
 
         def embed(params, tokens, t, text, pooled, guidance):
             x, ctx, temb, rope = m.apply(

@@ -115,10 +115,6 @@ class HunyuanVideoPipeline:
         from .base import param_compute_dtype
         self.compute_dtype = param_compute_dtype(self.params)
         if self.scan_blocks:
-            if self.mesh is not None:
-                raise NotImplementedError(
-                    "scan_blocks + mesh: shard_params' name patterns don't "
-                    "cover stacked trees yet — use one or the other")
             if "scan_dual" not in self.params:   # accept pre-stacked trees
                 from ..models.scan import stack_block_params
                 inner = dict(self.params["params"])
@@ -129,15 +125,8 @@ class HunyuanVideoPipeline:
                 # extra collections ride along unused through m.apply
                 self.params = {"params": inner, "scan_dual": dual_stack,
                                "scan_single": single_stack}
-        # Host (numpy) trees — the quantize/stack path builds them host-side
-        # — must be device-put ONCE, or every jitted call re-transfers the
-        # full weight tree through the tunnel.
-        if any(isinstance(l, np.ndarray)
-               for l in jax.tree_util.tree_leaves(self.params)):
-            self.params = jax.tree_util.tree_map(jnp.asarray, self.params)
-        if self.mesh is not None:
-            from ..parallel import shard_params
-            self.params = shard_params(self.mesh, self.params)
+        from .base import finalize_params
+        self.params = finalize_params(self.params, self.mesh)
 
         def embed(params, latents, t, text, mask, guidance, pooled):
             x, ctx, temb, rope = m.apply(

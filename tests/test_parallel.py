@@ -283,6 +283,54 @@ def test_cogvideox_pipeline_mesh_matches_single_device(mesh):
     np.testing.assert_allclose(got, want, rtol=2e-3, atol=2e-3)
 
 
+def test_param_shardings_stacked_and_quantized(mesh):
+    """Sharding specs generalize to stacked [L, in, out] scan leaves and
+    quantized layouts: kernels shard on trailing feature axes (scan axis
+    replicated), int4 group scales follow their kernel's role, int8
+    row-layer scales and non-divisible axes stay replicated."""
+    tree = {"scan": {"attn": {
+        "to_q": {"kernel": np.zeros((3, 8, 16))},
+        "to_k": {"kernel_q": np.zeros((3, 8, 16), np.int8),
+                 "kernel_scale": np.zeros((3, 16), np.float32)},
+        "to_out": {"kernel_q4": np.zeros((3, 4, 16), np.uint8),
+                   "kernel_scale": np.zeros((3, 4, 16), np.float32)},
+        "fc2": {"kernel_q": np.zeros((3, 8, 16), np.int8),
+                "kernel_scale": np.zeros((3, 16), np.float32)},
+        "fc1": {"kernel": np.zeros((3, 8, 18))},     # 18 % tp(4) != 0
+    }}}
+    sh = param_shardings(mesh, tree)["scan"]["attn"]
+    assert sh["to_q"]["kernel"].spec == P(None, None, "tp")
+    assert sh["to_k"]["kernel_q"].spec == P(None, None, "tp")
+    assert sh["to_k"]["kernel_scale"].spec == P(None, "tp")
+    assert sh["to_out"]["kernel_q4"].spec == P(None, "tp", None)
+    assert sh["to_out"]["kernel_scale"].spec == P(None, "tp", None)
+    assert sh["fc2"]["kernel_q"].spec == P(None, "tp", None)
+    assert sh["fc2"]["kernel_scale"].spec == P()      # int8 row: replicated
+    assert sh["fc1"]["kernel"].spec == P()            # non-divisible
+
+
+@pytest.mark.parametrize("quant_bits", [None, 4])
+def test_hunyuan_scan_pipeline_mesh_matches_single_device(mesh, quant_bits):
+    """scan_blocks + mesh (was NotImplementedError): stacked (and
+    quantized) param trees shard over tp and the scanned sparse blocks
+    run head-parallel inside lax.scan; the denoise must equal the
+    unsharded scan pipeline bit-for-bit in interpret mode."""
+    import sys, os
+    sys.path.insert(0, os.path.dirname(__file__))
+    from test_scan import _mk_pipe
+    from jax.sharding import Mesh
+
+    pipe, text, mask = _mk_pipe(scan=True, quant_bits=quant_bits,
+                                mode="sparse")
+    want = np.asarray(pipe(text, mask, seed=3))
+    tp2 = Mesh(np.array(jax.devices()[:2]).reshape(1, 2, 1),
+               ("dp", "tp", "sp"))
+    pipe_m, _, _ = _mk_pipe(scan=True, quant_bits=quant_bits,
+                            mode="sparse", mesh=tp2)
+    got = np.asarray(pipe_m(text, mask, seed=3))
+    np.testing.assert_allclose(got, want, rtol=2e-3, atol=2e-3)
+
+
 def test_flux_pipeline_mesh_matches_single_device(mesh):
     """FluxPipeline with a tp mesh (joint layout, per-layer sparse gate)
     equals the unsharded pipeline."""

@@ -98,7 +98,7 @@ def test_single_block_jit_matches_eager(tiny3):
                                rtol=1e-5, atol=1e-5)
 
 
-def _mk_pipe(scan, steps=2, quant_bits=None):
+def _mk_pipe(scan, steps=2, quant_bits=None, mode="vanilla", mesh=None):
     from rectified_spaattn_tpu.pipelines import HunyuanVideoPipeline
     cfg = HunyuanVideoConfig.tiny()
     cfg = type(cfg)(**{**cfg.__dict__, "num_dual_blocks": 2,
@@ -113,12 +113,12 @@ def _mk_pipe(scan, steps=2, quant_bits=None):
                         jnp.array([6000.0]), None, None)
     if quant_bits:
         params = quantize_params(jax.device_get(params), bits=quant_bits,
-                                 min_size=1)
+                                 min_size=1, group_size=32)
     pipe = HunyuanVideoPipeline(
         model=model, params=params, height=height, width=width,
         frames=frames, num_steps=steps, sa_drop_rate=0.5,
-        p_remain_rates=0.5, mode="vanilla", text_len=128,
-        interpret=True, scan_blocks=scan)
+        p_remain_rates=0.5, mode=mode, text_len=128,
+        interpret=True, scan_blocks=scan, mesh=mesh)
     return pipe, text, mask
 
 
