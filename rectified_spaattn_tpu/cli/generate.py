@@ -144,14 +144,15 @@ def _serving(args, params, supports_scan=True):
     """Apply the --quant / --scan_blocks serving options: returns
     (params, extra_pipeline_kwargs).  Quantization runs host-side
     (models/quant.py) so a 13B tree never holds two device copies."""
-    if args.scan_blocks and not supports_scan:
+    scan = getattr(args, "scan_blocks", False)
+    quant = getattr(args, "quant", 0)
+    if scan and not supports_scan:
         raise SystemExit(f"--scan_blocks is not supported for this family")
-    if args.quant:
+    if quant:
         import jax
         from ..models.quant import quantize_params
-        params = quantize_params(jax.device_get(params), bits=args.quant)
-    return params, ({"scan_blocks": True}
-                    if args.scan_blocks and supports_scan else {})
+        params = quantize_params(jax.device_get(params), bits=quant)
+    return params, ({"scan_blocks": True} if scan and supports_scan else {})
 
 
 def _from_ckpt(args, family):
