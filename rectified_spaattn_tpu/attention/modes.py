@@ -9,6 +9,7 @@ path (SURVEY §4.2).
 
 from __future__ import annotations
 
+import os
 from typing import Optional
 
 import jax
@@ -43,7 +44,11 @@ def _windowed_dense_flash(q, k, v, *, visual_len, text_start, tlen,
     # sweep (scripts/bench_dense.py) measures 1024 > 512 > 256
     # (134/129/122 TF/s) — wider tiles amortise more KV traffic.  Capped
     # at the sequence so tiny shapes don't compute mostly padding.
-    bm = block_m or max(m for m in (1024, 512, 256, 128) if m <= s or m == 128)
+    # RSA_DENSE_BM overrides the tile width (widths that DIVIDE the
+    # sequence also skip the padded-q copy); measured 1024/512/256 =
+    # 134/129/122 TF/s at 115k tokens — see scripts/bench_dense.py.
+    bm = block_m or int(os.environ.get("RSA_DENSE_BM", 0)) or max(
+        m for m in (1024, 512, 256, 128) if m <= s or m == 128)
     qpad = (-s) % bm
     if qpad:
         q = jnp.pad(q, ((0, 0), (0, 0), (0, qpad), (0, 0)))
