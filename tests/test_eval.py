@@ -154,6 +154,44 @@ def test_run_eval_main_smoke(tmp_path):
     assert any(out.iterdir()), "no outputs written"
 
 
+def test_score_outputs_scores_full_latents(tmp_path, monkeypatch):
+    """Diff metrics must run on the FULL [C,F,H,W] latent: a perturbation
+    confined to two mutually-cancelling channels leaves the channel-mean
+    preview IDENTICAL, so the pre-r4 scoring path (which channel-averaged)
+    reported a perfect match (VERDICT r3 weak #5)."""
+    import argparse
+    from rectified_spaattn_tpu.eval import run_eval
+
+    g = np.random.default_rng(0)
+    dense = g.normal(size=(1, 4, 3, 8, 8)).astype(np.float32)
+    sparse = dense.copy()
+    bump = 0.5 * g.uniform(size=(3, 8, 8)).astype(np.float32)
+    sparse[0, 2] += bump
+    sparse[0, 3] -= bump
+    # the old scoring view can NOT see this deviation
+    assert np.allclose(sparse[0].mean(axis=0), dense[0].mean(axis=0),
+                       atol=1e-6)
+
+    def fake_runner(args):
+        lat = dense if args.mode == "flash" else sparse
+
+        def run(prompt, seed):
+            return lat[0].mean(axis=0)[..., None]
+        run.last_raw = lambda: lat
+        return run, True
+
+    monkeypatch.setattr(run_eval, "make_runner", fake_runner)
+    out = tmp_path / "out"
+    out.mkdir()
+    args = argparse.Namespace(model="hunyuan", out_dir=str(out), loops=1,
+                              mode="sparse", real_text_encoders=False)
+    res = run_eval.score_outputs(args, ["p0"], str(out))
+    d = res["diff_vs_dense"]
+    assert d["relative_l1"] > 1e-3
+    assert d["rmse"] > 1e-3
+    assert d["ssim"] < 0.999
+
+
 def test_score_outputs_refuses_text_scores_on_hash_embeddings(
         tmp_path, monkeypatch):
     """CLIP/VisionReward must refuse (not silently score) when prompts
