@@ -186,7 +186,7 @@ def test_grouped_kernel_matches_reference():
     mask = g.uniform(size=(b, h, nq, nb)) < 0.4
     mask[..., 0] = True
     visual_len = nb * BN - 50
-    for grp in (2, 4, 8):
+    for grp in (1, 2, 4, 8):
         idx, counts, rowbits, clean = group_rows(
             jnp.asarray(mask), grp, clean_blocks=visual_len // BN)
         out = np.asarray(block_sparse_flash_attention_grouped(
@@ -316,6 +316,40 @@ def test_int8_kv_quant_close_to_bf16(mode):
     lim_max, lim_mean = (0.06, 0.01) if mode == "int8" else (0.09, 0.015)
     assert err.max() < lim_max and err.mean() < lim_mean, (
         err.max(), err.mean())
+
+
+@pytest.mark.parametrize("chunk", [8, 16, 24, 32])
+def test_chunk_size_and_prefetch_pinned(chunk):
+    """CI pin for the kernel's tuned defaults (VERDICT r3 weak #6): every
+    chunk_blocks setting must match the masked-dense oracle, and
+    prefetch_next must be BIT-EXACT against prefetch-off at every chunk
+    size — the cross-row chunk-0 prefetch is a DMA-scheduling change only,
+    so any numeric difference is a bug."""
+    b, h, nq, nb, d = 1, 2, 3, 40, 64
+    q, k, v = make_inputs(41, b, h, nq, nb, d)
+    g = np.random.default_rng(42)
+    mask = g.uniform(size=(b, h, nq, nb)) < 0.5
+    mask[..., 0] = True
+    mask[0, 0, 1] = True            # one full row: multiple clean chunks
+    visual_len = nb * BN - 40
+    idx, counts = mask_to_indices(jnp.asarray(mask))
+
+    def run(prefetch):
+        return np.asarray(block_sparse_flash_attention(
+            jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), idx, counts,
+            jnp.zeros((b,), jnp.int32), visual_len=visual_len,
+            text_start=None, block_m=BM, block_n=BN, chunk_blocks=chunk,
+            interpret=True, prefetch_next=prefetch))
+
+    on, off = run(True), run(False)
+    np.testing.assert_array_equal(on, off)
+
+    kv_valid = np.zeros((b, nb * BN), bool)
+    kv_valid[:, :visual_len] = True
+    want = np.asarray(block_sparse_attention_reference(
+        jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), jnp.asarray(mask),
+        jnp.asarray(kv_valid), block_m=BM, block_n=BN))
+    np.testing.assert_allclose(on, want, rtol=2e-4, atol=2e-5)
 
 
 @pytest.mark.parametrize("bm", [128, 256, 512])
