@@ -33,10 +33,10 @@ def convert_and_cache(family: str, snapshot_dir: str, cache_dir: str,
                       **convert_kwargs) -> Any:
     """Load converted params from ``cache_dir`` if present; otherwise run
     the safetensors converter for ``family`` and cache the result."""
-    from .weights import CONVERTERS, load_safetensors_dir
+    from .weights import convert_strict, load_safetensors_dir
     if os.path.isdir(cache_dir) and os.listdir(cache_dir):
         return load_params(cache_dir)
     sd = load_safetensors_dir(snapshot_dir)
-    params = CONVERTERS[family](sd, **convert_kwargs)
+    params = convert_strict(family, sd, **convert_kwargs)
     save_params(params, cache_dir)
     return params

@@ -115,11 +115,15 @@ CONFIG_PARSERS = {
 
 
 def load_transformer(family: str, root: str, dtype="bfloat16",
-                     cache: bool = True):
-    """(model_cls_config, params) from <root>/transformer (or <root>)."""
+                     cache: bool = True, strict: bool = True):
+    """(model_cls_config, params) from <root>/transformer (or <root>).
+
+    strict=True (default) fails loudly when any state-dict key goes
+    unconsumed — the naming-drift guard (tests/manifests/*_keys.json pin
+    the expected key sets)."""
     import jax.numpy as jnp
-    from .weights import (load_safetensors_dir, convert_wan, convert_flux,
-                          convert_hunyuan, convert_cogvideox, assign_dtype)
+    from .weights import (load_safetensors_dir, convert_strict, CONVERTERS,
+                          assign_dtype)
     tdir = _subdir(root, "transformer") or root
     cfg_json = _read_json(os.path.join(tdir, "config.json"))
     cfg = CONFIG_PARSERS[family](cfg_json)
@@ -130,21 +134,24 @@ def load_transformer(family: str, root: str, dtype="bfloat16",
         return cfg, load_params(cache_dir)
 
     sd = load_safetensors_dir(tdir)
+    convert = ((lambda f, s, *a, **k: convert_strict(f, s, *a, **k))
+               if strict else
+               (lambda f, s, *a, **k: CONVERTERS[f](s, *a, **k)))
     if family == "wan":
-        params = convert_wan(sd, cfg.num_blocks)
+        params = convert("wan", sd, cfg.num_blocks)
     elif family == "hunyuan":
-        params = convert_hunyuan(sd, cfg.num_dual_blocks,
-                                 cfg.num_single_blocks,
-                                 cfg.num_refiner_blocks, cfg.pooled_dim,
-                                 cfg.text_dim)
+        params = convert("hunyuan", sd, cfg.num_dual_blocks,
+                         cfg.num_single_blocks,
+                         cfg.num_refiner_blocks, cfg.pooled_dim,
+                         cfg.text_dim)
     elif family == "flux":
-        params = convert_flux(sd, cfg.num_dual_blocks,
-                              cfg.num_single_blocks)
+        params = convert("flux", sd, cfg.num_dual_blocks,
+                         cfg.num_single_blocks)
     elif family == "cogvideox":
-        params = convert_cogvideox(sd, cfg.num_blocks,
-                                   use_ofs=cfg.use_ofs_embed,
-                                   patch_size_t=cfg.patch_size_t,
-                                   patch_size=cfg.patch_size)
+        params = convert("cogvideox", sd, cfg.num_blocks,
+                         use_ofs=cfg.use_ofs_embed,
+                         patch_size_t=cfg.patch_size_t,
+                         patch_size=cfg.patch_size)
     else:
         raise ValueError(family)
     params = assign_dtype(params, getattr(jnp, dtype))
@@ -163,7 +170,7 @@ def load_flux_controlnet(root: str, dtype="bfloat16"):
     it at scripts/main_upflux.py:308-311)."""
     import jax.numpy as jnp
     from .flux import FluxControlNetConfig
-    from .weights import (load_safetensors_dir, convert_flux_controlnet,
+    from .weights import (load_safetensors_dir, convert_strict,
                           assign_dtype)
     cj = _read_json(os.path.join(root, "config.json"))
     heads = cj.get("num_attention_heads", 24)
@@ -179,8 +186,8 @@ def load_flux_controlnet(root: str, dtype="bfloat16"):
         rope_axes_dim=tuple(cj.get("axes_dims_rope", (16, 56, 56))),
         guidance_embeds=cj.get("guidance_embeds", True))
     sd = load_safetensors_dir(root)
-    params = convert_flux_controlnet(sd, cfg.num_dual_blocks,
-                                     cfg.num_single_blocks)
+    params = convert_strict("flux_controlnet", sd, cfg.num_dual_blocks,
+                            cfg.num_single_blocks)
     return cfg, assign_dtype(params, getattr(jnp, dtype))
 
 

@@ -498,9 +498,65 @@ def convert_cogvideox(sd: dict, num_blocks: int,
 CONVERTERS: dict[str, Callable] = {
     "wan": convert_wan,
     "flux": convert_flux,
+    "flux_controlnet": convert_flux_controlnet,
     "hunyuan": convert_hunyuan,
     "cogvideox": convert_cogvideox,
 }
+
+
+class TrackedStateDict:
+    """Mapping wrapper that records every key a converter consumed.
+
+    Missing keys fail loudly through the normal ``KeyError``; after the
+    conversion, ``unused`` exposes state-dict keys the converter never
+    read — the naming-drift failure mode real checkpoints would hit
+    silently (reference loads whole snapshots via ``from_pretrained``,
+    scripts/main_hunyuan.py:233-238, where an unconsumed tensor means a
+    wrong name on our side)."""
+
+    def __init__(self, sd: dict):
+        self._sd = sd
+        self.used: set = set()
+
+    def __getitem__(self, k):
+        v = self._sd[k]
+        self.used.add(k)
+        return v
+
+    def get(self, k, default=None):
+        if k in self._sd:
+            return self[k]
+        return default
+
+    def __contains__(self, k):
+        return k in self._sd
+
+    def __iter__(self):
+        return iter(self._sd)
+
+    def __len__(self):
+        return len(self._sd)
+
+    def keys(self):
+        return self._sd.keys()
+
+    @property
+    def unused(self) -> set:
+        return set(self._sd) - self.used
+
+
+def convert_strict(family: str, sd: dict, *args, **kwargs) -> dict:
+    """Run ``CONVERTERS[family]`` and fail if any state-dict key went
+    unconsumed (unknown/renamed keys) — the loud-load contract for real
+    checkpoints."""
+    tracker = TrackedStateDict(sd)
+    out = CONVERTERS[family](tracker, *args, **kwargs)
+    if tracker.unused:
+        sample = sorted(tracker.unused)[:8]
+        raise ValueError(
+            f"convert_{family}: {len(tracker.unused)} state-dict keys were "
+            f"not consumed (name/layout drift?): {sample}")
+    return out
 
 
 def assign_dtype(params, dtype):
