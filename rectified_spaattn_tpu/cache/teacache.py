@@ -127,6 +127,12 @@ class TeaCache:
         [cfg_streams, num_steps - cfg_streams)).
       cfg_streams: 2 for classifier-free-guidance even/odd dual state
         (Wan, main_wan21t2v.py:105-133), else 1.
+      signal_scale: multiplier on the raw rel-L1 signal BEFORE the
+        polynomial.  Real checkpoints use 1.0 (the reference has no such
+        knob); random-weight benches calibrate it so the timestep-
+        embedding signal lands in the polynomial's realistic domain and
+        the organic skip rate matches the published regime
+        (cache/calibrate.py; VERDICT r3 next-round #3).
     """
     thresh: float
     num_steps: int
@@ -134,6 +140,7 @@ class TeaCache:
     ret_steps: Optional[int] = None
     cutoff_steps: Optional[int] = None
     cfg_streams: int = 1
+    signal_scale: float = 1.0
 
     def __post_init__(self):
         coeffs = (COEFFICIENTS[self.coefficients]
@@ -147,7 +154,8 @@ class TeaCache:
                 "coefficients": list(np.asarray(coeffs, dtype=float)),
                 "ret_steps": self.ret_steps,
                 "cutoff_steps": self.cutoff_steps,
-                "cfg_streams": self.cfg_streams}})
+                "cfg_streams": self.cfg_streams,
+                "signal_scale": self.signal_scale}})
 
     @property
     def enabled(self) -> bool:
@@ -177,7 +185,10 @@ class TeaCache:
             compute = True
             st.accumulated = 0.0
         else:
-            raw = float(rel_l1_signal(modulated, st.previous_modulated))
+            # the recorded/consumed raw includes signal_scale, so replay
+            # through the reference's decision code stays call-for-call
+            raw = (float(rel_l1_signal(modulated, st.previous_modulated))
+                   * self.signal_scale)
             st.accumulated += float(self._poly(raw))
             # signed comparison, matching the reference
             # (main_hunyuan.py:121): rescale polynomials go negative for

@@ -56,6 +56,13 @@ def parse_args(argv=None):
     p.add_argument("--teacache_thresh", "--rel_l1_thresh", type=float,
                    default=None, dest="teacache_thresh")
     p.add_argument("--use_ret_steps", action="store_true")
+    p.add_argument("--teacache_signal_scale", type=float, default=1.0,
+                   help="multiplier on the raw rel-L1 TeaCache signal — "
+                        "random-weight bench calibration only "
+                        "(cache/calibrate.py); real checkpoints use 1.0")
+    p.add_argument("--trace_out", type=str, default=None,
+                   help="write the TeaCache schedule trace (raw signals "
+                        "+ decisions) as JSON for reference-code replay")
     p.add_argument("--mode", choices=["sparse", "flash", "torch", "vanilla"],
                    default="sparse")
     p.add_argument("--seed", type=int, default=42)
@@ -643,7 +650,8 @@ def main(argv=None):
     from ..utils.timing import profiler_trace
     set_seed(args.seed)
 
-    with profiler_trace(args.profile):
+    from ..cache.teacache import trace_to
+    with profiler_trace(args.profile), trace_to(args.trace_out):
         latents, pipe = _generate(args)
 
     os.makedirs(args.out_dir, exist_ok=True)
@@ -670,12 +678,21 @@ def main(argv=None):
     }))
 
 
+def _set_signal_scale(pipe, args):
+    """Propagate --teacache_signal_scale to the pipelines that carry the
+    calibration knob (the timestep-signal families: Wan, CogVideoX)."""
+    for p in ((pipe.high, pipe.low) if hasattr(pipe, "high") else (pipe,)):
+        if hasattr(p, "teacache_signal_scale"):
+            p.teacache_signal_scale = args.teacache_signal_scale
+
+
 def _generate(args):
     if args.model.startswith("hunyuan"):
         pipe, inputs, extra = build_hunyuan(args)
         latents = pipe(*inputs, seed=args.seed, **extra)
     elif args.model.startswith("wan"):
         pipe, inputs, extra = build_wan(args)
+        _set_signal_scale(pipe, args)
         if hasattr(pipe, "high"):   # A14B dual transformer
             import jax, jax.numpy as jnp
             cfgm = pipe.high.model.cfg
@@ -690,6 +707,7 @@ def _generate(args):
             latents = pipe(*inputs, seed=args.seed, **extra)
     elif args.model.startswith("cogvideox"):
         pipe, inputs, extra = build_cogvideox(args)
+        _set_signal_scale(pipe, args)
         latents = pipe(*inputs, seed=args.seed, **extra)
     elif args.model == "flux-upscale":
         pipe, inputs = build_flux(args)

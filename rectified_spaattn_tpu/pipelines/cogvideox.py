@@ -50,6 +50,9 @@ class CogVideoXPipeline:
     mode: str = "sparse"
     enable_teacache: bool = False
     teacache_thresh: float = 0.2
+    # random-weight bench calibration only (cache/calibrate.py); real
+    # checkpoints keep 1.0
+    teacache_signal_scale: float = 1.0
     text_len: int = 256                 # padded t5 tokens (226 used)
     guidance_scale: float = 6.0
     use_dynamic_cfg: bool = True
@@ -140,7 +143,8 @@ class CogVideoXPipeline:
         sched = CogVideoXDDIMScheduler(steps)
         tea = TeaCache(
             self.teacache_thresh if self.enable_teacache else 0.0,
-            steps * 2, coefficients="cogvideox1.5-5b", cfg_streams=2)
+            steps * 2, coefficients="cogvideox1.5-5b", cfg_streams=2,
+            signal_scale=self.teacache_signal_scale)
         use_sparse = self.mode == "sparse"
         b = latents.shape[0]
         tlen = jnp.full((b,), min(226, self.text_len), jnp.int32)

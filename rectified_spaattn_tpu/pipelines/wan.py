@@ -84,7 +84,14 @@ class WanPipeline:
     enable_teacache: bool = False
     teacache_thresh: float = 0.2
     use_ret_steps: bool = False
-    teacache_coefficients: str = "wan2.1-t2v-14b"
+    # None = auto-resolve the per-checkpoint polynomial the way the
+    # reference drivers do (main_wan21t2v.py:273-286 picks the -ret set
+    # under --use_ret_steps; main_wan21i2v.py keys on 480p/720p;
+    # main_wan22ti2v.py has its own table)
+    teacache_coefficients: Optional[str] = None
+    # random-weight bench calibration only (cache/calibrate.py); real
+    # checkpoints keep 1.0
+    teacache_signal_scale: float = 1.0
     guidance_scale: float = 5.0
     flow_shift: float = 5.0
     vae_stride: tuple = (4, 16, 16)      # Wan2.2 TI2V uses (4, 32, 32)
@@ -210,6 +217,23 @@ class WanPipeline:
             return UniPCScheduler(steps, shift=self.flow_shift)
         return FlowMatchEulerScheduler(steps, shift=self.flow_shift)
 
+    def tea_coefficients(self) -> str:
+        """Per-checkpoint rescale polynomial, resolved the way the
+        reference drivers hard-code it: -ret sets under --use_ret_steps
+        (main_wan21t2v.py:273-286), 480p/720p split for I2V
+        (main_wan21i2v.py), the TI2V-5B table for Wan2.2-TI2V
+        (main_wan22ti2v.py).  Explicit ``teacache_coefficients`` wins."""
+        if self.teacache_coefficients is not None:
+            return self.teacache_coefficients
+        if self.model.cfg.per_token_timesteps or self.vae_stride[1] == 32:
+            return "wan2.2-ti2v-5b"
+        if self.is_i2v:
+            base = ("wan2.1-i2v-480p" if self.height <= 480
+                    else "wan2.1-i2v-720p")
+        else:
+            base = "wan2.1-t2v-14b"
+        return base + ("-ret" if self.use_ret_steps else "")
+
     def denoise(self, latents, text_cond, text_uncond, image_emb=None,
                 condition=None, first_frame=None,
                 num_steps: Optional[int] = None):
@@ -226,11 +250,11 @@ class WanPipeline:
         use_sparse = self.mode == "sparse"
         tea = TeaCache(
             self.teacache_thresh if self.enable_teacache else 0.0,
-            steps * 2, coefficients=self.teacache_coefficients,
+            steps * 2, coefficients=self.tea_coefficients(),
             ret_steps=(5 * 2 if self.use_ret_steps else 1 * 2),
             cutoff_steps=(steps * 2 if self.use_ret_steps
                           else steps * 2 - 2),
-            cfg_streams=2)
+            cfg_streams=2, signal_scale=self.teacache_signal_scale)
 
         b = latents.shape[0]
         ff_tokens = 0
@@ -333,13 +357,16 @@ class Wan22A14BPipeline:
 
         tea_h = TeaCache(
             self.high.teacache_thresh if self.high.enable_teacache else 0.0,
-            high_steps * 2, coefficients=self.high.teacache_coefficients,
-            ret_steps=3 * 2, cfg_streams=2)
+            high_steps * 2,
+            coefficients=self.high.teacache_coefficients or "wan2.2-a14b",
+            ret_steps=3 * 2, cfg_streams=2,
+            signal_scale=self.high.teacache_signal_scale)
         tea_l = TeaCache(
             self.low.teacache_thresh if self.low.enable_teacache else 0.0,
             (steps - high_steps) * 2,
-            coefficients=self.low.teacache_coefficients,
-            ret_steps=2, cfg_streams=2)
+            coefficients=self.low.teacache_coefficients or "wan2.2-a14b",
+            ret_steps=2, cfg_streams=2,
+            signal_scale=self.low.teacache_signal_scale)
 
         device_sync()
         t0 = time.perf_counter()

@@ -116,3 +116,98 @@ def test_skip_schedule_matches_fp32_state_trace():
                   for x in trace]
     assert sched_model == sched_fp32
     assert tc_model.states[0].previous_modulated.dtype == jnp.bfloat16
+
+
+# ---- signal-scale calibration (cache/calibrate.py) ----
+
+def test_signal_scale_multiplies_raw():
+    """signal_scale s must make the controller behave as if every raw
+    rel-L1 were s*raw: compare against an unscaled controller fed
+    tensors whose successive ratios are pre-scaled."""
+    from rectified_spaattn_tpu.cache.teacache import trace_to
+    g = np.random.default_rng(0)
+    raws = np.abs(g.normal(0.05, 0.02, size=18)).astype(np.float64)
+    kw = dict(thresh=0.15, num_steps=20, coefficients="hunyuan-video")
+
+    def run(scale, raw_seq):
+        tc = TeaCache(signal_scale=scale, **kw)
+        val, out = 1.0, []
+        for r in [None] + list(raw_seq) + [None]:
+            if r is not None:
+                val *= (1.0 + r)
+            out.append(tc.should_compute(jnp.full((8,), val, jnp.float32)))
+        return out
+
+    assert run(3.0, raws) == run(1.0, 3.0 * raws)
+
+
+def test_simulate_matches_controller():
+    """calibrate.simulate_schedule replays TeaCache.should_compute
+    exactly over a recorded trace, at scale 1 and at a rescale."""
+    from rectified_spaattn_tpu.cache.teacache import trace_to
+    from rectified_spaattn_tpu.cache.calibrate import (
+        simulate_schedule, trace_raws)
+    g = np.random.default_rng(1)
+    with trace_to("/tmp/test_calib_trace.json") as rec:
+        tc = TeaCache(thresh=0.2, num_steps=40,
+                      coefficients="wan2.1-t2v-14b-ret", ret_steps=10,
+                      cutoff_steps=40, cfg_streams=2, signal_scale=0.1)
+        vals = [1.0, 1.0]
+        decisions = []
+        for i in range(40):
+            vals[i % 2] *= 1.0 + abs(g.normal(0.3, 0.2))
+            decisions.append(tc.should_compute(
+                jnp.full((8,), vals[i % 2], jnp.float32)))
+    meta, raws = trace_raws(rec)
+    assert meta["signal_scale"] == 0.1
+    assert simulate_schedule(meta, raws, 0.1) == decisions
+    # a different scale changes the schedule (sanity that scale matters)
+    tc2 = TeaCache(thresh=0.2, num_steps=40,
+                   coefficients="wan2.1-t2v-14b-ret", ret_steps=10,
+                   cutoff_steps=40, cfg_streams=2, signal_scale=0.02)
+    vals = [1.0, 1.0]
+    g = np.random.default_rng(1)
+    d2 = []
+    for i in range(40):
+        vals[i % 2] *= 1.0 + abs(g.normal(0.3, 0.2))
+        d2.append(tc2.should_compute(
+            jnp.full((8,), vals[i % 2], jnp.float32)))
+    assert simulate_schedule(meta, raws, 0.02) == d2
+
+
+def test_solver_hits_target_rate():
+    from rectified_spaattn_tpu.cache.calibrate import (
+        simulate_schedule, solve_signal_scale, skip_rate)
+    g = np.random.default_rng(2)
+    meta = {"thresh": 0.2, "num_steps": 100, "ret_steps": 10,
+            "cutoff_steps": 100, "cfg_streams": 2,
+            "coefficients": [-3.03318725e+05, 4.90537029e+04,
+                             -2.65530556e+03, 5.87365115e+01,
+                             -3.15583525e-01]}
+    raws = [None if (i < 10) else abs(g.normal(0.8, 0.2))
+            for i in range(100)]
+    scale, predicted = solve_signal_scale(meta, raws, 0.65)
+    achieved = skip_rate(simulate_schedule(meta, raws, scale))
+    assert achieved == predicted
+    assert abs(achieved - 0.65) < 0.10
+
+
+def test_committed_calibration_matches_traces():
+    """The committed calibration summary's achieved rates must equal the
+    committed calibrated traces' decision records, and land within 10pts
+    of the published targets (VERDICT r3 #3 done-criterion)."""
+    import json
+    import os
+    root = os.path.join(os.path.dirname(__file__), "..", "bench_traces")
+    spath = os.path.join(root, "calibration", "summary.json")
+    if not os.path.exists(spath):
+        import pytest
+        pytest.skip("no committed calibration")
+    summary = json.load(open(spath))
+    assert {"wan21-t2v", "cogvideox-t2v"} <= set(summary)
+    for fam, rec in summary.items():
+        records = json.load(open(os.path.join(root, rec["trace"])))
+        decisions = [bool(r["compute"]) for r in records if "call" in r]
+        rate = 1.0 - sum(decisions) / len(decisions)
+        assert abs(rate - rec["achieved_skip_rate"]) < 1e-9, fam
+        assert abs(rate - rec["target_skip_rate"]) <= 0.10, (fam, rate)
