@@ -55,13 +55,38 @@ def rectified_sparse_attention(
     visual_len: int,                    # static true visual token count
     text_len_rt: Optional[jax.Array] = None,     # [B] int32 (joint layout)
     interpret: bool = False,
+    kv_packed: Optional[jax.Array] = None,       # [B,H,S,2D] producer-packed
+    q_text: Optional[jax.Array] = None,          # [B,H,text_len,D] split q
 ) -> jax.Array:
     """Returns [B, H, S, D] attention output in q.dtype (padded rows are
-    garbage and must be dropped by the caller, as in the reference)."""
+    garbage and must be dropped by the caller, as in the reference).
+
+    ``kv_packed``: the caller already holds KV packed as [..., K|V] (pack
+    at producer).  The kernels then gather from it directly instead of
+    materialising their own packed copy next to the unpacked k/v — at
+    400k+ tokens that duplicate alone is ~5 GB (VERDICT r3 #4).  k/v must
+    be the matching slices (``kv_packed[..., :d]`` / ``[..., d:]``):
+    they only feed pooled statistics, which XLA fuses into reductions
+    without materialising.  Kernel-side validity zeroing is unnecessary
+    (the kernel window-masks every non-clean block's scores).
+
+    ``q_text``: the caller already holds q split at the visual/text seam
+    (joint layout) — ``q`` is then visual-only and the [B,H,Sv,D] slice
+    copy the split would otherwise cost disappears (the visual prefix of
+    an interior axis is not a bitcast)."""
     b, h, s, d = q.shape
     bm = cfg.block_m
-    sv_true = s - cfg.text_len if cfg.layout == "joint" else s
+    if q_text is not None:
+        assert cfg.layout == "joint", "q_text is a joint-layout split"
+        sv_true = s
+        s = sv_true + cfg.text_len
+    else:
+        sv_true = s - cfg.text_len if cfg.layout == "joint" else s
     pad = (-sv_true) % bm
+    assert kv_packed is None or pad == 0, (
+        "kv_packed requires a block-aligned visual region")
+    assert q_text is None or pad == 0, (
+        "q_text requires a block-aligned visual region")
     if pad:
         # Pad the visual region to a block multiple with zero tokens
         # between visual and text (the reference pads inside the call,
@@ -95,10 +120,13 @@ def rectified_sparse_attention(
     if cfg.layout == "joint":
         text_valid = (jnp.arange(cfg.text_len)[None, :] < tlen[:, None])
 
-    q_vis = q[:, :, :sv_pad, :]
+    q_vis = q if q_text is not None else q[:, :, :sv_pad, :]
     plan = build_sparse_plan(q_vis, k, v, cfg, neighbor_mask=neighbor_mask,
                              text_valid=text_valid)
 
+    assert kv_packed is None or (cfg.group_rows == 1
+                                 and cfg.kv_quant == "none"), \
+        "kv_packed composes with the default single-row bf16 kernel only"
     if cfg.group_rows > 1:
         # Grouped-row execution: G query blocks per program over the union
         # of their key sets — wins when adjacent curve blocks select
@@ -132,7 +160,8 @@ def rectified_sparse_attention(
             block_m=bm, block_n=cfg.block_n,
             chunk_blocks=cfg.kernel_chunk_blocks, interpret=interpret,
             kv_quant=kv_quant,
-            quant_mode=None if cfg.kv_quant == "none" else cfg.kv_quant)
+            quant_mode=None if cfg.kv_quant == "none" else cfg.kv_quant,
+            packed_kv=kv_packed)
 
     # Apply R/comp by broadcast at block granularity (the reference
     # repeat_interleaves to token level, rectified_hunyuan_attn.py:352,357
@@ -153,10 +182,12 @@ def rectified_sparse_attention(
             jnp.arange(nb_total, dtype=jnp.int32),
             (b, h, nq_text, nb_total))
         full_counts = jnp.full((b, h, nq_text), nb_total, jnp.int32)
+        qt = q_text if q_text is not None else q[:, :, sv_pad:, :]
         out_text = block_sparse_flash_attention(
-            q[:, :, sv_pad:, :], k, v, full_idx, full_counts, tlen,
+            qt, k, v, full_idx, full_counts, tlen,
             visual_len=visual_len, text_start=text_start,
-            block_m=bm, block_n=cfg.block_n, interpret=interpret)
+            block_m=bm, block_n=cfg.block_n, interpret=interpret,
+            packed_kv=kv_packed)
         out = jnp.concatenate([out_vis, out_text.astype(q.dtype)], axis=2)
     else:
         out = out_vis

@@ -610,6 +610,7 @@ def block_sparse_flash_attention(
     kv_quant=None,
     quant_mode: str | None = None,
     prefetch_next: bool = True,
+    packed_kv: jax.Array | None = None,   # [B,H,S,2D] pre-packed KV
 ):
     """Run masked flash attention over the selected key blocks.
 
@@ -641,6 +642,8 @@ def block_sparse_flash_attention(
 
     bh = b * h
     qf = q.reshape(bh, sq, d)
+    assert kv_quant is None or packed_kv is None, (
+        "kv_quant already carries a packed payload")
     if kv_quant is not None and quant_mode is None:
         quant_mode = "int8"
     assert (kv_quant is None) == (quant_mode is None), (
@@ -654,6 +657,13 @@ def block_sparse_flash_attention(
             indices, axis=-1)
         sk_rows = gather(scale_k)
         sv_rows = gather(scale_v)
+    elif packed_kv is not None:
+        # producer-packed [K|V]: avoids materialising the packed copy
+        # NEXT TO the unpacked k/v — the long-context memory saver
+        # (k/v args are then only consulted for shapes; token-window
+        # masking makes kernel-side validity zeroing unnecessary)
+        kv = packed_kv.reshape(bh, s, 2 * d)
+        kv_dtype = packed_kv.dtype
     else:
         kv = jnp.concatenate([k.reshape(bh, s, d), v.reshape(bh, s, d)],
                              axis=2)

@@ -61,6 +61,13 @@ class SparseConfig:
     #     q and p quantized in-kernel, scales folded into fp32 tiles) —
     #     no relayout; the round-3 fast path for the byte-bound regime.
     kv_quant: str = "none"
+    # Build the plan in row tiles of this many query blocks (0 = one
+    # shot).  Every plan stage is row-separable, so tiling only bounds
+    # the fp32 [B,H,rows,NK] temporaries — the long-context memory
+    # enabler (at 345k tokens the one-shot temps alone need ~3 GB;
+    # chunk 256 bounds them to ~0.3 GB).  Serializes the build over
+    # NQ/chunk tiles; keep 0 for normal video scales.
+    plan_row_chunk: int = 0
     # top-p/top-k selection implementation: "bisect" replaces the plan
     # build's dominant [B,H,NQ,NK] value sort with threshold bisection
     # (same kept set up to sub-float-resolution near-ties); "sort" is the

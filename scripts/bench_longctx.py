@@ -76,7 +76,8 @@ def amortized(f, *arrs, K=4):
     return (time.perf_counter() - t0) / K
 
 
-def run_point(frames, heads=24, d=128, text_len=256, drop=0.8, p_remain=0.3):
+def run_point(frames, heads=24, d=128, text_len=256, drop=0.8,
+              p_remain=0.3, plan_chunk=0, skip_dense=False):
     import jax
     import jax.numpy as jnp
     from rectified_spaattn_tpu.attention import rectified_sparse_attention
@@ -97,7 +98,8 @@ def run_point(frames, heads=24, d=128, text_len=256, drop=0.8, p_remain=0.3):
     neighbors = jnp.asarray(neighbors)
     cfg = SparseConfig(
         top_k_floor=max(1, select_block_num(drop, sv // 128)),
-        p_remain=p_remain, layout="joint", text_len=text_len)
+        p_remain=p_remain, layout="joint", text_len=text_len,
+        plan_row_chunk=plan_chunk)
 
     lin = np.asarray(h2l)
     tt, hh, ww = np.unravel_index(lin, (lt, lh, lw))
@@ -115,13 +117,19 @@ def run_point(frames, heads=24, d=128, text_len=256, drop=0.8, p_remain=0.3):
     plan_fn = jax.jit(lambda q, k, v: build_sparse_plan(
         q[:, :, :sv], k, v, cfg, neighbor_mask=neighbors))
 
-    plan = plan_fn(q, k, v)
-    density = float(jnp.mean(plan.counts)) / plan.indices.shape[-1]
+    # density probe: counts only (block_mask/indices are DCE'd), so the
+    # probe itself doesn't hold the [B,H,NQ,NB] int32 buffer
+    counts = jax.jit(lambda q, k, v: build_sparse_plan(
+        q[:, :, :sv], k, v, cfg, neighbor_mask=neighbors).counts)(q, k, v)
+    density = float(jnp.mean(counts)) / (sv // 128 + text_len // 128)
     log(f"plan built, mask density {density:.4f}")
-    del plan
+    del counts, plan_fn
 
     t_sparse = amortized(sparse_fn, q, k, v)
     log(f"sparse (amortised): {t_sparse * 1e3:.1f} ms")
+    if skip_dense:
+        return dict(frames=frames, tokens=s, density=round(density, 4),
+                    sparse_ms=round(t_sparse * 1e3, 1))
     t_dense = amortized(dense_fn, q, k, v)
     log(f"dense ours (amortised): {t_dense * 1e3:.1f} ms "
         f"-> speedup {t_dense / t_sparse:.2f}x")
@@ -137,11 +145,22 @@ def main():
     ap.add_argument("--also", type=int, default=0,
                     help="optional second (larger) frame count")
     ap.add_argument("--heads", type=int, default=24)
+    ap.add_argument("--plan_chunk", type=int, default=0,
+                    help="row-chunked plan build (SparseConfig."
+                         "plan_row_chunk) — bounds the fp32 plan temps; "
+                         "required past ~320 frames on one 16 GB chip")
+    ap.add_argument("--skip_dense", action="store_true",
+                    help="sparse only (the dense gather path needs more "
+                         "HBM than the sparse path at the max context)")
     args = ap.parse_args()
 
-    results = [run_point(args.frames, heads=args.heads)]
+    results = [run_point(args.frames, heads=args.heads,
+                         plan_chunk=args.plan_chunk,
+                         skip_dense=args.skip_dense)]
     if args.also:
-        results.append(run_point(args.also, heads=args.heads))
+        results.append(run_point(args.also, heads=args.heads,
+                                 plan_chunk=args.plan_chunk,
+                                 skip_dense=args.skip_dense))
     import json
     print(json.dumps(results))
 

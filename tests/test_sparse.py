@@ -313,3 +313,52 @@ def test_group_rows_clean_first_ordering():
                 for r in range(4):
                     assert bool(rowbits[0, h, p, s_] & (1 << r)) == bool(
                         rows[r, col])
+
+
+@pytest.mark.parametrize("chunk", [2, 4, 5])
+def test_chunked_plan_equals_oneshot_joint(chunk):
+    """plan_row_chunk tiles the build over query-block rows; results must
+    be bit-identical to the one-shot build (incl. the padded last tile
+    when chunk does not divide NQ)."""
+    import dataclasses
+    import jax
+    q, k, v, sv, st = make_joint_inputs(seed=13, nq=7, text_blocks=1)
+    nq = sv // BM
+    neighbors = np.eye(nq, dtype=bool)
+    base = SparseConfig(top_k_floor=2, p_remain=0.3, block_m=BM,
+                        block_n=BM, layout="joint", text_len=st)
+    tv = np.ones((1, st), bool)
+    tv[:, st - 40:] = False
+    args = (jnp.asarray(q), jnp.asarray(k), jnp.asarray(v))
+    want = jax.jit(lambda *a: build_sparse_plan(
+        *a, base, neighbor_mask=jnp.asarray(neighbors),
+        text_valid=jnp.asarray(tv)))(*args)
+    cfg = dataclasses.replace(base, plan_row_chunk=chunk)
+    got = jax.jit(lambda *a: build_sparse_plan(
+        *a, cfg, neighbor_mask=jnp.asarray(neighbors),
+        text_valid=jnp.asarray(tv)))(*args)
+    for name, w, g in zip(want._fields, want, got):
+        np.testing.assert_array_equal(np.asarray(w), np.asarray(g), err_msg=name)
+
+
+def test_chunked_plan_equals_oneshot_visual_ff():
+    """Visual layout with first-frame force-includes: the tile's global
+    row indices must feed ff_force_mask (a local arange would force the
+    wrong rows)."""
+    import dataclasses
+    import jax
+    g = rng(17)
+    b, h, nq, d = 1, 2, 6, 8
+    sv = nq * BM
+    q = g.normal(size=(b, h, sv, d)).astype(np.float32)
+    k = g.normal(size=(b, h, sv, d)).astype(np.float32)
+    v = g.normal(size=(b, h, sv, d)).astype(np.float32)
+    base = SparseConfig(top_k_floor=2, p_remain=0.35, block_m=BM,
+                        block_n=BM, layout="visual", first_frame_blocks=2)
+    args = (jnp.asarray(q), jnp.asarray(k), jnp.asarray(v))
+    want = jax.jit(lambda *a: build_sparse_plan(*a, base))(*args)
+    cfg = dataclasses.replace(base, plan_row_chunk=2)
+    got = jax.jit(lambda *a: build_sparse_plan(*a, cfg))(*args)
+    for name, w, g2 in zip(want._fields, want, got):
+        np.testing.assert_array_equal(np.asarray(w), np.asarray(g2),
+                                      err_msg=name)
