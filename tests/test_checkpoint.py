@@ -4,6 +4,7 @@ import numpy as np
 import jax.numpy as jnp
 
 from rectified_spaattn_tpu.models.checkpoint import save_params, load_params
+import pytest
 
 
 def test_save_load_roundtrip(tmp_path):
@@ -20,6 +21,7 @@ def test_save_load_roundtrip(tmp_path):
         np.asarray(back["params"]["scale"]), np.ones(3))
 
 
+@pytest.mark.slow
 def test_gated_quality_adapters_report_unavailable():
     from rectified_spaattn_tpu.eval import image_reward, pick_score
     r = image_reward([], [])

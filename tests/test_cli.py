@@ -175,6 +175,7 @@ def test_flux_upscale_ckpt_branch_warns_without_controlnet(tmp_path):
     assert any("ControlNet" in str(x.message) for x in w)
 
 
+@pytest.mark.slow
 def test_hunyuan_i2v_build_and_run():
     """hunyuan-i2v (token_replace — no reference driver; family extension
     in the Wan/Cog I2V style): the builder returns a first_frame extra

@@ -175,6 +175,7 @@ def test_paired_kernel_matches_reference():
     np.testing.assert_allclose(out, want, rtol=2e-4, atol=2e-5)
 
 
+@pytest.mark.slow
 def test_grouped_kernel_matches_reference():
     from rectified_spaattn_tpu.kernels import (
         block_sparse_flash_attention_grouped)
@@ -283,6 +284,7 @@ def test_long_contiguous_runs_match_reference():
 
 
 @pytest.mark.parametrize("mode", ["int8", "mxu8"])
+@pytest.mark.slow
 def test_int8_kv_quant_close_to_bf16(mode):
     """int8 KV gather (kv_quant, both consumption modes) tracks the
     full-precision kernel within quantization noise on random masks incl.
@@ -353,6 +355,7 @@ def test_chunk_size_and_prefetch_pinned(chunk):
 
 
 @pytest.mark.parametrize("bm", [128, 256, 512])
+@pytest.mark.slow
 def test_windowed_dense_padded_q_tiles(bm):
     """The dense fallback pads the QUERY axis independently of KV so any
     tile width is usable regardless of sequence divisibility (the kernel

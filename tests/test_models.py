@@ -21,6 +21,7 @@ def perms(t, h, w):
     return jnp.asarray(l2h), jnp.asarray(h2l)
 
 
+@pytest.mark.slow
 def test_hunyuan_tiny_forward():
     cfg = HunyuanVideoConfig.tiny()
     model = HunyuanVideoDiT(cfg)
@@ -126,6 +127,7 @@ def test_cogvideox_tiny_forward():
     assert out.shape == (b, cfg.out_channels, t, hh, ww)
 
 
+@pytest.mark.slow
 def test_hunyuan_with_sparse_attention_close_to_dense():
     """Inject the full rectified sparse path (interpret kernel) into the
     tiny model; at moderate drop rates the output must stay close to the

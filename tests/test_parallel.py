@@ -12,6 +12,9 @@ from jax.sharding import NamedSharding, PartitionSpec as P
 from rectified_spaattn_tpu.parallel import (
     make_mesh, param_shardings, shard_params, shard_prompts)
 
+# whole-module: multi-minute 8-device equality runs (pyproject addopts)
+pytestmark = pytest.mark.slow
+
 
 @pytest.fixture(scope="module")
 def mesh():

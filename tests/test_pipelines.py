@@ -50,6 +50,7 @@ def test_hunyuan_pipeline_deterministic():
     assert np.abs(a - c).max() > 0
 
 
+@pytest.mark.slow
 def test_hunyuan_pipeline_sparse_close_to_dense():
     pipe_d, text, mask = make_hunyuan_pipe("vanilla", steps=2)
     pipe_s, _, _ = make_hunyuan_pipe("sparse", steps=2)
@@ -288,6 +289,7 @@ def test_cogvideox_i2v_condition_consumed():
     assert np.abs(outs[0] - outs[1]).max() > 1e-6
 
 
+@pytest.mark.slow
 def test_flux_controlnet_conditions_the_upscale():
     """Flux upscaler parity (reference main_upflux.py:287-328): with a
     ControlNet the second stage starts from noise and the BASE IMAGE must
@@ -432,6 +434,7 @@ def test_wan_pipeline_sparse_close_to_dense():
     assert rel < 0.25, f"wan sparse deviates {rel:.3f}"
 
 
+@pytest.mark.slow
 def test_cogvideox_pipeline_sparse_close_to_dense():
     from rectified_spaattn_tpu.models.cogvideox import (CogVideoXConfig,
                                                         CogVideoXDiT)

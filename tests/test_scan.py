@@ -166,6 +166,7 @@ def _mk_wan_pipe(scan, mode="vanilla", quant_bits=None):
     return pipe, text_c, text_u
 
 
+@pytest.mark.slow
 def test_wan_pipeline_scan_matches_unrolled():
     """Scan mode with the reference's per-layer warm gates (dense leading
     layer + sparse middle becomes two scan segments) equals the unrolled
@@ -231,6 +232,7 @@ def _mk_flux_pipe(scan, mode="vanilla", quant_bits=None, cn=False):
     return pipe, text, mask, pooled, cn_fn
 
 
+@pytest.mark.slow
 def test_flux_pipeline_scan_matches_unrolled():
     """Scan mode under the reference's sparse layer gate
     (rectified_flux_attn.py:493 — here shrunk to a [3,5) dense band so the
@@ -281,6 +283,7 @@ def _mk_cog_pipe(scan, mode="vanilla", quant_bits=None):
     return pipe, text_c, text_u
 
 
+@pytest.mark.slow
 def test_cog_pipeline_scan_matches_unrolled():
     for mode in ("vanilla", "sparse"):
         pipe_u, tc, tu = _mk_cog_pipe(scan=False, mode=mode)
@@ -291,6 +294,7 @@ def test_cog_pipeline_scan_matches_unrolled():
                                    err_msg=f"mode={mode}")
 
 
+@pytest.mark.slow
 def test_cog_pipeline_scan_quantized_runs():
     pipe, tc, tu = _mk_cog_pipe(scan=True, quant_bits=8)
     out = np.asarray(pipe(tc, tu, seed=3))

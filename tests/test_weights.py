@@ -274,7 +274,12 @@ def synth_flux_controlnet_sd(cn_cfg, rng):
         num_dual_blocks=cn_cfg.num_dual_blocks,
         num_single_blocks=cn_cfg.num_single_blocks,
         text_dim=cn_cfg.text_dim, pooled_dim=cn_cfg.pooled_dim)
-    sd = synth_flux_sd(shim, rng)   # extra norm_out/proj_out keys unused
+    sd = synth_flux_sd(shim, rng)
+    # a real FluxControlNetModel has no final norm/proj head (it emits
+    # per-block residuals); convert_strict would flag these as unconsumed
+    for k in ("norm_out.linear.weight", "norm_out.linear.bias",
+              "proj_out.weight", "proj_out.bias"):
+        sd.pop(k)
     d = cn_cfg.hidden_dim
 
     def lin(name, out_f, in_f, zero=False):
