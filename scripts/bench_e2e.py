@@ -176,6 +176,11 @@ def main():
     ap.add_argument("--teacache", action="store_true",
                     help="also time the sparse+TeaCache tier")
     ap.add_argument("--teacache_thresh", type=float, default=0.15)
+    ap.add_argument("--tea_steps", type=int, default=0,
+                    help="steps for the TeaCache organic run (default "
+                         "max(--steps, 6)); lets a 50-step organic "
+                         "schedule run without the sparse/flash modes "
+                         "paying 50 timed steps")
     ap.add_argument("--trace_out", type=str, default=None,
                     help="write the organic TeaCache schedule trace "
                          "(raw rel-L1 signals + decisions) as JSON, for "
@@ -263,7 +268,7 @@ def main():
             scan_blocks=args.scan_blocks)
         pipe(text, mask, seed=1, num_steps=1, init_latents=init_latents)
         from rectified_spaattn_tpu.cache import teacache as tc_mod
-        steps = max(args.steps, 6)
+        steps = args.tea_steps or max(args.steps, 6)
         with tc_mod.trace_to(args.trace_out):  # enabled AFTER the warm-up
             pipe(text, mask, seed=1, num_steps=steps,
                  init_latents=init_latents)
