@@ -86,6 +86,10 @@ def parse_args(argv=None):
                    help="lax.scan block execution (one traced block per "
                         "attention gate): the full-depth serving mode — "
                         "required to fit 13-14B models on one 16 GB chip")
+    p.add_argument("--dispatch_segments", type=int, default=1,
+                   help="split the Hunyuan block scan into N dispatches "
+                        "per step (needs --scan_blocks) — for runtimes "
+                        "with a per-dispatch execution watchdog")
     p.add_argument("--quant", type=int, default=0, choices=(0, 4, 8),
                    help="weight-only quantization bits (models/quant.py); "
                         "4 fits the full 13B flagship on one v5e")
@@ -194,6 +198,11 @@ def build_hunyuan(args):
     """Returns (pipe, inputs, extra) — extra carries the token_replace
     first-frame latent for hunyuan-i2v (empty for T2V)."""
     import dataclasses as _dc
+
+    def _segs(sv):
+        if args.dispatch_segments > 1 and sv.get("scan_blocks"):
+            sv["dispatch_segments"] = args.dispatch_segments
+        return sv
     import jax.numpy as jnp
     from ..models.hunyuan import HunyuanVideoConfig, HunyuanVideoDiT
     from ..pipelines import HunyuanVideoPipeline
@@ -213,6 +222,7 @@ def build_hunyuan(args):
         if len(encoders) > 1:    # CLIP pooled prompt embeds
             pooled = jnp.asarray(encoders[1].pooled(args.prompt))
         params, sv = _serving(args, params)
+        sv = _segs(sv)
         pipe = HunyuanVideoPipeline(
             model=model, params=params, height=args.height,
             width=args.width, frames=args.frame, num_steps=args.num_steps,
@@ -264,6 +274,7 @@ def build_hunyuan(args):
                    8 * cfg.patch_size, 8 * cfg.patch_size)),
         jnp.array([0.0]), text, mask, jnp.array([6000.0]), None, None)
     params, sv = _serving(args, params)
+    sv = _segs(sv)
     pipe = HunyuanVideoPipeline(
         model=model, params=params, height=args.height, width=args.width,
         frames=args.frame, num_steps=args.num_steps,

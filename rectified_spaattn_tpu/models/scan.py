@@ -77,6 +77,35 @@ def hunyuan_run_blocks_scan(cfg, dual_stack: dict, single_stack: dict,
     return x, ctx
 
 
+def hunyuan_run_phase_scan(cfg, stack: dict, phase: str, x, ctx, temb,
+                           rope, attn_fn: AttnFn, win_start, win_size: int,
+                           temb_alt=None, alt_mask=None):
+    """A WINDOW of one Hunyuan phase over the full stacked tree — the
+    dispatch-window building block (pipelines/hunyuan.py
+    dispatch_segments): environments with a per-dispatch execution
+    watchdog (the axon tunnel kills single dispatches past ~60 s) run the
+    full-depth model as several shorter dispatches.
+
+    Implemented as a fori_loop indexing ONE block's params per iteration
+    (what lax.scan does internally) — slicing the window out of the
+    stacked tree up front would materialise half a 13B weight tree as a
+    copy (measured RESOURCE_EXHAUSTED at full depth)."""
+    blk = (DualStreamBlock(cfg.hidden_dim, cfg.heads, cfg.mlp_mult)
+           if phase == "dual" else
+           SingleStreamBlock(cfg.hidden_dim, cfg.heads, cfg.mlp_mult))
+
+    def body(i, carry):
+        cx, cc = carry
+        p = jax.tree_util.tree_map(
+            lambda a: jax.lax.dynamic_index_in_dim(a, i, 0,
+                                                   keepdims=False), stack)
+        return blk.apply({"params": p}, cx, cc, temb, rope, attn_fn,
+                         temb_alt, alt_mask)
+
+    return jax.lax.fori_loop(win_start, win_start + win_size, body,
+                             (x, ctx))
+
+
 def wan_run_blocks_scan(cfg, stack: dict, x, ctx, ctx_img, temb6, rope,
                         segments, cross_attn_fn: AttnFn):
     """Functional equivalent of WanDiT.run_blocks over stacked params.

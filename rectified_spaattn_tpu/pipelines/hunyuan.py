@@ -84,6 +84,14 @@ class HunyuanVideoPipeline:
     # ONCE instead of unrolling 20+40 copies — the full-depth serving mode
     # (composes with quantize_params; see scripts/bench_e2e.py --full).
     scan_blocks: bool = False
+    # Split each phase's scan into this many JIT dispatches per step
+    # (requires scan_blocks).  For environments with a per-dispatch
+    # execution watchdog — the axon tunnel kills any single dispatch past
+    # ~60 s, which the full-depth dense step exceeds (~87 s).  Windows
+    # use dynamic-start/static-size stack slices, so each phase compiles
+    # at most two extra programs regardless of the segment count; the
+    # extra dispatch overhead is ~30 ms per window.
+    dispatch_segments: int = 1
 
     def __post_init__(self):
         cfg = self.model.cfg
@@ -166,6 +174,21 @@ class HunyuanVideoPipeline:
             res = (x2 - x).astype(jnp.bfloat16) if want_residual else None
             return x2, ctx2, res
 
+        def blocks_window(params, x, ctx, temb, rope, tlen, win_start,
+                          attn_mode: str, temb_tr=None, phase: str = "dual",
+                          win_size: int = 0):
+            assert self.scan_blocks, "dispatch windows need scan_blocks"
+            fn = self.site.attn_fn(attn_mode, text_len_rt=tlen,
+                                   interpret=self.interpret,
+                                   mesh=self.mesh)
+            mask = self._ff_mask_curve if temb_tr is not None else None
+            from ..models.scan import hunyuan_run_phase_scan
+            stack = params["scan_dual" if phase == "dual"
+                           else "scan_single"]
+            return hunyuan_run_phase_scan(cfg, stack, phase, x, ctx, temb,
+                                          rope, fn, win_start, win_size,
+                                          temb_tr, mask)
+
         def head(params, x, temb, temb_tr=None):
             t, hh, ww = self.grid
             mask = self._ff_mask_linear if temb_tr is not None else None
@@ -180,6 +203,13 @@ class HunyuanVideoPipeline:
         self._blocks = jax.jit(
             blocks, static_argnames=("attn_mode", "want_residual"),
             donate_argnums=(1,))
+        # window path: no donation (the TeaCache residual needs the
+        # pre-blocks x alive across windows)
+        self._blocks_window = jax.jit(
+            blocks_window,
+            static_argnames=("attn_mode", "phase", "win_size"))
+        self._resid = jax.jit(
+            lambda a, b: (a - b).astype(jnp.bfloat16))
         self._head = jax.jit(head)
         self._temb_tr = jax.jit(temb_tr_fn)
 
@@ -234,6 +264,25 @@ class HunyuanVideoPipeline:
                     guidance, pooled)
                 if tea.enabled and not tea.should_compute(sig):
                     x = tea.apply_residual(x)
+                elif self.dispatch_segments > 1:
+                    x_in = x if tea.enabled else None
+                    for phase, n in (("dual", self.model.cfg.num_dual_blocks),
+                                     ("single",
+                                      self.model.cfg.num_single_blocks)):
+                        k = min(self.dispatch_segments, n)
+                        if k == 0:
+                            continue
+                        base, rem = divmod(n, k)
+                        start = 0
+                        for wi in range(k):
+                            size = base + (1 if wi < rem else 0)
+                            x, ctx = self._blocks_window(
+                                self.params, x, ctx, temb, rope, tlen,
+                                jnp.int32(start), attn_mode, temb_tr,
+                                phase=phase, win_size=size)
+                            start += size
+                    if tea.enabled:
+                        tea.record_residual_value(self._resid(x, x_in))
                 else:
                     x, ctx, res = self._blocks(self.params, x, ctx, temb,
                                                rope, tlen, attn_mode,

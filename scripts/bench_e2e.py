@@ -194,6 +194,11 @@ def main():
     ap.add_argument("--quant", type=int, default=0, choices=(0, 4, 8),
                     help="weight-only quantization bits (models/quant.py);"
                          " 8 or 4 lets the full 13B flagship fit 16 GB")
+    ap.add_argument("--dispatch_segments", type=int, default=1,
+                    help="split each phase's block scan into N dispatches "
+                         "per step — required when a single dispatch "
+                         "would exceed the tunnel's ~60s execution "
+                         "watchdog (full-depth dense: ~87s)")
     args = ap.parse_args()
 
     from rectified_spaattn_tpu.models.hunyuan import (
@@ -242,7 +247,8 @@ def main():
             width=args.width, frames=args.frame, num_steps=args.steps,
             sa_drop_rate=args.sa_drop_rate,
             p_remain_rates=args.p_remain, mode=mode,
-            scan_blocks=args.scan_blocks)
+            scan_blocks=args.scan_blocks,
+            dispatch_segments=args.dispatch_segments)
         params = pipe.params   # share ONE device copy across pipelines
         log(f"{mode}: warm-up (compiles)...")
         pipe(text, mask, seed=1, num_steps=1, init_latents=init_latents)
@@ -265,7 +271,8 @@ def main():
             sa_drop_rate=args.sa_drop_rate,
             p_remain_rates=args.p_remain, mode="sparse",
             enable_teacache=True, rel_l1_thresh=args.teacache_thresh,
-            scan_blocks=args.scan_blocks)
+            scan_blocks=args.scan_blocks,
+            dispatch_segments=args.dispatch_segments)
         pipe(text, mask, seed=1, num_steps=1, init_latents=init_latents)
         from rectified_spaattn_tpu.cache import teacache as tc_mod
         steps = args.tea_steps or max(args.steps, 6)

@@ -112,6 +112,12 @@ def main():
     ap.add_argument("--quant", type=int, default=0, choices=(0, 4, 8),
                     help="weight-only quantization bits (models/quant.py);"
                          " 4 lets the full 14B model fit 16 GB")
+    ap.add_argument("--share_tree", action="store_true",
+                    help="A14B: both transformers share ONE device weight "
+                         "tree — cost-identical timing (same arch, same "
+                         "compute) but output values are not meaningful; "
+                         "the only way the full-depth 14B+14B pipeline "
+                         "fits one 16 GB chip")
     args = ap.parse_args()
 
     from rectified_spaattn_tpu.models.wan import WanConfig, WanDiT
@@ -147,9 +153,14 @@ def main():
 
     if args.a14b:
         from rectified_spaattn_tpu.pipelines import Wan22A14BPipeline
-        log("host-init second (low-noise) transformer...")
-        params2 = build_params(model, cfg, args.quant, args.scan_blocks,
-                               seed=1)
+        if args.share_tree:
+            log("low-noise transformer SHARES the high-noise tree "
+                "(timing-only run)")
+            params2 = params
+        else:
+            log("host-init second (low-noise) transformer...")
+            params2 = build_params(model, cfg, args.quant,
+                                   args.scan_blocks, seed=1)
         results = {}
         for mode in [m for m in args.modes.split(",") if m]:
             mk = lambda p_: WanPipeline(
@@ -159,7 +170,12 @@ def main():
                 p_remain_rates=args.p_remain, mode=mode,
                 warm_layers=0, warm_calls=0, vae_stride=vae_stride,
                 scan_blocks=args.scan_blocks)
-            pipe = Wan22A14BPipeline(high=mk(params), low=mk(params2))
+            high = mk(params)
+            params = high.params        # ONE device copy across modes
+            if args.share_tree:
+                params2 = params        # pre-stacked device tree: no copy
+            pipe = Wan22A14BPipeline(high=high, low=mk(params2))
+            params2 = pipe.low.params
             cond = None
             noise_ch = cfg.in_channels
             if args.i2v:
@@ -195,7 +211,10 @@ def main():
                 warm_layers=0, warm_calls=0, vae_stride=vae_stride,
                 enable_teacache=True, teacache_thresh=thresh,
                 scan_blocks=args.scan_blocks)
-            pipe = Wan22A14BPipeline(high=mk_t(params), low=mk_t(params2))
+            high = mk_t(params)
+            pipe = Wan22A14BPipeline(
+                high=high,
+                low=mk_t(high.params if args.share_tree else params2))
             cond = None
             noise_ch = cfg.in_channels
             if args.i2v:

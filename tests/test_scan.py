@@ -98,7 +98,8 @@ def test_single_block_jit_matches_eager(tiny3):
                                rtol=1e-5, atol=1e-5)
 
 
-def _mk_pipe(scan, steps=2, quant_bits=None, mode="vanilla", mesh=None):
+def _mk_pipe(scan, steps=2, quant_bits=None, mode="vanilla", mesh=None,
+             dispatch_segments=1, enable_teacache=False):
     from rectified_spaattn_tpu.pipelines import HunyuanVideoPipeline
     cfg = HunyuanVideoConfig.tiny()
     cfg = type(cfg)(**{**cfg.__dict__, "num_dual_blocks": 2,
@@ -118,7 +119,10 @@ def _mk_pipe(scan, steps=2, quant_bits=None, mode="vanilla", mesh=None):
         model=model, params=params, height=height, width=width,
         frames=frames, num_steps=steps, sa_drop_rate=0.5,
         p_remain_rates=0.5, mode=mode, text_len=128,
-        interpret=True, scan_blocks=scan, mesh=mesh)
+        interpret=True, scan_blocks=scan, mesh=mesh,
+        dispatch_segments=dispatch_segments,
+        enable_teacache=enable_teacache,
+        rel_l1_thresh=0.15 if enable_teacache else 0.15)
     return pipe, text, mask
 
 
@@ -314,3 +318,19 @@ def test_pipeline_scan_teacache():
     out = np.asarray(pipe(text, mask, seed=1))
     assert np.isfinite(out).all()
     assert pipe.teacache_stats["skipped"] >= 1
+
+
+@pytest.mark.parametrize("segments", [2, 3])
+def test_dispatch_segments_match_single_dispatch(segments):
+    """dispatch_segments splits each phase's scan into several JIT
+    dispatches (the per-dispatch-watchdog serving mode); results must
+    match the one-dispatch scan to float-reassociation tolerance (the
+    split changes XLA fusion boundaries), and the TeaCache schedule —
+    whose signal comes from the unchanged embed stage — exactly."""
+    pipe_1, text, mask = _mk_pipe(scan=True, steps=3, enable_teacache=True)
+    pipe_n, _, _ = _mk_pipe(scan=True, steps=3, enable_teacache=True,
+                            dispatch_segments=segments)
+    a = np.asarray(pipe_1(text, mask, seed=3))
+    b = np.asarray(pipe_n(text, mask, seed=3))
+    np.testing.assert_allclose(b, a, rtol=1e-4, atol=1e-5)
+    assert pipe_n.teacache_stats == pipe_1.teacache_stats
