@@ -112,6 +112,13 @@ def main():
     ap.add_argument("--quant", type=int, default=0, choices=(0, 4, 8),
                     help="weight-only quantization bits (models/quant.py);"
                          " 4 lets the full 14B model fit 16 GB")
+    ap.add_argument("--signal_scale", type=float, default=1.0,
+                    help="TeaCache raw-signal multiplier from "
+                         "scripts/calibrate_teacache.py (random-weight "
+                         "organic runs; wan21-t2v ret: 0.0979)")
+    ap.add_argument("--tea_steps", type=int, default=0,
+                    help="steps for the TeaCache organic run (default "
+                         "max(--steps, 6))")
     ap.add_argument("--share_tree", action="store_true",
                     help="A14B: both transformers share ONE device weight "
                          "tree — cost-identical timing (same arch, same "
@@ -291,11 +298,12 @@ def main():
             p_remain_rates=args.p_remain, mode="sparse",
             warm_layers=0, warm_calls=0, vae_stride=vae_stride,
             enable_teacache=True, teacache_thresh=0.2, use_ret_steps=True,
+            teacache_signal_scale=args.signal_scale,
             scan_blocks=args.scan_blocks)
         pipe(text, neg, image_emb=image_emb, condition=condition,
              seed=1, num_steps=1)
         from rectified_spaattn_tpu.cache import teacache as tc_mod
-        steps = max(args.steps, 6)
+        steps = args.tea_steps or max(args.steps, 6)
         with tc_mod.trace_to(args.trace_out):  # enabled AFTER the warm-up
             pipe(text, neg, image_emb=image_emb, condition=condition,
                  seed=1, num_steps=steps)
