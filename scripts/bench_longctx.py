@@ -55,20 +55,25 @@ def smooth_inputs(key, h, s_vis, text_len, d, coords, alpha=4.0, sigma=1.0):
 
 
 def amortized(f, *arrs, K=4):
+    """K calls inside one jit with a forced data dependency via a
+    perturbation of arrs[0].  arrs[0] is CARRIED through the loop so the
+    perturbation updates it in place — the r3 version rebuilt a full
+    copy of arrs[0] per call, which at 400k+ tokens is a ~2.5 GB buffer
+    the memory budget can no longer spare."""
     import jax
     import jax.numpy as jnp
 
     @jax.jit
-    def loop(*xs):
-        def body(i, s):
-            xs2 = list(xs)
-            x0 = xs2[0]
-            xs2[0] = x0.at[(0,) * x0.ndim].add((s * 1e-20).astype(x0.dtype))
-            out = f(*xs2)
+    def loop(x0, *rest):
+        def body(i, carry):
+            s, x = carry
+            x = x.at[(0,) * x.ndim].add((s * 1e-20).astype(x.dtype))
+            out = f(x, *rest)
             leaf = jax.tree_util.tree_leaves(out)[0]
-            return jnp.sum(leaf[(0,) * (leaf.ndim - 1)][:4]
-                           .astype(jnp.float32))
-        return jax.lax.fori_loop(0, K, body, jnp.float32(0.0))
+            return (jnp.sum(leaf[(0,) * (leaf.ndim - 1)][:4]
+                            .astype(jnp.float32)), x)
+        s, _ = jax.lax.fori_loop(0, K, body, (jnp.float32(0.0), x0))
+        return s
 
     float(loop(*arrs))
     t0 = time.perf_counter()
@@ -77,7 +82,7 @@ def amortized(f, *arrs, K=4):
 
 
 def run_point(frames, heads=24, d=128, text_len=256, drop=0.8,
-              p_remain=0.3, plan_chunk=0, skip_dense=False):
+              p_remain=0.3, plan_chunk=0, skip_dense=False, packed=False):
     import jax
     import jax.numpy as jnp
     from rectified_spaattn_tpu.attention import rectified_sparse_attention
@@ -108,26 +113,43 @@ def run_point(frames, heads=24, d=128, text_len=256, drop=0.8,
     q, k, v = smooth_inputs(jax.random.PRNGKey(0), heads, sv, text_len, d,
                             coords)
     tlen = jnp.full((1,), text_len, jnp.int32)
-    log("inputs on device")
-
-    sparse_fn = jax.jit(lambda q, k, v: rectified_sparse_attention(
-        q, k, v, cfg, neighbors, visual_len=sv, text_len_rt=tlen))
-    dense_fn = jax.jit(lambda q, k, v: _windowed_dense_flash(
-        q, k, v, visual_len=sv, text_start=sv, tlen=tlen))
-    plan_fn = jax.jit(lambda q, k, v: build_sparse_plan(
-        q[:, :, :sv], k, v, cfg, neighbor_mask=neighbors))
-
+    if packed:
+        # producer-packed KV + producer-split q (attention/rectified.py
+        # kv_packed/q_text): kills the kernel's own packed copy (~5 GB at
+        # 400k tokens) and the interior-axis q_vis slice copy
+        kv = jax.block_until_ready(jnp.concatenate([k, v], axis=-1))
+        del k, v
+        q_vis = jax.block_until_ready(q[:, :, :sv])
+        q_text = jax.block_until_ready(q[:, :, sv:])
+        del q
+        log("packed KV + split q on device")
+        sparse_args = (q_vis, q_text, kv)
+        sparse_fn = jax.jit(
+            lambda q_vis, q_text, kv: rectified_sparse_attention(
+                q_vis, kv[..., :d], kv[..., d:], cfg, neighbors,
+                visual_len=sv, text_len_rt=tlen, kv_packed=kv,
+                q_text=q_text))
+        count_fn = jax.jit(lambda q_vis, q_text, kv: build_sparse_plan(
+            q_vis, kv[..., :d], kv[..., d:], cfg,
+            neighbor_mask=neighbors).counts)
+    else:
+        sparse_args = (q, k, v)
+        sparse_fn = jax.jit(lambda q, k, v: rectified_sparse_attention(
+            q, k, v, cfg, neighbors, visual_len=sv, text_len_rt=tlen))
+        count_fn = jax.jit(lambda q, k, v: build_sparse_plan(
+            q[:, :, :sv], k, v, cfg, neighbor_mask=neighbors).counts)
+        dense_fn = jax.jit(lambda q, k, v: _windowed_dense_flash(
+            q, k, v, visual_len=sv, text_start=sv, tlen=tlen))
     # density probe: counts only (block_mask/indices are DCE'd), so the
     # probe itself doesn't hold the [B,H,NQ,NB] int32 buffer
-    counts = jax.jit(lambda q, k, v: build_sparse_plan(
-        q[:, :, :sv], k, v, cfg, neighbor_mask=neighbors).counts)(q, k, v)
+    counts = count_fn(*sparse_args)
     density = float(jnp.mean(counts)) / (sv // 128 + text_len // 128)
     log(f"plan built, mask density {density:.4f}")
-    del counts, plan_fn
+    del counts
 
-    t_sparse = amortized(sparse_fn, q, k, v)
+    t_sparse = amortized(sparse_fn, *sparse_args)
     log(f"sparse (amortised): {t_sparse * 1e3:.1f} ms")
-    if skip_dense:
+    if skip_dense or packed:
         return dict(frames=frames, tokens=s, density=round(density, 4),
                     sparse_ms=round(t_sparse * 1e3, 1))
     t_dense = amortized(dense_fn, q, k, v)
@@ -152,15 +174,19 @@ def main():
     ap.add_argument("--skip_dense", action="store_true",
                     help="sparse only (the dense gather path needs more "
                          "HBM than the sparse path at the max context)")
+    ap.add_argument("--packed", action="store_true",
+                    help="producer-packed KV + split q (sparse only) — "
+                         "the memory-lean mode for the max-context points")
     args = ap.parse_args()
 
     results = [run_point(args.frames, heads=args.heads,
                          plan_chunk=args.plan_chunk,
-                         skip_dense=args.skip_dense)]
+                         skip_dense=args.skip_dense, packed=args.packed)]
     if args.also:
         results.append(run_point(args.also, heads=args.heads,
                                  plan_chunk=args.plan_chunk,
-                                 skip_dense=args.skip_dense))
+                                 skip_dense=args.skip_dense,
+                                 packed=args.packed))
     import json
     print(json.dumps(results))
 
