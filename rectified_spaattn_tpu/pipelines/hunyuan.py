@@ -92,6 +92,15 @@ class HunyuanVideoPipeline:
     # at most two extra programs regardless of the segment count; the
     # extra dispatch overhead is ~30 ms per window.
     dispatch_segments: int = 1
+    # Row-tile the sparse-plan build (SparseConfig.plan_row_chunk):
+    # bounds the fp32 plan temporaries — a memory lever for runs at the
+    # HBM ceiling.  0 = one-shot (default).
+    plan_row_chunk: int = 0
+    # Keep every k-th token of the TeaCache modulated signal (the stored
+    # previous_modulated at video scale is a ~0.7 GB bf16 tensor; the
+    # rel-L1 is a mean over 350M elements, so a strided subsample moves
+    # it O(1e-3) relative).  1 = full tensor (reference semantics).
+    teacache_signal_stride: int = 1
 
     def __post_init__(self):
         cfg = self.model.cfg
@@ -103,7 +112,7 @@ class HunyuanVideoPipeline:
         self.site, self.l2h, self.h2l = build_site(
             self.lt, self.lh, self.lw, sa_drop_rate=self.sa_drop_rate,
             p_remain=self.p_remain_rates, layout="joint",
-            text_len=self.text_len)
+            text_len=self.text_len, plan_row_chunk=self.plan_row_chunk)
         self.timer = StageTimer()
         m = self.model
 
@@ -150,7 +159,11 @@ class HunyuanVideoPipeline:
             cd = self.compute_dtype
             # sig is STORED by TeaCache as previous_modulated — keep it in
             # the model dtype like the reference (main_hunyuan.py:126 on a
-            # bf16 transformer); fp32 would double the resident state
+            # bf16 transformer); fp32 would double the resident state.
+            # An optional token stride shrinks the stored tensor for runs
+            # at the HBM ceiling (rel-L1 is a mean over the tokens).
+            if self.teacache_signal_stride > 1:
+                sig = sig[:, ::self.teacache_signal_stride]
             return (x.astype(cd), ctx.astype(cd), temb.astype(cd), rope,
                     sig.astype(cd))
 

@@ -194,6 +194,12 @@ def main():
     ap.add_argument("--quant", type=int, default=0, choices=(0, 4, 8),
                     help="weight-only quantization bits (models/quant.py);"
                          " 8 or 4 lets the full 13B flagship fit 16 GB")
+    ap.add_argument("--plan_row_chunk", type=int, default=0,
+                    help="row-tile the plan build (memory lever)")
+    ap.add_argument("--signal_stride", type=int, default=1,
+                    help="TeaCache signal token stride (memory lever for "
+                         "full-depth organic runs; rel-L1 is a mean, a "
+                         "stride moves it O(1e-3) relative)")
     ap.add_argument("--dispatch_segments", type=int, default=1,
                     help="split each phase's block scan into N dispatches "
                          "per step — required when a single dispatch "
@@ -248,7 +254,9 @@ def main():
             sa_drop_rate=args.sa_drop_rate,
             p_remain_rates=args.p_remain, mode=mode,
             scan_blocks=args.scan_blocks,
-            dispatch_segments=args.dispatch_segments)
+            dispatch_segments=args.dispatch_segments,
+            plan_row_chunk=args.plan_row_chunk,
+            teacache_signal_stride=args.signal_stride)
         params = pipe.params   # share ONE device copy across pipelines
         log(f"{mode}: warm-up (compiles)...")
         pipe(text, mask, seed=1, num_steps=1, init_latents=init_latents)
@@ -272,7 +280,9 @@ def main():
             p_remain_rates=args.p_remain, mode="sparse",
             enable_teacache=True, rel_l1_thresh=args.teacache_thresh,
             scan_blocks=args.scan_blocks,
-            dispatch_segments=args.dispatch_segments)
+            dispatch_segments=args.dispatch_segments,
+            plan_row_chunk=args.plan_row_chunk,
+            teacache_signal_stride=args.signal_stride)
         pipe(text, mask, seed=1, num_steps=1, init_latents=init_latents)
         from rectified_spaattn_tpu.cache import teacache as tc_mod
         steps = args.tea_steps or max(args.steps, 6)
