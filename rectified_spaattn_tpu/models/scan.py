@@ -131,6 +131,28 @@ def wan_run_blocks_scan(cfg, stack: dict, x, ctx, ctx_img, temb6, rope,
     return x
 
 
+def wan_run_window_scan(cfg, stack: dict, x, ctx, ctx_img, temb6, rope,
+                        attn_fn: AttnFn, cross_attn_fn: AttnFn,
+                        win_start, win_size: int):
+    """A WINDOW of the Wan stack over the full stacked tree — the
+    dispatch-window building block (pipelines/wan.py dispatch_segments;
+    see hunyuan_run_phase_scan for the watchdog rationale).  fori_loop
+    indexes ONE block's params per iteration so no stacked-tree slice is
+    ever materialised."""
+    blk = CrossAttnBlock(cfg.hidden_dim, cfg.heads,
+                         cfg.ffn_dim / cfg.hidden_dim,
+                         image_cross=cfg.image_cross)
+
+    def body(i, cx):
+        p = jax.tree_util.tree_map(
+            lambda a: jax.lax.dynamic_index_in_dim(a, i, 0,
+                                                   keepdims=False), stack)
+        return blk.apply({"params": p}, cx, ctx, temb6, rope, attn_fn,
+                         cross_attn_fn, ctx_img=ctx_img)
+
+    return jax.lax.fori_loop(win_start, win_start + win_size, body, x)
+
+
 def flux_run_blocks_scan(cfg, dual_stack: dict, single_stack: dict,
                          x, ctx, temb, rope, dual_segments,
                          single_segments, cn_dual=None, cn_single=None):

@@ -112,6 +112,12 @@ class WanPipeline:
     # distinct attention gate — the full-depth 14B serving mode (composes
     # with quantize_params; see scripts/bench_e2e_wan.py).
     scan_blocks: bool = False
+    # Split each gate segment's scan into this many JIT dispatches per
+    # call (needs scan_blocks) — for runtimes with a per-dispatch
+    # execution watchdog (the axon tunnel kills dispatches past ~60 s;
+    # the full-depth 14B dense CFG call is ~62 s).  See
+    # pipelines/hunyuan.py dispatch_segments.
+    dispatch_segments: int = 1
 
     def __post_init__(self):
         cfg = self.model.cfg
@@ -206,11 +212,64 @@ class WanPipeline:
             return m.apply(params, x, temb, self.l2h, t, hh, ww,
                            method=WanDiT.head)
 
+        def blocks_window(params, x, ctx, ctx_img, temb6, rope, win_start,
+                          kind: str = "dense", win_size: int = 0):
+            assert self.scan_blocks, "dispatch windows need scan_blocks"
+            dense = self.site.attn_fn(
+                "vanilla" if self.interpret else "flash",
+                interpret=self.interpret)
+            fn = (self.site.attn_fn("sparse", interpret=self.interpret,
+                                    mesh=self.mesh)
+                  if kind == "sparse" else dense)
+            cross = lambda q, k, v: _cross_attention(q, k, v,
+                                                     self.interpret)
+            from ..models.scan import wan_run_window_scan
+            return wan_run_window_scan(m.cfg, params["scan_blocks"], x,
+                                       ctx, ctx_img, temb6, rope, fn,
+                                       cross, win_start, win_size)
+
         self._embed = jax.jit(embed)
         self._blocks = jax.jit(
             blocks, static_argnames=("sparse", "want_residual"),
             donate_argnums=(1,))
+        # window path: no donation (the TeaCache residual needs the
+        # pre-blocks x alive across windows)
+        self._blocks_window = jax.jit(
+            blocks_window, static_argnames=("kind", "win_size"))
+        self._resid = jax.jit(lambda a, b: (a - b).astype(jnp.bfloat16))
         self._head = jax.jit(head)
+
+    def _exec_blocks(self, x, ctx, ctx_img, temb6, rope, sparse_now: bool,
+                     want_residual: bool):
+        """One transformer-stack pass: single dispatch, or
+        dispatch-windowed (dispatch_segments > 1).  Returns (x, res)."""
+        if self.dispatch_segments <= 1 or not self.scan_blocks:
+            return self._blocks(self.params, x, ctx, ctx_img, temb6, rope,
+                                sparse_now, want_residual=want_residual)
+        n = self.model.cfg.num_blocks
+        x_in = x if want_residual else None
+        if sparse_now:
+            segs = [(0, self.warm_layers, "dense"),
+                    (self.warm_layers, n - self.warm_last_layers,
+                     "sparse"),
+                    (n - self.warm_last_layers, n, "dense")]
+        else:
+            segs = [(0, n, "dense")]
+        for a, b, kind in segs:
+            span = b - a
+            if span <= 0:
+                continue
+            k = min(self.dispatch_segments, span)
+            base, rem = divmod(span, k)
+            start = a
+            for wi in range(k):
+                size = base + (1 if wi < rem else 0)
+                x = self._blocks_window(self.params, x, ctx, ctx_img,
+                                        temb6, rope, jnp.int32(start),
+                                        kind=kind, win_size=size)
+                start += size
+        res = self._resid(x, x_in) if want_residual else None
+        return x, res
 
     def _scheduler(self, steps):
         if self.scheduler == "unipc":
@@ -291,9 +350,9 @@ class WanPipeline:
                 else:
                     sparse_now = use_sparse and (
                         self.is_i2v or call >= self.warm_calls)
-                    x, res = self._blocks(self.params, x, ctx, ctx_img,
-                                          temb6, rope, sparse_now,
-                                          want_residual=tea.enabled)
+                    x, res = self._exec_blocks(x, ctx, ctx_img, temb6,
+                                               rope, sparse_now,
+                                               tea.enabled)
                     if tea.enabled:
                         tea.record_residual_value(res)
                 outs.append(self._head(self.params, x, temb))
@@ -385,9 +444,9 @@ class Wan22A14BPipeline:
                 if tea.enabled and not tea.should_compute(temb):
                     x = tea.apply_residual(x)
                 else:
-                    x, res = pipe._blocks(pipe.params, x, ctx, ctx_img,
-                                          temb6, rope, use_sparse,
-                                          want_residual=tea.enabled)
+                    x, res = pipe._exec_blocks(x, ctx, ctx_img, temb6,
+                                               rope, use_sparse,
+                                               tea.enabled)
                     if tea.enabled:
                         tea.record_residual_value(res)
                 outs.append(pipe._head(pipe.params, x, temb))

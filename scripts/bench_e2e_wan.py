@@ -119,6 +119,11 @@ def main():
     ap.add_argument("--tea_steps", type=int, default=0,
                     help="steps for the TeaCache organic run (default "
                          "max(--steps, 6))")
+    ap.add_argument("--dispatch_segments", type=int, default=1,
+                    help="split each gate segment's scan into N "
+                         "dispatches per CFG call (the full-depth dense "
+                         "call is ~62 s, past the tunnel's ~60 s "
+                         "watchdog)")
     ap.add_argument("--share_tree", action="store_true",
                     help="A14B: both transformers share ONE device weight "
                          "tree — cost-identical timing (same arch, same "
@@ -176,7 +181,8 @@ def main():
                 sa_drop_rate=args.sa_drop_rate,
                 p_remain_rates=args.p_remain, mode=mode,
                 warm_layers=0, warm_calls=0, vae_stride=vae_stride,
-                scan_blocks=args.scan_blocks)
+                scan_blocks=args.scan_blocks,
+                dispatch_segments=args.dispatch_segments)
             high = mk(params)
             params = high.params        # ONE device copy across modes
             if args.share_tree:
@@ -217,7 +223,8 @@ def main():
                 p_remain_rates=args.p_remain, mode="sparse",
                 warm_layers=0, warm_calls=0, vae_stride=vae_stride,
                 enable_teacache=True, teacache_thresh=thresh,
-                scan_blocks=args.scan_blocks)
+                scan_blocks=args.scan_blocks,
+                dispatch_segments=args.dispatch_segments)
             high = mk_t(params)
             pipe = Wan22A14BPipeline(
                 high=high,
@@ -273,7 +280,8 @@ def main():
             sa_drop_rate=args.sa_drop_rate,
             p_remain_rates=args.p_remain, mode=mode,
             warm_layers=0, warm_calls=0, vae_stride=vae_stride,
-            scan_blocks=args.scan_blocks)
+            scan_blocks=args.scan_blocks,
+                dispatch_segments=args.dispatch_segments)
         params = pipe.params   # share ONE device copy across pipelines
         log(f"{mode}: warm-up (compiles)...")
         pipe(text, neg, image_emb=image_emb, condition=condition,
@@ -299,7 +307,8 @@ def main():
             warm_layers=0, warm_calls=0, vae_stride=vae_stride,
             enable_teacache=True, teacache_thresh=0.2, use_ret_steps=True,
             teacache_signal_scale=args.signal_scale,
-            scan_blocks=args.scan_blocks)
+            scan_blocks=args.scan_blocks,
+                dispatch_segments=args.dispatch_segments)
         pipe(text, neg, image_emb=image_emb, condition=condition,
              seed=1, num_steps=1)
         from rectified_spaattn_tpu.cache import teacache as tc_mod

@@ -145,7 +145,8 @@ def test_pipeline_scan_quantized_runs():
     assert rel < 0.15, rel
 
 
-def _mk_wan_pipe(scan, mode="vanilla", quant_bits=None):
+def _mk_wan_pipe(scan, mode="vanilla", quant_bits=None,
+                 dispatch_segments=1):
     from rectified_spaattn_tpu.models.wan import WanConfig, WanDiT
     from rectified_spaattn_tpu.pipelines import WanPipeline
     cfg = WanConfig.tiny()
@@ -166,7 +167,8 @@ def _mk_wan_pipe(scan, mode="vanilla", quant_bits=None):
     pipe = WanPipeline(
         model=model, params=params, height=height, width=width,
         frames=frames, num_steps=2, sa_drop_rate=0.5, mode=mode,
-        warm_layers=1, warm_calls=0, interpret=True, scan_blocks=scan)
+        warm_layers=1, warm_calls=0, interpret=True, scan_blocks=scan,
+        dispatch_segments=dispatch_segments)
     return pipe, text_c, text_u
 
 
@@ -334,3 +336,15 @@ def test_dispatch_segments_match_single_dispatch(segments):
     b = np.asarray(pipe_n(text, mask, seed=3))
     np.testing.assert_allclose(b, a, rtol=1e-4, atol=1e-5)
     assert pipe_n.teacache_stats == pipe_1.teacache_stats
+
+
+def test_wan_dispatch_segments_match_single_dispatch():
+    """Wan dispatch windows (per gate segment) match the one-dispatch
+    scan to float-reassociation tolerance, with the warm dense layer
+    exercising the multi-segment path."""
+    pipe_1, tc, tu = _mk_wan_pipe(scan=True, mode="sparse")
+    pipe_n, _, _ = _mk_wan_pipe(scan=True, mode="sparse",
+                                dispatch_segments=2)
+    a = np.asarray(pipe_1(tc, tu, seed=3))
+    b = np.asarray(pipe_n(tc, tu, seed=3))
+    np.testing.assert_allclose(b, a, rtol=1e-4, atol=1e-5)
