@@ -67,6 +67,10 @@ class CogVideoXPipeline:
     # Scan-over-blocks execution (models/scan.py): one traced block —
     # composes with models/quant.py weight-only quantization.
     scan_blocks: bool = False
+    # Row-tile the sparse-plan build (SparseConfig.plan_row_chunk):
+    # bounds the fp32 plan temporaries — a memory lever for runs at the
+    # HBM ceiling.  0 = one-shot (default).
+    plan_row_chunk: int = 0
 
     def __post_init__(self):
         cfg = self.model.cfg
@@ -79,7 +83,7 @@ class CogVideoXPipeline:
         self.site, self.l2h, self.h2l = build_site(
             gt, self.lh, self.lw, sa_drop_rate=self.sa_drop_rate,
             p_remain=self.p_remain_rates, layout="joint",
-            text_len=self.text_len)
+            text_len=self.text_len, plan_row_chunk=self.plan_row_chunk)
         m = self.model
         from .base import param_compute_dtype
         self.compute_dtype = param_compute_dtype(self.params)

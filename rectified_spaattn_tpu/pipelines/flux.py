@@ -68,6 +68,9 @@ class FluxPipeline:
     # (type, attention gate) — the full-depth 12B serving mode (composes
     # with models/quant.py weight-only quantization).
     scan_blocks: bool = False
+    # Row-tile the sparse-plan build (SparseConfig.plan_row_chunk):
+    # memory lever for runs at the HBM ceiling.  0 = one-shot.
+    plan_row_chunk: int = 0
 
     def __post_init__(self):
         # latent grid: 2x2-packed 16ch latents → h/16 x w/16 tokens
@@ -76,7 +79,7 @@ class FluxPipeline:
         self.site, self.l2h, self.h2l = build_site(
             1, self.gh, self.gw, sa_drop_rate=self.sa_drop_rate,
             p_remain=self.p_remain_rates, layout="joint",
-            text_len=self.text_len)
+            text_len=self.text_len, plan_row_chunk=self.plan_row_chunk)
         m = self.model
         n_dual = m.cfg.num_dual_blocks
         from .base import param_compute_dtype

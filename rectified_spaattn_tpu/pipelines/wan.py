@@ -118,6 +118,10 @@ class WanPipeline:
     # the full-depth 14B dense CFG call is ~62 s).  See
     # pipelines/hunyuan.py dispatch_segments.
     dispatch_segments: int = 1
+    # Row-tile the sparse-plan build (SparseConfig.plan_row_chunk):
+    # bounds the fp32 plan temporaries — a memory lever for runs at the
+    # HBM ceiling.  0 = one-shot (default).
+    plan_row_chunk: int = 0
 
     def __post_init__(self):
         cfg = self.model.cfg
@@ -129,7 +133,8 @@ class WanPipeline:
         self.site, self.l2h, self.h2l = build_site(
             self.lt, self.lh, self.lw, sa_drop_rate=self.sa_drop_rate,
             p_remain=self.p_remain_rates, layout="visual",
-            first_frame_retention=True)
+            first_frame_retention=True,
+            plan_row_chunk=self.plan_row_chunk)
         m = self.model
         from .base import param_compute_dtype
         self.compute_dtype = param_compute_dtype(self.params)
