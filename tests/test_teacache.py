@@ -211,3 +211,38 @@ def test_committed_calibration_matches_traces():
         rate = 1.0 - sum(decisions) / len(decisions)
         assert abs(rate - rec["achieved_skip_rate"]) < 1e-9, fam
         assert abs(rate - rec["target_skip_rate"]) <= 0.10, (fam, rate)
+
+
+def test_wan_coefficient_auto_resolution():
+    """WanPipeline.tea_coefficients picks the reference drivers' tables:
+    -ret under use_ret_steps (main_wan21t2v.py:273-286), 480p/720p split
+    for I2V, the TI2V-5B table under VAE stride 32."""
+    import types
+    from rectified_spaattn_tpu.pipelines.wan import WanPipeline
+
+    def fake(**kw):
+        base = dict(teacache_coefficients=None,
+                    model=types.SimpleNamespace(
+                        cfg=types.SimpleNamespace(per_token_timesteps=False)),
+                    vae_stride=(4, 16, 16), is_i2v=False, height=720,
+                    use_ret_steps=False)
+        base.update(kw)
+        return types.SimpleNamespace(**base)
+
+    f = WanPipeline.tea_coefficients
+    assert f(fake()) == "wan2.1-t2v-14b"
+    assert f(fake(use_ret_steps=True)) == "wan2.1-t2v-14b-ret"
+    assert f(fake(is_i2v=True, height=480)) == "wan2.1-i2v-480p"
+    assert f(fake(is_i2v=True, height=720,
+                  use_ret_steps=True)) == "wan2.1-i2v-720p-ret"
+    assert f(fake(vae_stride=(4, 32, 32))) == "wan2.2-ti2v-5b"
+    assert f(fake(teacache_coefficients="identity")) == "identity"
+    # every resolvable key exists in the table
+    from rectified_spaattn_tpu.cache.teacache import COEFFICIENTS
+    for kw in (dict(), dict(use_ret_steps=True),
+               dict(is_i2v=True, height=480),
+               dict(is_i2v=True, height=480, use_ret_steps=True),
+               dict(is_i2v=True, height=720),
+               dict(is_i2v=True, height=720, use_ret_steps=True),
+               dict(vae_stride=(4, 32, 32))):
+        assert f(fake(**kw)) in COEFFICIENTS
