@@ -93,6 +93,11 @@ def parse_args(argv=None):
     p.add_argument("--quant", type=int, default=0, choices=(0, 4, 8),
                    help="weight-only quantization bits (models/quant.py); "
                         "4 fits the full 13B flagship on one v5e")
+    p.add_argument("--mlp_chunk", type=int, default=1,
+                   help="evaluate each block's FFN over N static sequence "
+                        "slices (layers.MLP.chunk) — identical math, "
+                        "~1.5 GB lower peak HBM at video scale (Hunyuan "
+                        "and Wan families)")
     p.add_argument("--image", type=str, default=None,
                    help="conditioning image for I2V/TI2V models (png/jpg; "
                         "npy accepted for headless runs)")
@@ -211,6 +216,8 @@ def build_hunyuan(args):
     if args.ckpt_dir:
         cfg, params, encoders, vae_encode, vae_decode = _from_ckpt(
             args, "hunyuan")
+        if args.mlp_chunk > 1:
+            cfg = _dc.replace(cfg, mlp_chunk=args.mlp_chunk)
         if is_i2v and cfg.image_condition_type is None:
             # T2V-shaped snapshot driven as I2V: force the token_replace
             # path (the 720p I2V snapshot carries the flag itself)
@@ -262,7 +269,8 @@ def build_hunyuan(args):
             heads=max(1, int(24 * s)), num_dual_blocks=max(1, int(20 * s)),
             num_single_blocks=max(1, int(40 * s)), text_dim=512,
             pooled_dim=128, num_refiner_blocks=1,
-            image_condition_type="token_replace" if is_i2v else None)
+            image_condition_type="token_replace" if is_i2v else None,
+            mlp_chunk=args.mlp_chunk)
     model = HunyuanVideoDiT(cfg)
     text, mask = _random_text(args.prompt, 256, cfg.text_dim)
     import jax
@@ -344,6 +352,8 @@ def build_wan(args):
         from ..pipelines.wan import i2v_condition, ti2v_first_frame
         cfg, params, encoders, vae_encode, vae_decode = _from_ckpt(
             args, "wan")
+        if args.mlp_chunk > 1:
+            cfg = _dc.replace(cfg, mlp_chunk=args.mlp_chunk)
         model = WanDiT(cfg)
         (text, _), (neg, _) = _encode_prompt(encoders, args.prompt,
                                              cfg.text_dim, 512)
@@ -401,6 +411,7 @@ def build_wan(args):
         hidden_dim=max(128, int(5120 * s) // 128 * 128),
         heads=max(1, int(40 * s)), num_blocks=max(2, int(40 * s)),
         ffn_dim=max(256, int(13824 * s)), text_dim=512, freq_dim=256,
+        mlp_chunk=args.mlp_chunk,
         image_cross=is_i2v and not is_22,
         per_token_timesteps=ti2v_image)
     model = WanDiT(cfg)

@@ -55,6 +55,8 @@ class HunyuanVideoConfig:
     # None = T2V.  The reference has no Hunyuan-I2V driver — this mirrors
     # the diffusers model the reference's processors would patch.
     image_condition_type: Optional[str] = None
+    mlp_chunk: int = 1           # FFN sequence chunking (peak-HBM lever;
+                                 # see layers.MLP.chunk)
 
     @classmethod
     def tiny(cls):
@@ -132,11 +134,11 @@ class HunyuanVideoDiT(nn.Module):
                                  name="guide_mlp")
         self.dual_blocks = [
             DualStreamBlock(c.hidden_dim, c.heads, c.mlp_mult,
-                            name=f"dual_{i}")
+                            mlp_chunk=c.mlp_chunk, name=f"dual_{i}")
             for i in range(c.num_dual_blocks)]
         self.single_blocks = [
             SingleStreamBlock(c.hidden_dim, c.heads, c.mlp_mult,
-                              name=f"single_{i}")
+                              mlp_chunk=c.mlp_chunk, name=f"single_{i}")
             for i in range(c.num_single_blocks)]
         self.norm_out = AdaLayerNormContinuous(c.hidden_dim, name="norm_out")
         self.proj_out = QDense(

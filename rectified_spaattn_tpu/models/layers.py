@@ -143,23 +143,44 @@ class AdaLayerNormContinuous(nn.Module):
 
 
 class MLP(nn.Module):
+    """Two-layer FFN.  ``chunk > 1`` evaluates the FFN over ``chunk``
+    static sequence slices, chained through optimization_barrier so only
+    ONE [rows/chunk, hidden] intermediate is live at a time — a pure
+    peak-HBM lever (identical math, identical params; at video scale the
+    fc1 output is ~2 GB bf16 per block).  Slices stay large (10k+ rows)
+    so the MXU tiling is unaffected."""
     dim: int
     mult: float = 4.0
     activation: str = "gelu_tanh"
+    chunk: int = 1
 
     @nn.compact
     def __call__(self, x):
         hidden = int(self.dim * self.mult)
-        x = QDense(hidden, name="fc1")(x)
+        fc1 = QDense(hidden, name="fc1")
+        fc2 = QDense(self.dim, name="fc2")
         if self.activation == "gelu_tanh":
-            x = nn.gelu(x, approximate=True)
+            act = lambda h: nn.gelu(h, approximate=True)
         elif self.activation == "gelu":
-            x = nn.gelu(x, approximate=False)
+            act = lambda h: nn.gelu(h, approximate=False)
         elif self.activation == "silu":
-            x = nn.silu(x)
+            act = nn.silu
         else:
             raise ValueError(self.activation)
-        return QDense(self.dim, name="fc2")(x)
+        s = x.shape[-2]
+        if self.chunk <= 1 or s < 2 * self.chunk:
+            return fc2(act(fc1(x)))
+        bounds = [s * i // self.chunk for i in range(self.chunk + 1)]
+        outs, prev = [], None
+        for lo, hi in zip(bounds[:-1], bounds[1:]):
+            xi = x[..., lo:hi, :]
+            if prev is not None:
+                # serialize chunks: without the tie XLA's scheduler
+                # overlaps all fc1 prologues and the peak saving is lost
+                xi, prev = jax.lax.optimization_barrier((xi, prev))
+            prev = fc2(act(fc1(xi)))
+            outs.append(prev)
+        return jnp.concatenate(outs, axis=-2)
 
 
 # ----------------------------------------------------------------- RoPE ----
@@ -262,6 +283,7 @@ class DualStreamBlock(nn.Module):
     dim: int
     heads: int
     mlp_mult: float = 4.0
+    mlp_chunk: int = 1           # visual-stream FFN chunking (see MLP.chunk)
 
     def setup(self):
         self.norm1 = AdaLayerNormZero(self.dim, name="norm1")
@@ -271,7 +293,8 @@ class DualStreamBlock(nn.Module):
                                   epsilon=1e-6, name="norm2")
         self.norm2_context = nn.LayerNorm(use_bias=False, use_scale=False,
                                           epsilon=1e-6, name="norm2_context")
-        self.ff = MLP(self.dim, self.mlp_mult, name="ff")
+        self.ff = MLP(self.dim, self.mlp_mult, name="ff",
+                      chunk=self.mlp_chunk)
         self.ff_context = MLP(self.dim, self.mlp_mult, name="ff_context")
 
     def __call__(self, x, ctx, temb, rope, attn_fn: AttnFn,
@@ -299,6 +322,7 @@ class SingleStreamBlock(nn.Module):
     dim: int
     heads: int
     mlp_mult: float = 4.0
+    mlp_chunk: int = 1           # fused MLP+proj_out chunking (see MLP.chunk)
 
     @nn.compact
     def __call__(self, x, ctx, temb, rope, attn_fn: AttnFn,
@@ -335,10 +359,27 @@ class SingleStreamBlock(nn.Module):
         attn = attn_fn(q, k, v)
         attn = attn.transpose(0, 2, 1, 3).reshape(b, sv + st, self.dim)
 
-        mlp_h = QDense(int(self.dim * self.mlp_mult), name="proj_mlp")(normed)
-        mlp_h = nn.gelu(mlp_h, approximate=True)
-        out = QDense(self.dim, name="proj_out")(
-            jnp.concatenate([attn, mlp_h], axis=-1))
+        proj_mlp = QDense(int(self.dim * self.mlp_mult), name="proj_mlp")
+        proj_out = QDense(self.dim, name="proj_out")
+        s = normed.shape[1]
+        if self.mlp_chunk <= 1 or s < 2 * self.mlp_chunk:
+            mlp_h = nn.gelu(proj_mlp(normed), approximate=True)
+            out = proj_out(jnp.concatenate([attn, mlp_h], axis=-1))
+        else:
+            # chunk the fused MLP+output projection over the sequence so
+            # only one [rows/chunk, 4*dim] gelu intermediate is live —
+            # same peak-HBM lever as MLP.chunk (attn is already whole)
+            bounds = [s * i // self.mlp_chunk
+                      for i in range(self.mlp_chunk + 1)]
+            outs, prev = [], None
+            for lo, hi in zip(bounds[:-1], bounds[1:]):
+                ni, ai = normed[:, lo:hi], attn[:, lo:hi]
+                if prev is not None:
+                    ni, prev = jax.lax.optimization_barrier((ni, prev))
+                mh = nn.gelu(proj_mlp(ni), approximate=True)
+                prev = proj_out(jnp.concatenate([ai, mh], axis=-1))
+                outs.append(prev)
+            out = jnp.concatenate(outs, axis=1)
         fused = fused + gate * out
         return fused[:, :sv], fused[:, sv:]
 
@@ -352,6 +393,7 @@ class CrossAttnBlock(nn.Module):
     heads: int
     mlp_mult: float = 4.0
     image_cross: bool = False    # Wan I2V: extra image-context cross attn
+    mlp_chunk: int = 1           # FFN sequence chunking (see MLP.chunk)
 
     @nn.compact
     def __call__(self, x, ctx, temb6, rope, self_attn_fn: AttnFn,
@@ -409,5 +451,6 @@ class CrossAttnBlock(nn.Module):
         xm = nn.LayerNorm(use_bias=False, use_scale=False, epsilon=1e-6,
                           name="norm3")(x)
         xm = xm * (1 + scale_mlp) + shift_mlp
-        x = x + gate_mlp * MLP(self.dim, self.mlp_mult, name="ffn")(xm)
+        x = x + gate_mlp * MLP(self.dim, self.mlp_mult, name="ffn",
+                               chunk=self.mlp_chunk)(xm)
         return x

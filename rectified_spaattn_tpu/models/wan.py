@@ -44,6 +44,8 @@ class WanConfig:
     image_cross: bool = False          # I2V image-context branch
     image_dim: int = 1280              # CLIP-vision feature dim (I2V)
     per_token_timesteps: bool = False  # Wan2.2 TI2V
+    mlp_chunk: int = 1                 # FFN sequence chunking (peak-HBM
+                                       # lever; see layers.MLP.chunk)
 
     @classmethod
     def tiny(cls, **kw):
@@ -81,7 +83,8 @@ class WanDiT(nn.Module):
             self.img_norm2 = nn.LayerNorm(epsilon=1e-6, name="img_norm2")
         self.blocks = [
             CrossAttnBlock(c.hidden_dim, c.heads, c.ffn_dim / c.hidden_dim,
-                           image_cross=c.image_cross, name=f"block_{i}")
+                           image_cross=c.image_cross,
+                           mlp_chunk=c.mlp_chunk, name=f"block_{i}")
             for i in range(c.num_blocks)]
         self.scale_shift_out = self.param(
             "scale_shift_table_out", nn.initializers.normal(0.02),

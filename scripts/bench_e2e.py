@@ -191,6 +191,9 @@ def main():
     ap.add_argument("--scan_blocks", action="store_true",
                     help="lax.scan execution (one traced block per stream "
                          "type) — required for full 20+40 depth")
+    ap.add_argument("--mlp_chunk", type=int, default=1,
+                    help="FFN sequence chunking (peak-HBM lever, "
+                         "layers.MLP.chunk; identical math)")
     ap.add_argument("--quant", type=int, default=0, choices=(0, 4, 8),
                     help="weight-only quantization bits (models/quant.py);"
                          " 8 or 4 lets the full 13B flagship fit 16 GB")
@@ -214,7 +217,8 @@ def main():
     cfg = HunyuanVideoConfig(
         hidden_dim=args.hidden, heads=args.hidden // 128,
         num_dual_blocks=args.dual, num_single_blocks=args.single,
-        text_dim=1024, pooled_dim=256, num_refiner_blocks=1)
+        text_dim=1024, pooled_dim=256, num_refiner_blocks=1,
+        mlp_chunk=args.mlp_chunk)
     model = HunyuanVideoDiT(cfg)
     n_params = sum(int(np.prod(x.shape)) for x in jax.tree_util.
                    tree_leaves(param_shapes(model, cfg, cfg.text_dim)))

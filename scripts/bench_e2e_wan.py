@@ -109,6 +109,9 @@ def main():
                     help="lax.scan execution (one traced block per "
                          "attention gate) — required for full 40-block "
                          "depth")
+    ap.add_argument("--mlp_chunk", type=int, default=1,
+                    help="FFN sequence chunking (peak-HBM lever, "
+                         "layers.MLP.chunk; identical math)")
     ap.add_argument("--quant", type=int, default=0, choices=(0, 4, 8),
                     help="weight-only quantization bits (models/quant.py);"
                          " 4 lets the full 14B model fit 16 GB")
@@ -138,20 +141,22 @@ def main():
     if args.ti2v:
         cfg = WanConfig(in_channels=48, out_channels=48, hidden_dim=3072,
                         heads=24, head_dim=128, num_blocks=args.blocks,
-                        ffn_dim=14336)
+                        ffn_dim=14336, mlp_chunk=args.mlp_chunk)
         args.height, args.width, args.frame = 704, 1280, 121
         vae_stride = (4, 32, 32)
     elif args.a14b and args.i2v:
         # Wan2.2 I2V-A14B: conditioned latents, NO CLIP image branch
         # (reference: main_wan22i2v.py uses WanImageToVideoPipeline)
-        cfg = WanConfig(in_channels=36, num_blocks=args.blocks)
+        cfg = WanConfig(in_channels=36, num_blocks=args.blocks,
+                        mlp_chunk=args.mlp_chunk)
         vae_stride = (4, 16, 16)
     elif args.i2v:
         cfg = WanConfig(in_channels=36, num_blocks=args.blocks,
-                        image_cross=True)
+                        image_cross=True, mlp_chunk=args.mlp_chunk)
         vae_stride = (4, 16, 16)
     else:
-        cfg = WanConfig(num_blocks=args.blocks)   # full width, sliced depth
+        cfg = WanConfig(num_blocks=args.blocks,   # full width, sliced depth
+                        mlp_chunk=args.mlp_chunk)
         vae_stride = (4, 16, 16)
     model = WanDiT(cfg)
     log(f"host-init params (hidden {cfg.hidden_dim}, "

@@ -171,3 +171,44 @@ def test_hunyuan_with_sparse_attention_close_to_dense():
     rel = np.abs(s - d).mean() / (np.abs(d).mean() + 1e-8)
     assert np.isfinite(s).all()
     assert rel < 0.15, f"sparse deviates {rel:.3f} from dense"
+
+
+def test_mlp_chunk_is_equal_to_unchunked():
+    """mlp_chunk is a pure peak-HBM lever: identical params, identical
+    math — chunked FFN evaluation must reproduce the unchunked forward
+    (uneven chunk bounds included).  Covers Wan's CrossAttnBlock FFN and
+    Hunyuan's DualStream ff + SingleStream fused proj_mlp/proj_out path."""
+    import dataclasses
+
+    # Wan (CrossAttnBlock -> MLP.chunk)
+    cfg = WanConfig.tiny()
+    model = WanDiT(cfg)
+    rng = jax.random.PRNGKey(3)
+    b, t, hh, ww = 1, 2, 8, 8
+    latents = jax.random.normal(rng, (b, cfg.in_channels, t, hh, ww))
+    text = jax.random.normal(rng, (b, 5, cfg.text_dim))
+    ts = jnp.array([500.0])
+    params = model.init(rng, latents, ts, text)
+    want = model.apply(params, latents, ts, text)
+    model3 = WanDiT(dataclasses.replace(cfg, mlp_chunk=3))  # 32 rows: uneven
+    got = model3.apply(params, latents, ts, text)
+    np.testing.assert_allclose(np.asarray(want), np.asarray(got),
+                               rtol=1e-6, atol=1e-6)
+
+    # Hunyuan (DualStreamBlock.ff + SingleStreamBlock fused path)
+    hcfg = HunyuanVideoConfig.tiny()
+    hmodel = HunyuanVideoDiT(hcfg)
+    latents = jax.random.normal(rng, (b, hcfg.in_channels, t, hh, ww))
+    htext = jax.random.normal(rng, (b, 6, hcfg.text_dim))
+    mask = jnp.ones((b, 6), bool)
+    guidance = jnp.array([6.0])
+    gt = t // hcfg.patch_size_t
+    gh = hh // hcfg.patch_size
+    gw = ww // hcfg.patch_size
+    l2h, h2l = perms(gt, gh, gw)
+    hp = hmodel.init(rng, latents, ts, htext, mask, guidance, h2l, l2h)
+    want = hmodel.apply(hp, latents, ts, htext, mask, guidance, h2l, l2h)
+    hmodel3 = HunyuanVideoDiT(dataclasses.replace(hcfg, mlp_chunk=3))
+    got = hmodel3.apply(hp, latents, ts, htext, mask, guidance, h2l, l2h)
+    np.testing.assert_allclose(np.asarray(want), np.asarray(got),
+                               rtol=1e-6, atol=1e-6)
