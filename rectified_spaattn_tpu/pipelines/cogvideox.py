@@ -71,6 +71,10 @@ class CogVideoXPipeline:
     # bounds the fp32 plan temporaries — a memory lever for runs at the
     # HBM ceiling.  0 = one-shot (default).
     plan_row_chunk: int = 0
+    # Grouped-row kernel execution (SparseConfig.group_rows): G query
+    # blocks per program over the union of their key sets — measured
+    # faster than single-row at the Hunyuan point (RESULTS_r4.md).
+    group_rows: int = 1
 
     def __post_init__(self):
         cfg = self.model.cfg
@@ -83,7 +87,8 @@ class CogVideoXPipeline:
         self.site, self.l2h, self.h2l = build_site(
             gt, self.lh, self.lw, sa_drop_rate=self.sa_drop_rate,
             p_remain=self.p_remain_rates, layout="joint",
-            text_len=self.text_len, plan_row_chunk=self.plan_row_chunk)
+            text_len=self.text_len, plan_row_chunk=self.plan_row_chunk,
+            group_rows=self.group_rows)
         m = self.model
         from .base import param_compute_dtype
         self.compute_dtype = param_compute_dtype(self.params)

@@ -71,6 +71,10 @@ class FluxPipeline:
     # Row-tile the sparse-plan build (SparseConfig.plan_row_chunk):
     # memory lever for runs at the HBM ceiling.  0 = one-shot.
     plan_row_chunk: int = 0
+    # Grouped-row kernel execution (SparseConfig.group_rows): G query
+    # blocks per program over the union of their key sets — measured
+    # faster than single-row at the Hunyuan point (RESULTS_r4.md).
+    group_rows: int = 1
 
     def __post_init__(self):
         # latent grid: 2x2-packed 16ch latents → h/16 x w/16 tokens
@@ -79,7 +83,8 @@ class FluxPipeline:
         self.site, self.l2h, self.h2l = build_site(
             1, self.gh, self.gw, sa_drop_rate=self.sa_drop_rate,
             p_remain=self.p_remain_rates, layout="joint",
-            text_len=self.text_len, plan_row_chunk=self.plan_row_chunk)
+            text_len=self.text_len, plan_row_chunk=self.plan_row_chunk,
+            group_rows=self.group_rows)
         m = self.model
         n_dual = m.cfg.num_dual_blocks
         from .base import param_compute_dtype

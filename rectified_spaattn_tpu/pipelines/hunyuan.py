@@ -96,6 +96,10 @@ class HunyuanVideoPipeline:
     # bounds the fp32 plan temporaries — a memory lever for runs at the
     # HBM ceiling.  0 = one-shot (default).
     plan_row_chunk: int = 0
+    # Grouped-row kernel execution (SparseConfig.group_rows): G query
+    # blocks per program over the union of their key sets — measured
+    # faster than single-row at the Hunyuan point (RESULTS_r4.md).
+    group_rows: int = 1
     # Keep every k-th token of the TeaCache modulated signal (the stored
     # previous_modulated at video scale is a ~0.7 GB bf16 tensor; the
     # rel-L1 is a mean over 350M elements, so a strided subsample moves
@@ -112,7 +116,8 @@ class HunyuanVideoPipeline:
         self.site, self.l2h, self.h2l = build_site(
             self.lt, self.lh, self.lw, sa_drop_rate=self.sa_drop_rate,
             p_remain=self.p_remain_rates, layout="joint",
-            text_len=self.text_len, plan_row_chunk=self.plan_row_chunk)
+            text_len=self.text_len, plan_row_chunk=self.plan_row_chunk,
+            group_rows=self.group_rows)
         self.timer = StageTimer()
         m = self.model
 

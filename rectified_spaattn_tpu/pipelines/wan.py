@@ -122,6 +122,10 @@ class WanPipeline:
     # bounds the fp32 plan temporaries — a memory lever for runs at the
     # HBM ceiling.  0 = one-shot (default).
     plan_row_chunk: int = 0
+    # Grouped-row kernel execution (SparseConfig.group_rows): G query
+    # blocks per program over the union of their key sets — measured
+    # faster than single-row at the Hunyuan point (RESULTS_r4.md).
+    group_rows: int = 1
 
     def __post_init__(self):
         cfg = self.model.cfg
@@ -134,7 +138,8 @@ class WanPipeline:
             self.lt, self.lh, self.lw, sa_drop_rate=self.sa_drop_rate,
             p_remain=self.p_remain_rates, layout="visual",
             first_frame_retention=True,
-            plan_row_chunk=self.plan_row_chunk)
+            plan_row_chunk=self.plan_row_chunk,
+            group_rows=self.group_rows)
         m = self.model
         from .base import param_compute_dtype
         self.compute_dtype = param_compute_dtype(self.params)

@@ -81,8 +81,9 @@ class SparseConfig:
             raise ValueError("text_len must be padded to a multiple of block_n")
         if self.block_m != self.block_n:
             raise ValueError("block_m != block_n is not supported")
-        if not 1 <= self.group_rows <= 32:
-            raise ValueError("group_rows must be in [1, 32]")
+        if not 1 <= self.group_rows <= 8:
+            raise ValueError("group_rows must be in [1, 8] (membership "
+                             "bits pack into the union sort key)")
         if self.kv_quant not in ("none", "int8", "mxu8"):
             raise ValueError(
                 f"kv_quant must be none|int8|mxu8, got {self.kv_quant!r}")

@@ -243,7 +243,11 @@ def group_rows(mask: jax.Array, group: int, clean_blocks: int = 0):
     """
     b, h, nq, nb = mask.shape
     assert nq % group == 0, (nq, group)
-    assert 1 <= group <= 32, group
+    # membership bits are PACKED into the sort key's low bits (one sort,
+    # no [.., NB] gather — the round-4 full-path attribution measured the
+    # take_along_axis rowbits gather as the cost that erased the grouped
+    # kernel's win); the packed key needs group + log2(4*nb) bits
+    assert 1 <= group <= 8, group
     mg = mask.reshape(b, h, nq // group, group, nb)
     union = jnp.any(mg, axis=-2)
     allm = jnp.all(mg, axis=-2)
@@ -251,20 +255,24 @@ def group_rows(mask: jax.Array, group: int, clean_blocks: int = 0):
     clean_col = union & allm & (col < clean_blocks)
     counts = jnp.sum(union, axis=-1).astype(jnp.int32)
     clean = jnp.sum(clean_col, axis=-1).astype(jnp.int32)
-    # sort key: clean ascending, then dirty-selected ascending, then
-    # unselected; col is recovered by mod nb
-    key = jnp.where(clean_col, col,
-                    jnp.where(union, col + nb, col + 3 * nb))
-    indices = (jnp.sort(key, axis=-1) % nb).astype(jnp.int32)
-    # padding slots repeat the last valid block (kernel DMA safety)
+    weights = (1 << jnp.arange(group, dtype=jnp.int32))[:, None]
+    bits = jnp.sum(mg.astype(jnp.int32) * weights, axis=-2)
+    # packed sort key: [category*nb + col | bits].  category: clean
+    # ascending, then dirty-selected ascending, then unselected; the
+    # category-column prefix is unique per column, so the order equals
+    # the unpacked sort's and the low bits ride along for free.
+    catcol = jnp.where(clean_col, col,
+                       jnp.where(union, col + nb, col + 3 * nb))
+    skey = jnp.sort((catcol << group) | bits, axis=-1)
+    indices = ((skey >> group) % nb).astype(jnp.int32)
+    rowbits = (skey & ((1 << group) - 1)).astype(jnp.int32)
+    # padding slots repeat the last valid block (kernel DMA safety; their
+    # scores are masked by slot < count, so rowbits there are dead)
     last_valid = jnp.take_along_axis(
         indices, jnp.maximum(counts - 1, 0)[..., None].astype(jnp.int32),
         axis=-1)
     slot = col[(None,) * 3]
     indices = jnp.where(slot < counts[..., None], indices, last_valid)
-    weights = (1 << jnp.arange(group, dtype=jnp.int32))[:, None]
-    bits = jnp.sum(mg.astype(jnp.int32) * weights, axis=-2)
-    rowbits = jnp.take_along_axis(bits, indices, axis=-1)
     return indices, counts, rowbits, clean
 
 

@@ -197,6 +197,10 @@ def main():
     ap.add_argument("--quant", type=int, default=0, choices=(0, 4, 8),
                     help="weight-only quantization bits (models/quant.py);"
                          " 8 or 4 lets the full 13B flagship fit 16 GB")
+    ap.add_argument("--group_rows", type=int, default=1,
+                    help="grouped-row kernel execution "
+                         "(SparseConfig.group_rows; 2 measured faster "
+                         "than single-row at the Hunyuan point)")
     ap.add_argument("--plan_row_chunk", type=int, default=0,
                     help="row-tile the plan build (memory lever)")
     ap.add_argument("--signal_stride", type=int, default=1,
@@ -260,6 +264,7 @@ def main():
             scan_blocks=args.scan_blocks,
             dispatch_segments=args.dispatch_segments,
             plan_row_chunk=args.plan_row_chunk,
+            group_rows=args.group_rows,
             teacache_signal_stride=args.signal_stride)
         params = pipe.params   # share ONE device copy across pipelines
         log(f"{mode}: warm-up (compiles)...")
@@ -286,6 +291,7 @@ def main():
             scan_blocks=args.scan_blocks,
             dispatch_segments=args.dispatch_segments,
             plan_row_chunk=args.plan_row_chunk,
+            group_rows=args.group_rows,
             teacache_signal_stride=args.signal_stride)
         pipe(text, mask, seed=1, num_steps=1, init_latents=init_latents)
         from rectified_spaattn_tpu.cache import teacache as tc_mod

@@ -109,6 +109,9 @@ def main():
                     help="lax.scan execution (one traced block per "
                          "attention gate) — required for full 40-block "
                          "depth")
+    ap.add_argument("--group_rows", type=int, default=1,
+                    help="grouped-row kernel execution "
+                         "(SparseConfig.group_rows)")
     ap.add_argument("--mlp_chunk", type=int, default=1,
                     help="FFN sequence chunking (peak-HBM lever, "
                          "layers.MLP.chunk; identical math)")
@@ -187,7 +190,8 @@ def main():
                 p_remain_rates=args.p_remain, mode=mode,
                 warm_layers=0, warm_calls=0, vae_stride=vae_stride,
                 scan_blocks=args.scan_blocks,
-                dispatch_segments=args.dispatch_segments)
+                dispatch_segments=args.dispatch_segments,
+                group_rows=args.group_rows)
             high = mk(params)
             params = high.params        # ONE device copy across modes
             if args.share_tree:
@@ -229,7 +233,8 @@ def main():
                 warm_layers=0, warm_calls=0, vae_stride=vae_stride,
                 enable_teacache=True, teacache_thresh=thresh,
                 scan_blocks=args.scan_blocks,
-                dispatch_segments=args.dispatch_segments)
+                dispatch_segments=args.dispatch_segments,
+                group_rows=args.group_rows)
             high = mk_t(params)
             pipe = Wan22A14BPipeline(
                 high=high,
@@ -286,7 +291,8 @@ def main():
             p_remain_rates=args.p_remain, mode=mode,
             warm_layers=0, warm_calls=0, vae_stride=vae_stride,
             scan_blocks=args.scan_blocks,
-                dispatch_segments=args.dispatch_segments)
+                dispatch_segments=args.dispatch_segments,
+                group_rows=args.group_rows)
         params = pipe.params   # share ONE device copy across pipelines
         log(f"{mode}: warm-up (compiles)...")
         pipe(text, neg, image_emb=image_emb, condition=condition,
@@ -313,7 +319,8 @@ def main():
             enable_teacache=True, teacache_thresh=0.2, use_ret_steps=True,
             teacache_signal_scale=args.signal_scale,
             scan_blocks=args.scan_blocks,
-                dispatch_segments=args.dispatch_segments)
+                dispatch_segments=args.dispatch_segments,
+                group_rows=args.group_rows)
         pipe(text, neg, image_emb=image_emb, condition=condition,
              seed=1, num_steps=1)
         from rectified_spaattn_tpu.cache import teacache as tc_mod
