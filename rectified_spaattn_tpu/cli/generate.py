@@ -93,6 +93,15 @@ def parse_args(argv=None):
     p.add_argument("--quant", type=int, default=0, choices=(0, 4, 8),
                    help="weight-only quantization bits (models/quant.py); "
                         "4 fits the full 13B flagship on one v5e")
+    p.add_argument("--group_rows", type=int, default=1,
+                   help="grouped-row kernel execution: G query blocks per "
+                        "kernel program over the union of their key sets "
+                        "(SparseConfig.group_rows; 2 measured faster at "
+                        "the Hunyuan 720p point, RESULTS_r4.md)")
+    p.add_argument("--plan_row_chunk", type=int, default=0,
+                   help="row-tile the sparse-plan build into chunks of N "
+                        "query rows — bounds the fp32 plan temporaries "
+                        "(a peak-HBM lever for runs at the 16 GB ceiling)")
     p.add_argument("--mlp_chunk", type=int, default=1,
                    help="evaluate each block's FFN over N static sequence "
                         "slices (layers.MLP.chunk) — identical math, "
@@ -168,7 +177,12 @@ def _serving(args, params, supports_scan=True):
         import jax
         from ..models.quant import quantize_params
         params = quantize_params(jax.device_get(params), bits=quant)
-    return params, ({"scan_blocks": True} if scan and supports_scan else {})
+    kw = {"scan_blocks": True} if scan and supports_scan else {}
+    if getattr(args, "group_rows", 1) > 1:
+        kw["group_rows"] = args.group_rows
+    if getattr(args, "plan_row_chunk", 0) > 0:
+        kw["plan_row_chunk"] = args.plan_row_chunk
+    return params, kw
 
 
 def _from_ckpt(args, family):

@@ -196,3 +196,20 @@ def test_hunyuan_i2v_build_and_run():
     np.testing.assert_array_equal(np.asarray(out[:, :, :1]),
                                   np.asarray(ff))
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_group_rows_and_plan_chunk_thread_to_pipeline():
+    """--group_rows / --plan_row_chunk reach SparseConfig via _serving's
+    kwargs injection (all families construct pipelines with **sv)."""
+    from rectified_spaattn_tpu.cli.generate import build_hunyuan
+    args = parse_args([
+        "--model", "hunyuan", "--height", "128", "--width", "128",
+        "--frame", "8", "--num_steps", "1", "--scale", "0.05",
+        "--sa_drop_rate", "0.8", "--p_remain_rates", "0.3",
+        "--rel_l1_thresh", "0.15",
+        "--group_rows", "2", "--plan_row_chunk", "128"])
+    pipe, _, _ = build_hunyuan(args)
+    assert pipe.group_rows == 2
+    assert pipe.plan_row_chunk == 128
+    assert pipe.site.cfg.group_rows == 2
+    assert pipe.site.cfg.plan_row_chunk == 128
