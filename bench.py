@@ -183,8 +183,13 @@ def main():
     t_dense_ours = amortized(dense_ours_fn, q, k, v)
     overhead_ms = ((t_sparse_1 - t_sparse) + (t_dense_ours_1 - t_dense_ours)) / 2 * 1e3
 
-    # iid-random regime (round-1 comparability: the r1-r3 single-row config)
+    # iid-random regime (round-1 comparability: the r1-r3 single-row
+    # config).  The g1 program is cold at this point in the process —
+    # warm it twice before timing (a single warm execution of a
+    # fresh-compiled program measured ~200 ms slow through the tunnel;
+    # standalone A/B pinned the code itself unchanged, logs/r4_abrand_*)
     qr, kr, vr = random_inputs(jax.random.PRNGKey(1), h, s, d)
+    float(jnp.sum(sparse_g1_fn(qr, kr, vr)[:, :, :4].astype(jnp.float32)))
     t_sparse_r = timed(sparse_g1_fn, qr, kr, vr, n=2)
     t_dense_ours_r = timed(dense_ours_fn, qr, kr, vr, n=2)
     density_r = density_of(qr, kr, vr)
