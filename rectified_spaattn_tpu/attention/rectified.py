@@ -111,10 +111,15 @@ def rectified_sparse_attention(
     tlen = (text_len_rt.astype(jnp.int32) if text_len_rt is not None
             else jnp.zeros((b,), jnp.int32))
 
-    # Zero K/V outside the valid windows (feeds pooled stats + kernel).
     valid = kv_validity(b, s, visual_len, text_start, tlen)
-    k = jnp.where(valid[:, None, :, None], k, 0)
-    v = jnp.where(valid[:, None, :, None], v, 0)
+    if kv_packed is None:
+        # Zero K/V outside the valid windows (feeds pooled stats + kernel).
+        k = jnp.where(valid[:, None, :, None], k, 0)
+        v = jnp.where(valid[:, None, :, None], v, 0)
+    # With kv_packed the plan reads stats from the packed array directly
+    # (validity-zeroed per tile inside the plan) and the kernel gathers
+    # from it with window masking — the k/v args are then shape-only and
+    # XLA DCEs them, so no full-length zeroed copies ever materialise.
 
     text_valid = None
     if cfg.layout == "joint":
@@ -122,7 +127,8 @@ def rectified_sparse_attention(
 
     q_vis = q if q_text is not None else q[:, :, :sv_pad, :]
     plan = build_sparse_plan(q_vis, k, v, cfg, neighbor_mask=neighbor_mask,
-                             text_valid=text_valid)
+                             text_valid=text_valid, kv_packed=kv_packed,
+                             kv_valid=valid if kv_packed is not None else None)
 
     assert kv_packed is None or (cfg.group_rows == 1
                                  and cfg.kv_quant == "none"), \

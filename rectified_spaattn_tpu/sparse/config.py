@@ -68,6 +68,12 @@ class SparseConfig:
     # chunk 256 bounds them to ~0.3 GB).  Serializes the build over
     # NQ/chunk tiles; keep 0 for normal video scales.
     plan_row_chunk: int = 0
+    # Compute the plan's per-key-block column statistics (pooled K/V,
+    # GAPR deviations) in tiles of this many key blocks (0 = one shot).
+    # Bounds the fp32 block-view temporaries the same way plan_row_chunk
+    # bounds the row side — at 345k tokens the one-shot fp32 converts of
+    # full-length K/V were the OOM dump's three largest allocations.
+    plan_kv_tile: int = 0
     # top-p/top-k selection implementation: "bisect" replaces the plan
     # build's dominant [B,H,NQ,NK] value sort with threshold bisection
     # (same kept set up to sub-float-resolution near-ties); "sort" is the

@@ -52,15 +52,32 @@ def estimate_pr_gain(q_blocks: jax.Array, k_blocks: jax.Array,
       trustworthy (the reference's `nogapr_mask`); such blocks are folded
       into the critical set for rectification purposes.
     """
-    iq = q_blocks.shape[-2]
-    jk = k_blocks.shape[-2]
-    q_pools = q_pools.astype(jnp.float32)
     k_pools = k_pools.astype(jnp.float32)
+    dk = block_abs_dev(k_blocks, k_pools)
+    return gapr_from_stats(q_blocks, q_pools, k_pools, dk, scores_unscaled,
+                           jk=k_blocks.shape[-2])
 
-    dq = jnp.mean(jnp.abs(q_blocks.astype(jnp.float32) - q_pools[..., None, :]),
-                  axis=-2)                                     # [B,H,NQ,D]
-    dk = jnp.mean(jnp.abs(k_blocks.astype(jnp.float32) - k_pools[..., None, :]),
-                  axis=-2)                                     # [B,H,NK,D]
+
+def block_abs_dev(blocks: jax.Array, pools: jax.Array) -> jax.Array:
+    """Mean |block − pool| deviation per block: [..., N, J, D] → [..., N, D]
+    in fp32 (the k-side GAPR statistic — q-independent, so the plan build
+    computes it ONCE per call, optionally tiled over key blocks)."""
+    return jnp.mean(jnp.abs(blocks.astype(jnp.float32) - pools[..., None, :]),
+                    axis=-2)
+
+
+def gapr_from_stats(q_blocks: jax.Array, q_pools: jax.Array,
+                    k_pools: jax.Array, dk: jax.Array,
+                    scores_unscaled: jax.Array, jk: int) -> jax.Array:
+    """GAPR from precomputed k-side stats (``k_pools``/``dk`` fp32
+    [B,H,NK,D], ``jk`` = tokens per key block).  Splitting the k side out
+    lets the row-chunked plan build share one bounded-memory computation
+    of the key statistics across all query tiles instead of converting
+    the full-length K to fp32 per call (the 345k-token OOM's largest
+    allocation)."""
+    iq = q_blocks.shape[-2]
+    q_pools = q_pools.astype(jnp.float32)
+    dq = block_abs_dev(q_blocks, q_pools)                      # [B,H,NQ,D]
 
     err_q = jnp.abs(jnp.einsum("bhqd,bhkd->bhqk", dq, k_pools)) * (iq * jk)
     err_k = jnp.abs(jnp.einsum("bhqd,bhkd->bhqk", q_pools, dk)) * (iq * jk)

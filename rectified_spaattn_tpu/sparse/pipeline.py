@@ -63,18 +63,20 @@ def _blockify(x: jax.Array, block: int) -> jax.Array:
     return x.reshape(b, h, s // block, block, d)
 
 
-def _plan_rows(q_blocks, q_pool, row_ids, *, cfg, nq, k_pool_vis,
-               k_vis_blocks, key_text, text_valid, neighbor_rows,
+def _plan_rows(q_blocks, row_ids, *, cfg, nq, k_pool_vis,
+               dk_vis, key_text, text_valid, neighbor_rows,
                value_pool, sm_scale):
     """Build the plan for one tile of query-block rows.
 
-    q_blocks: [B,H,T,bm,D]; q_pool: [B,H,T,D]; row_ids: [T] int32 global
-    row indices (may exceed nq-1 for pad rows — their outputs are
-    dropped); neighbor_rows: [T, NB_vis] bool or None.  All column-side
-    arrays are full-width and shared across tiles.
+    q_blocks: [B,H,T,bm,D]; row_ids: [T] int32 global row indices;
+    neighbor_rows: [T, NB_vis] bool or None.  All column-side arrays
+    (``k_pool_vis``/``dk_vis``/``key_text``/``value_pool``, fp32) are
+    full-width per-key-block statistics shared across tiles — see
+    ``_column_stats``.
     """
-    b, h = q_pool.shape[:2]
-    t = q_pool.shape[2]
+    b, h = q_blocks.shape[:2]
+    t = q_blocks.shape[2]
+    q_pool = jnp.mean(q_blocks.astype(jnp.float32), axis=-2)  # [B,H,T,D]
 
     if cfg.layout == "joint":
         k_cols = jnp.concatenate([k_pool_vis, key_text], axis=-2)
@@ -87,15 +89,16 @@ def _plan_rows(q_blocks, q_pool, row_ids, *, cfg, nq, k_pool_vis,
                  jnp.broadcast_to(tv, (b, 1, 1, cfg.text_len))], axis=-1)
             scores = jnp.where(pad, scores, NEG_INF)
         probs_tok = jax.nn.softmax(scores, axis=-1)
-        nogapr = ops.estimate_pr_gain(
-            q_blocks, k_vis_blocks, q_pool, k_pool_vis,
-            scores_unscaled[..., :nq])
+        nogapr = ops.gapr_from_stats(
+            q_blocks, q_pool, k_pool_vis, dk_vis,
+            scores_unscaled[..., :nq], jk=cfg.block_n)
         probs = ops.ipar_reallocate(probs_tok, nq, cfg.block_n)
     else:
         scores_unscaled = ops.pooled_scores(q_pool, k_pool_vis)
         probs = jax.nn.softmax(scores_unscaled * sm_scale, axis=-1)
-        nogapr = ops.estimate_pr_gain(
-            q_blocks, k_vis_blocks, q_pool, k_pool_vis, scores_unscaled)
+        nogapr = ops.gapr_from_stats(
+            q_blocks, q_pool, k_pool_vis, dk_vis, scores_unscaled,
+            jk=cfg.block_n)
 
     # Top-p with top-k floor over the (IPAR'd) probabilities.
     select = (ops.topp_threshold_onehot_bisect
@@ -128,39 +131,117 @@ def _plan_rows(q_blocks, q_pool, row_ids, *, cfg, nq, k_pool_vis,
     return block_mask, indices, counts, r_factor, comp
 
 
+def _column_stats(key, value, cfg, nq, d, *, kv_packed=None, kv_valid=None):
+    """Per-key-block fp32 statistics shared by every query row:
+    pooled keys, GAPR key deviations, raw text keys, pooled values.
+
+    Sources: either unpacked ``key``/``value`` (already zeroed at invalid
+    positions by the caller) or producer-packed ``kv_packed`` [B,H,S,2D]
+    with ``kv_valid`` [B,S] applied per tile — the packed source never
+    materialises full-length K/V slices.
+
+    ``cfg.plan_kv_tile`` > 0 computes the stats in tiles of that many key
+    blocks (fori_loop with clamped overlapping tail), bounding the fp32
+    block-view temporaries to [B,H,tile,bn,D] — together with
+    ``plan_row_chunk`` this is what caps the plan build's peak HBM at
+    345k+ tokens (the one-shot fp32 converts of full-length K/V were the
+    three largest allocations in the 345k OOM dump).
+    """
+    bn = cfg.block_n
+    s_total = (kv_packed if kv_packed is not None else key).shape[2]
+    nb_total = s_total // bn
+    nkv = nq if cfg.layout == "joint" else nb_total     # k-stat blocks
+    npool = min(nq + 1, nb_total) if cfg.layout == "joint" else nb_total
+    b, h = (kv_packed if kv_packed is not None else key).shape[:2]
+
+    def tok(which, t0, ntok):
+        """[B,H,ntok,D] token slice of K or V, validity-zeroed."""
+        if kv_packed is not None:
+            tile = jax.lax.dynamic_slice_in_dim(kv_packed, t0, ntok, axis=2)
+            t = tile[..., :d] if which == "k" else tile[..., d:]
+            if kv_valid is not None:
+                vv = jax.lax.dynamic_slice_in_dim(kv_valid, t0, ntok, axis=1)
+                t = jnp.where(vv[:, None, :, None], t, 0)
+            return t
+        src = key if which == "k" else value
+        return jax.lax.dynamic_slice_in_dim(src, t0, ntok, axis=2)
+
+    def k_stats(t0, nblk):
+        kb = tok("k", t0 * bn, nblk * bn).reshape(
+            b, h, nblk, bn, d).astype(jnp.float32)
+        kp = jnp.mean(kb, axis=-2)
+        return kp, ops.block_abs_dev(kb, kp)
+
+    def v_pool(t0, nblk):
+        vb = tok("v", t0 * bn, nblk * bn).reshape(
+            b, h, nblk, bn, d).astype(jnp.float32)
+        return jnp.mean(vb, axis=-2)
+
+    tile = cfg.plan_kv_tile
+    if not tile or tile >= nkv:
+        k_pool_vis, dk_vis = k_stats(0, nkv)
+    else:
+        ntiles = -(-nkv // tile)
+
+        def body(i, carry):
+            kp, dk = carry
+            r0 = jnp.minimum(i * tile, nkv - tile)   # tail overlaps: the
+            kp_t, dk_t = k_stats(r0, tile)           # recompute is identical
+            return (jax.lax.dynamic_update_slice_in_dim(kp, kp_t, r0, axis=2),
+                    jax.lax.dynamic_update_slice_in_dim(dk, dk_t, r0, axis=2))
+
+        k_pool_vis, dk_vis = jax.lax.fori_loop(
+            0, ntiles, body,
+            (jnp.zeros((b, h, nkv, d), jnp.float32),
+             jnp.zeros((b, h, nkv, d), jnp.float32)))
+
+    if not tile or tile >= npool:
+        value_pool = v_pool(0, npool)
+    else:
+        ntiles = -(-npool // tile)
+
+        def vbody(i, vp):
+            r0 = jnp.minimum(i * tile, npool - tile)
+            return jax.lax.dynamic_update_slice_in_dim(
+                vp, v_pool(r0, tile), r0, axis=2)
+
+        value_pool = jax.lax.fori_loop(
+            0, ntiles, vbody, jnp.zeros((b, h, npool, d), jnp.float32))
+
+    key_text = None
+    if cfg.layout == "joint":
+        key_text = tok("k", nq * bn, cfg.text_len).astype(jnp.float32)
+    return k_pool_vis, dk_vis, key_text, value_pool, nb_total
+
+
 def build_sparse_plan(
     query: jax.Array,            # [B,H,Sv,D] visual queries (Sv % block == 0)
-    key: jax.Array,              # [B,H,S,D] keys (zeroed at invalid positions)
-    value: jax.Array,            # [B,H,S,D] values (zeroed at invalid positions)
+    key: Optional[jax.Array],    # [B,H,S,D] keys (zeroed at invalid positions)
+    value: Optional[jax.Array],  # [B,H,S,D] values (zeroed at invalid positions)
     cfg: SparseConfig,
     neighbor_mask: Optional[jax.Array] = None,   # [NB,NB] bool (visual blocks)
     text_valid: Optional[jax.Array] = None,      # [B,text_len] bool (joint)
+    *,
+    kv_packed: Optional[jax.Array] = None,       # [B,H,S,2D] packed [K|V]
+    kv_valid: Optional[jax.Array] = None,        # [B,S] bool (packed source)
 ) -> SparsePlan:
-    """Build the dynamic block mask and rectification terms for one call."""
+    """Build the dynamic block mask and rectification terms for one call.
+
+    With ``kv_packed``, ``key``/``value`` may be None (or dead slices of
+    the packed array — XLA DCEs them): all key/value statistics are read
+    from the packed array, validity-zeroed per tile via ``kv_valid``.
+    """
     b, h, sv, d = query.shape
     bm, bn = cfg.block_m, cfg.block_n
     nq = sv // bm
     sm_scale = d ** -0.5
 
     q_blocks = _blockify(query, bm)                       # [B,H,NQ,bm,D]
-    q_pool = jnp.mean(q_blocks.astype(jnp.float32), axis=-2)
-    k_vis_blocks = _blockify(key[:, :, :nq * bn, :], bn)  # [B,H,NQ,bn,D]
-    k_pool_vis = jnp.mean(k_vis_blocks.astype(jnp.float32), axis=-2)
-
-    key_text = None
-    if cfg.layout == "joint":
-        key_text = key[:, :, nq * bn: nq * bn + cfg.text_len, :].astype(
-            jnp.float32)
-        value_pool = ops.block_pool(value, bn)[:, :, :nq + 1, :]
-    else:
-        nb_vis = key.shape[2] // bn
-        k_vis_blocks = _blockify(key, bn)
-        if nb_vis > nq:  # cross-shaped grids never occur; keep parity anyway
-            k_pool_vis = ops.block_pool(key, bn)
-        value_pool = ops.block_pool(value, bn)
+    k_pool_vis, dk_vis, key_text, value_pool, nb_total = _column_stats(
+        key, value, cfg, nq, d, kv_packed=kv_packed, kv_valid=kv_valid)
 
     shared = dict(cfg=cfg, nq=nq, k_pool_vis=k_pool_vis,
-                  k_vis_blocks=k_vis_blocks, key_text=key_text,
+                  dk_vis=dk_vis, key_text=key_text,
                   text_valid=text_valid, value_pool=value_pool,
                   sm_scale=sm_scale)
 
@@ -169,45 +250,35 @@ def build_sparse_plan(
         nb_rows = (neighbor_mask[:nq] if neighbor_mask is not None
                    else None)
         block_mask, indices, counts, r_factor, comp = _plan_rows(
-            q_blocks, q_pool, jnp.arange(nq, dtype=jnp.int32),
+            q_blocks, jnp.arange(nq, dtype=jnp.int32),
             neighbor_rows=nb_rows, **shared)
-        nb_total = key.shape[2] // bn
         assert block_mask.shape[-1] == nb_total, (block_mask.shape, nb_total)
         return SparsePlan(block_mask, indices, counts, r_factor, comp)
 
-    # ---- row-chunked build: bound the fp32 [B,H,*,NK] temps ----
-    pad_rows = (-nq) % chunk
-    nq_pad = nq + pad_rows
-    ntiles = nq_pad // chunk
-    if pad_rows:
-        q_blocks = jnp.pad(q_blocks,
-                           ((0, 0), (0, 0), (0, pad_rows), (0, 0), (0, 0)))
-        q_pool = jnp.pad(q_pool, ((0, 0), (0, 0), (0, pad_rows), (0, 0)))
+    # ---- row-chunked build: bound the fp32 [B,H,*,NK] temps.  The tail
+    # tile starts at nq-chunk (clamped), overlapping the previous tile:
+    # every plan stage is row-separable and deterministic, so the
+    # overlapped rows are rewritten with identical values — no pad copies
+    # of q_blocks and no trailing output slice. ----
+    ntiles = -(-nq // chunk)
     nb_mask = (neighbor_mask[:nq] if neighbor_mask is not None else None)
-    if nb_mask is not None and pad_rows:
-        nb_mask = jnp.pad(nb_mask, ((0, pad_rows), (0, 0)))
 
-    nb_total = key.shape[2] // bn
-    out0 = (jnp.zeros((b, h, nq_pad, nb_total), bool),
-            jnp.zeros((b, h, nq_pad, nb_total), jnp.int32),
-            jnp.zeros((b, h, nq_pad), jnp.int32),
-            jnp.zeros((b, h, nq_pad), jnp.float32),
-            jnp.zeros((b, h, nq_pad, d), jnp.float32))
+    out0 = (jnp.zeros((b, h, nq, nb_total), bool),
+            jnp.zeros((b, h, nq, nb_total), jnp.int32),
+            jnp.zeros((b, h, nq), jnp.int32),
+            jnp.zeros((b, h, nq), jnp.float32),
+            jnp.zeros((b, h, nq, d), jnp.float32))
 
     def tile(i, outs):
-        r0 = i * chunk
+        r0 = jnp.minimum(i * chunk, nq - chunk)
         qb_t = jax.lax.dynamic_slice_in_dim(q_blocks, r0, chunk, axis=2)
-        qp_t = jax.lax.dynamic_slice_in_dim(q_pool, r0, chunk, axis=2)
         row_ids = r0 + jnp.arange(chunk, dtype=jnp.int32)
         nb_rows = (jax.lax.dynamic_slice_in_dim(nb_mask, r0, chunk, axis=0)
                    if nb_mask is not None else None)
-        parts = _plan_rows(qb_t, qp_t, row_ids, neighbor_rows=nb_rows,
-                           **shared)
+        parts = _plan_rows(qb_t, row_ids, neighbor_rows=nb_rows, **shared)
         return tuple(
             jax.lax.dynamic_update_slice_in_dim(o, p, r0, axis=2)
             for o, p in zip(outs, parts))
 
     outs = jax.lax.fori_loop(0, ntiles, tile, out0)
-    block_mask, indices, counts, r_factor, comp = (
-        o[:, :, :nq] for o in outs)
-    return SparsePlan(block_mask, indices, counts, r_factor, comp)
+    return SparsePlan(*outs)

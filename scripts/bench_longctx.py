@@ -44,11 +44,23 @@ def smooth_inputs(key, h, s_vis, text_len, d, coords, alpha=4.0, sigma=1.0):
         phase = jax.random.uniform(k2, (nfreq,)) * 2 * np.pi
         proj = coords @ w + phase
         basis = jnp.concatenate([jnp.sin(proj), jnp.cos(proj)], -1)
-        mix = jax.random.normal(k3, (h, 2 * nfreq, d)) / np.sqrt(2 * nfreq)
-        field = jnp.einsum("sf,hfd->hsd", basis, mix)
-        field = jnp.pad(field, ((0, 0), (0, text_len), (0, 0)))
-        noise = jax.random.normal(noise_key, (h, s_vis + text_len, d))
-        return (alpha * field + sigma * noise)[None].astype(jnp.bfloat16)
+        s = s_vis + text_len
+
+        # Head-at-a-time generation: the one-shot [H,S,D] fp32 field+noise
+        # temporaries are ~10 GB at 400k tokens; per-head they are ~0.4 GB
+        def hbody(i, out):
+            mix = jax.random.normal(jax.random.fold_in(k3, i),
+                                    (2 * nfreq, d)) / np.sqrt(2 * nfreq)
+            field = jnp.pad(basis @ mix, ((0, text_len), (0, 0)))
+            noise = jax.random.normal(jax.random.fold_in(noise_key, i),
+                                      (s, d))
+            row = (alpha * field + sigma * noise).astype(jnp.bfloat16)
+            return jax.lax.dynamic_update_slice_in_dim(out, row[None], i,
+                                                       axis=0)
+
+        out = jax.lax.fori_loop(
+            0, h, hbody, jnp.zeros((h, s, d), jnp.bfloat16))
+        return out[None]
 
     ks = jax.random.split(key, 3)
     return tuple(jax.block_until_ready(one(k)) for k in ks)
@@ -82,7 +94,8 @@ def amortized(f, *arrs, K=4):
 
 
 def run_point(frames, heads=24, d=128, text_len=256, drop=0.8,
-              p_remain=0.3, plan_chunk=0, skip_dense=False, packed=False):
+              p_remain=0.3, plan_chunk=0, kv_tile=0, skip_dense=False,
+              packed=False, dense_only=False):
     import jax
     import jax.numpy as jnp
     from rectified_spaattn_tpu.attention import rectified_sparse_attention
@@ -104,7 +117,7 @@ def run_point(frames, heads=24, d=128, text_len=256, drop=0.8,
     cfg = SparseConfig(
         top_k_floor=max(1, select_block_num(drop, sv // 128)),
         p_remain=p_remain, layout="joint", text_len=text_len,
-        plan_row_chunk=plan_chunk)
+        plan_row_chunk=plan_chunk, plan_kv_tile=kv_tile)
 
     lin = np.asarray(h2l)
     tt, hh, ww = np.unravel_index(lin, (lt, lh, lw))
@@ -113,10 +126,20 @@ def run_point(frames, heads=24, d=128, text_len=256, drop=0.8,
     q, k, v = smooth_inputs(jax.random.PRNGKey(0), heads, sv, text_len, d,
                             coords)
     tlen = jnp.full((1,), text_len, jnp.int32)
+    if dense_only:
+        dense_fn = jax.jit(lambda q, k, v: _windowed_dense_flash(
+            q, k, v, visual_len=sv, text_start=sv, tlen=tlen))
+        t_dense = amortized(dense_fn, q, k, v)
+        log(f"dense ours (amortised): {t_dense * 1e3:.1f} ms")
+        return dict(frames=frames, tokens=s,
+                    dense_ms=round(t_dense * 1e3, 1))
     if packed:
         # producer-packed KV + producer-split q (attention/rectified.py
         # kv_packed/q_text): kills the kernel's own packed copy (~5 GB at
-        # 400k tokens) and the interior-axis q_vis slice copy
+        # 400k tokens) and the interior-axis q_vis slice copy; the plan
+        # reads its column stats from the packed array too (kv_packed
+        # threads through build_sparse_plan), so the unpacked k/v slices
+        # below are dead code under jit.
         kv = jax.block_until_ready(jnp.concatenate([k, v], axis=-1))
         del k, v
         q_vis = jax.block_until_ready(q[:, :, :sv])
@@ -130,8 +153,8 @@ def run_point(frames, heads=24, d=128, text_len=256, drop=0.8,
                 visual_len=sv, text_len_rt=tlen, kv_packed=kv,
                 q_text=q_text))
         count_fn = jax.jit(lambda q_vis, q_text, kv: build_sparse_plan(
-            q_vis, kv[..., :d], kv[..., d:], cfg,
-            neighbor_mask=neighbors).counts)
+            q_vis, None, None, cfg,
+            neighbor_mask=neighbors, kv_packed=kv).counts)
     else:
         sparse_args = (q, k, v)
         sparse_fn = jax.jit(lambda q, k, v: rectified_sparse_attention(
@@ -171,22 +194,28 @@ def main():
                     help="row-chunked plan build (SparseConfig."
                          "plan_row_chunk) — bounds the fp32 plan temps; "
                          "required past ~320 frames on one 16 GB chip")
+    ap.add_argument("--kv_tile", type=int, default=0,
+                    help="key-block tile for the plan's column stats "
+                         "(SparseConfig.plan_kv_tile) — bounds the fp32 "
+                         "K/V-side plan temps at 345k+ tokens")
     ap.add_argument("--skip_dense", action="store_true",
                     help="sparse only (the dense gather path needs more "
                          "HBM than the sparse path at the max context)")
+    ap.add_argument("--dense_only", action="store_true",
+                    help="dense only — pairs with a separate --packed "
+                         "sparse run at token counts where both paths "
+                         "don't co-reside")
     ap.add_argument("--packed", action="store_true",
                     help="producer-packed KV + split q (sparse only) — "
                          "the memory-lean mode for the max-context points")
     args = ap.parse_args()
 
-    results = [run_point(args.frames, heads=args.heads,
-                         plan_chunk=args.plan_chunk,
-                         skip_dense=args.skip_dense, packed=args.packed)]
+    kw = dict(heads=args.heads, plan_chunk=args.plan_chunk,
+              kv_tile=args.kv_tile, skip_dense=args.skip_dense,
+              packed=args.packed, dense_only=args.dense_only)
+    results = [run_point(args.frames, **kw)]
     if args.also:
-        results.append(run_point(args.also, heads=args.heads,
-                                 plan_chunk=args.plan_chunk,
-                                 skip_dense=args.skip_dense,
-                                 packed=args.packed))
+        results.append(run_point(args.also, **kw))
     import json
     print(json.dumps(results))
 

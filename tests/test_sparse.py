@@ -362,3 +362,63 @@ def test_chunked_plan_equals_oneshot_visual_ff():
     for name, w, g2 in zip(want._fields, want, got):
         np.testing.assert_array_equal(np.asarray(w), np.asarray(g2),
                                       err_msg=name)
+
+
+@pytest.mark.parametrize("tile,layout", [(2, "joint"), (3, "joint"),
+                                         (2, "visual"), (5, "visual")])
+def test_kv_tiled_plan_equals_oneshot(tile, layout):
+    """plan_kv_tile computes the column stats (pooled K/V, GAPR dk) in
+    key-block tiles with a clamped overlapping tail; results must be
+    bit-identical to the one-shot build."""
+    import dataclasses
+    import jax
+    if layout == "joint":
+        q, k, v, sv, st = make_joint_inputs(seed=23, nq=7, text_blocks=2)
+        base = SparseConfig(top_k_floor=2, p_remain=0.3, block_m=BM,
+                            block_n=BM, layout="joint", text_len=st)
+    else:
+        g = rng(29)
+        sv = 7 * BM
+        q = g.normal(size=(1, 2, sv, 8)).astype(np.float32)
+        k = g.normal(size=(1, 2, sv, 8)).astype(np.float32)
+        v = g.normal(size=(1, 2, sv, 8)).astype(np.float32)
+        base = SparseConfig(top_k_floor=2, p_remain=0.3, block_m=BM,
+                            block_n=BM, layout="visual")
+    args = (jnp.asarray(q), jnp.asarray(k), jnp.asarray(v))
+    want = jax.jit(lambda *a: build_sparse_plan(*a, base))(*args)
+    cfg = dataclasses.replace(base, plan_kv_tile=tile)
+    got = jax.jit(lambda *a: build_sparse_plan(*a, cfg))(*args)
+    for name, w, g2 in zip(want._fields, want, got):
+        np.testing.assert_array_equal(np.asarray(w), np.asarray(g2),
+                                      err_msg=name)
+
+
+@pytest.mark.parametrize("kv_tile", [0, 3])
+def test_packed_kv_plan_equals_unpacked(kv_tile):
+    """The plan built from a producer-packed [K|V] array with a validity
+    mask must equal the plan built from pre-zeroed unpacked k/v — the
+    long-context path never materialises full-length K/V slices."""
+    import dataclasses
+    import jax
+    q, k, v, sv, st = make_joint_inputs(seed=31, nq=6, text_blocks=2)
+    d = q.shape[-1]
+    # validity: all visual + a 24-token text window
+    valid = np.zeros((1, sv + st), bool)
+    valid[:, :sv] = True
+    valid[:, sv:sv + 24] = True
+    tv = valid[:, sv:]
+    kz = np.where(valid[:, None, :, None], k, 0)
+    vz = np.where(valid[:, None, :, None], v, 0)
+    cfg = SparseConfig(top_k_floor=2, p_remain=0.3, block_m=BM,
+                       block_n=BM, layout="joint", text_len=st,
+                       plan_kv_tile=kv_tile)
+    want = jax.jit(lambda *a: build_sparse_plan(
+        *a, cfg, text_valid=jnp.asarray(tv)))(
+        jnp.asarray(q), jnp.asarray(kz), jnp.asarray(vz))
+    kv = jnp.concatenate([jnp.asarray(k), jnp.asarray(v)], axis=-1)
+    got = jax.jit(lambda qq, pkv: build_sparse_plan(
+        qq, None, None, cfg, text_valid=jnp.asarray(tv),
+        kv_packed=pkv, kv_valid=jnp.asarray(valid)))(jnp.asarray(q), kv)
+    for name, w, g2 in zip(want._fields, want, got):
+        np.testing.assert_array_equal(np.asarray(w), np.asarray(g2),
+                                      err_msg=name)
