@@ -172,10 +172,34 @@ def rectified_sparse_attention(
     # Apply R/comp by broadcast at block granularity (the reference
     # repeat_interleaves to token level, rectified_hunyuan_attn.py:352,357
     # — a 128x larger intermediate for the same result).
-    so = sparse_out.reshape(b, h, nq, bm, d).astype(jnp.float32)
-    out_vis = (so * plan.r_factor[..., None, None]
-               + plan.comp[..., None, :]).reshape(b, h, sv_pad, d)
-    out_vis = out_vis.astype(q.dtype)
+    so_blocks = sparse_out.reshape(b, h, nq, bm, d)
+
+    def _rectify(so_t, r_t, c_t):
+        return (so_t.astype(jnp.float32) * r_t[..., None, None]
+                + c_t[..., None, :]).astype(q.dtype)
+
+    if cfg.plan_row_chunk and cfg.plan_row_chunk < nq:
+        # Row-chunked rectification: XLA materialises the fp32 convert of
+        # sparse_out AND the token-broadcast of comp as full-length
+        # buffers (2 x 3.96G at 345k tokens — the largest allocations
+        # after the plan-build levers); bound them with the same row
+        # tiling as the plan (tail tile clamps + overlaps, elementwise
+        # per row so the rewrite is identical).
+        chunk = cfg.plan_row_chunk
+        ntiles = -(-nq // chunk)
+
+        def body(i, out):
+            r0 = jnp.minimum(i * chunk, nq - chunk)
+            sl = lambda x, ax: jax.lax.dynamic_slice_in_dim(x, r0, chunk, ax)
+            o_t = _rectify(sl(so_blocks, 2), sl(plan.r_factor, 2),
+                           sl(plan.comp, 2))
+            return jax.lax.dynamic_update_slice_in_dim(out, o_t, r0, axis=2)
+
+        out_vis = jax.lax.fori_loop(
+            0, ntiles, body, jnp.zeros((b, h, nq, bm, d), q.dtype))
+    else:
+        out_vis = _rectify(so_blocks, plan.r_factor, plan.comp)
+    out_vis = out_vis.reshape(b, h, sv_pad, d)
 
     if cfg.layout == "joint":
         # Text-query rows: exact attention over ALL keys (reference:

@@ -196,3 +196,29 @@ def test_packed_kv_and_split_q_equal_baseline():
         jnp.asarray(neighbors), visual_len=sv, text_len_rt=tlen,
         interpret=True, kv_packed=kv, q_text=jnp.asarray(q[:, :, sv:])))
     np.testing.assert_array_equal(got, want)
+
+
+def test_row_chunked_rectified_equals_oneshot():
+    """plan_row_chunk < NQ routes both the plan build AND the
+    rectification apply through row-tiled fori_loops (the long-context
+    memory path); output must be bit-identical to the one-shot path."""
+    import dataclasses
+    b, h, d = 1, 2, 64
+    nq, text_blocks = 5, 1
+    base = SparseConfig(top_k_floor=1, p_remain=0.3, layout="joint",
+                        text_len=text_blocks * BM)
+    sv = nq * BM
+    s = sv + base.text_len
+    q, k, v = make(11, b, h, s, d)
+    neighbors = np.eye(nq, dtype=bool)
+    tlen = jnp.asarray(np.array([100]), jnp.int32)
+    args = (jnp.asarray(q), jnp.asarray(k), jnp.asarray(v))
+
+    want = np.asarray(rectified_sparse_attention(
+        *args, base, jnp.asarray(neighbors), visual_len=sv,
+        text_len_rt=tlen, interpret=True))
+    cfg = dataclasses.replace(base, plan_row_chunk=2, plan_kv_tile=2)
+    got = np.asarray(rectified_sparse_attention(
+        *args, cfg, jnp.asarray(neighbors), visual_len=sv,
+        text_len_rt=tlen, interpret=True))
+    np.testing.assert_array_equal(got, want)
