@@ -102,6 +102,10 @@ def parse_args(argv=None):
                    help="row-tile the sparse-plan build into chunks of N "
                         "query rows — bounds the fp32 plan temporaries "
                         "(a peak-HBM lever for runs at the 16 GB ceiling)")
+    p.add_argument("--plan_kv_tile", type=int, default=0,
+                   help="tile the plan's column stats (pooled K/V, GAPR "
+                        "deviations) over N key blocks — the K/V-side "
+                        "companion to --plan_row_chunk")
     p.add_argument("--mlp_chunk", type=int, default=1,
                    help="evaluate each block's FFN over N static sequence "
                         "slices (layers.MLP.chunk) — identical math, "
@@ -182,6 +186,8 @@ def _serving(args, params, supports_scan=True):
         kw["group_rows"] = args.group_rows
     if getattr(args, "plan_row_chunk", 0) > 0:
         kw["plan_row_chunk"] = args.plan_row_chunk
+    if getattr(args, "plan_kv_tile", 0) > 0:
+        kw["plan_kv_tile"] = args.plan_kv_tile
     return params, kw
 
 

@@ -69,6 +69,7 @@ def build_site(latent_t: int, latent_h: int, latent_w: int, *,
                curve_variant: str = "full",
                axis_order=("w", "h", "t"),
                plan_row_chunk: int = 0,
+               plan_kv_tile: int = 0,
                group_rows: int = 1):
     """Curve + neighbor precompute and sparse config for one geometry
     (reference: build_multi_curve + sparse-param calc,
@@ -92,7 +93,8 @@ def build_site(latent_t: int, latent_h: int, latent_w: int, *,
         top_k_floor=max(floor, 1), p_remain=p_remain, layout=layout,
         text_len=text_len, first_frame_blocks=ffb,
         block_m=block_size, block_n=block_size,
-        plan_row_chunk=plan_row_chunk, group_rows=group_rows)
+        plan_row_chunk=plan_row_chunk, plan_kv_tile=plan_kv_tile,
+        group_rows=group_rows)
     site = SparseSite(cfg=cfg, neighbor_mask=jnp.asarray(neighbors),
                       visual_len=sv)
     return site, jnp.asarray(l2h), jnp.asarray(h2l)

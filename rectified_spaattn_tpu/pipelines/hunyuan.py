@@ -96,6 +96,9 @@ class HunyuanVideoPipeline:
     # bounds the fp32 plan temporaries — a memory lever for runs at the
     # HBM ceiling.  0 = one-shot (default).
     plan_row_chunk: int = 0
+    # Key-block-tile the plan's column stats (SparseConfig.plan_kv_tile):
+    # the K/V-side companion memory lever.  0 = one-shot (default).
+    plan_kv_tile: int = 0
     # Grouped-row kernel execution (SparseConfig.group_rows): G query
     # blocks per program over the union of their key sets — measured
     # faster than single-row at the Hunyuan point (RESULTS_r4.md).
@@ -117,6 +120,7 @@ class HunyuanVideoPipeline:
             self.lt, self.lh, self.lw, sa_drop_rate=self.sa_drop_rate,
             p_remain=self.p_remain_rates, layout="joint",
             text_len=self.text_len, plan_row_chunk=self.plan_row_chunk,
+            plan_kv_tile=self.plan_kv_tile,
             group_rows=self.group_rows)
         self.timer = StageTimer()
         m = self.model

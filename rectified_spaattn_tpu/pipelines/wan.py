@@ -122,6 +122,9 @@ class WanPipeline:
     # bounds the fp32 plan temporaries — a memory lever for runs at the
     # HBM ceiling.  0 = one-shot (default).
     plan_row_chunk: int = 0
+    # Key-block-tile the plan's column stats (SparseConfig.plan_kv_tile):
+    # the K/V-side companion memory lever.  0 = one-shot (default).
+    plan_kv_tile: int = 0
     # Grouped-row kernel execution (SparseConfig.group_rows): G query
     # blocks per program over the union of their key sets — measured
     # faster than single-row at the Hunyuan point (RESULTS_r4.md).
@@ -139,6 +142,7 @@ class WanPipeline:
             p_remain=self.p_remain_rates, layout="visual",
             first_frame_retention=True,
             plan_row_chunk=self.plan_row_chunk,
+            plan_kv_tile=self.plan_kv_tile,
             group_rows=self.group_rows)
         m = self.model
         from .base import param_compute_dtype

@@ -207,9 +207,12 @@ def test_group_rows_and_plan_chunk_thread_to_pipeline():
         "--frame", "8", "--num_steps", "1", "--scale", "0.05",
         "--sa_drop_rate", "0.8", "--p_remain_rates", "0.3",
         "--rel_l1_thresh", "0.15",
-        "--group_rows", "2", "--plan_row_chunk", "128"])
+        "--group_rows", "2", "--plan_row_chunk", "128",
+        "--plan_kv_tile", "64"])
     pipe, _, _ = build_hunyuan(args)
     assert pipe.group_rows == 2
     assert pipe.plan_row_chunk == 128
+    assert pipe.plan_kv_tile == 64
     assert pipe.site.cfg.group_rows == 2
     assert pipe.site.cfg.plan_row_chunk == 128
+    assert pipe.site.cfg.plan_kv_tile == 64
