@@ -25,14 +25,22 @@ DENSE_MODES = ("flash", "torch", "vanilla")
 
 def _windowed_dense_flash(q, k, v, *, visual_len, text_start, tlen,
                           block: int = 128, block_m: Optional[int] = None,
-                          interpret: bool = False):
+                          interpret: bool = False, kv_packed=None):
     """Exact attention with [visual | pad | text | pad] key validity via
     the gather kernel with full index lists — the stock segment-ids flash
-    path materialises poorly at video scale on this toolchain."""
+    path materialises poorly at video scale on this toolchain.
+
+    ``kv_packed``: the caller already holds KV packed as [B,H,S,2D]
+    (same contract as attention/rectified.py) — skips the kernel-side
+    packed copy, the long-context memory saver that lets the dense
+    denominator fit next to q at 345k+ tokens (k/v must then be the
+    matching slices and the sequence must be block-aligned)."""
     b, h, s_orig, d = q.shape
     s = s_orig
     pad = (-s) % block
     if pad:
+        assert kv_packed is None, (
+            "kv_packed requires a block-aligned sequence")
         z = lambda x: jnp.pad(x, ((0, 0), (0, 0), (0, pad), (0, 0)))
         q, k, v = z(q), z(k), z(v)
         s += pad
@@ -58,7 +66,7 @@ def _windowed_dense_flash(q, k, v, *, visual_len, text_start, tlen,
     out = block_sparse_flash_attention(
         q, k, v, idx, counts, tlen, visual_len=visual_len,
         text_start=text_start, block_m=bm, block_n=block,
-        interpret=interpret)
+        interpret=interpret, packed_kv=kv_packed)
     return out[:, :, :s_orig] if (pad or qpad) else out
 
 

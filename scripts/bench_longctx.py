@@ -95,7 +95,7 @@ def amortized(f, *arrs, K=4):
 
 def run_point(frames, heads=24, d=128, text_len=256, drop=0.8,
               p_remain=0.3, plan_chunk=0, kv_tile=0, skip_dense=False,
-              packed=False, dense_only=False):
+              packed=False, dense_only=False, k_iters=4):
     import jax
     import jax.numpy as jnp
     from rectified_spaattn_tpu.attention import rectified_sparse_attention
@@ -127,9 +127,21 @@ def run_point(frames, heads=24, d=128, text_len=256, drop=0.8,
                             coords)
     tlen = jnp.full((1,), text_len, jnp.int32)
     if dense_only:
-        dense_fn = jax.jit(lambda q, k, v: _windowed_dense_flash(
-            q, k, v, visual_len=sv, text_start=sv, tlen=tlen))
-        t_dense = amortized(dense_fn, q, k, v)
+        if packed:
+            # producer-packed KV for the dense denominator too: the
+            # kernel-side packed copy (~4.3 GB at 346k tokens) was
+            # exactly the 176 MB-over OOM margin (logs/r4_longctx_dense)
+            kv = jax.block_until_ready(jnp.concatenate([k, v], axis=-1))
+            del k, v
+            dense_fn = jax.jit(lambda q, kv: _windowed_dense_flash(
+                q, kv[..., :d], kv[..., d:], visual_len=sv, text_start=sv,
+                tlen=tlen, kv_packed=kv))
+            log("packed KV on device (dense)")
+            t_dense = amortized(dense_fn, q, kv, K=k_iters)
+        else:
+            dense_fn = jax.jit(lambda q, k, v: _windowed_dense_flash(
+                q, k, v, visual_len=sv, text_start=sv, tlen=tlen))
+            t_dense = amortized(dense_fn, q, k, v, K=k_iters)
         log(f"dense ours (amortised): {t_dense * 1e3:.1f} ms")
         return dict(frames=frames, tokens=s,
                     dense_ms=round(t_dense * 1e3, 1))
@@ -170,12 +182,12 @@ def run_point(frames, heads=24, d=128, text_len=256, drop=0.8,
     log(f"plan built, mask density {density:.4f}")
     del counts
 
-    t_sparse = amortized(sparse_fn, *sparse_args)
+    t_sparse = amortized(sparse_fn, *sparse_args, K=k_iters)
     log(f"sparse (amortised): {t_sparse * 1e3:.1f} ms")
     if skip_dense or packed:
         return dict(frames=frames, tokens=s, density=round(density, 4),
                     sparse_ms=round(t_sparse * 1e3, 1))
-    t_dense = amortized(dense_fn, q, k, v)
+    t_dense = amortized(dense_fn, q, k, v, K=k_iters)
     log(f"dense ours (amortised): {t_dense * 1e3:.1f} ms "
         f"-> speedup {t_dense / t_sparse:.2f}x")
     return dict(frames=frames, tokens=s, density=round(density, 4),
@@ -205,6 +217,10 @@ def main():
                     help="dense only — pairs with a separate --packed "
                          "sparse run at token counts where both paths "
                          "don't co-reside")
+    ap.add_argument("--k_iters", type=int, default=4,
+                    help="amortised in-jit iterations; use 2 for the "
+                         "400k+ dense points so one dispatch stays under "
+                         "the ~60 s tunnel watchdog (RESULTS_r4)")
     ap.add_argument("--packed", action="store_true",
                     help="producer-packed KV + split q (sparse only) — "
                          "the memory-lean mode for the max-context points")
@@ -212,7 +228,8 @@ def main():
 
     kw = dict(heads=args.heads, plan_chunk=args.plan_chunk,
               kv_tile=args.kv_tile, skip_dense=args.skip_dense,
-              packed=args.packed, dense_only=args.dense_only)
+              packed=args.packed, dense_only=args.dense_only,
+              k_iters=args.k_iters)
     results = [run_point(args.frames, **kw)]
     if args.also:
         results.append(run_point(args.also, **kw))

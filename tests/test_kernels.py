@@ -384,3 +384,29 @@ def test_windowed_dense_padded_q_tiles(bm):
     np.testing.assert_allclose(
         np.asarray(got[:, :, :sv + tl], np.float32),
         want[:, :, :sv + tl], atol=2e-2, rtol=2e-2)
+
+
+def test_windowed_dense_kv_packed_bit_exact():
+    """Producer-packed KV must route through the identical kernel program:
+    bit-equal to the unpacked call (the long-context dense-denominator
+    memory lever, scripts/bench_longctx.py --dense_only --packed)."""
+    import jax
+    from rectified_spaattn_tpu.attention.modes import _windowed_dense_flash
+
+    b, h, d = 1, 2, 32
+    sv, text_slot, tl = 256, 128, 40          # block-aligned s = 384
+    s = sv + text_slot
+    rng = jax.random.PRNGKey(9)
+    q, k, v = (jax.random.normal(jax.random.fold_in(rng, i),
+                                 (b, h, s, d)).astype(jnp.bfloat16)
+               for i in range(3))
+    tlen = jnp.array([tl], jnp.int32)
+
+    want = np.asarray(_windowed_dense_flash(
+        q, k, v, visual_len=sv, text_start=sv, tlen=tlen,
+        block_m=128, interpret=True))
+    kv = jnp.concatenate([k, v], axis=-1)
+    got = np.asarray(_windowed_dense_flash(
+        q, kv[..., :d], kv[..., d:], visual_len=sv, text_start=sv,
+        tlen=tlen, block_m=128, interpret=True, kv_packed=kv))
+    np.testing.assert_array_equal(got, want)
