@@ -112,6 +112,12 @@ def main():
     ap.add_argument("--group_rows", type=int, default=1,
                     help="grouped-row kernel execution "
                          "(SparseConfig.group_rows)")
+    ap.add_argument("--plan_row_chunk", type=int, default=0,
+                    help="row-tile the sparse-plan build + rectification "
+                         "apply (SparseConfig.plan_row_chunk) — bounds "
+                         "the fp32 plan temps; the peak-HBM lever that "
+                         "lets the 16.4B conditioned I2V tree fit full "
+                         "depth")
     ap.add_argument("--mlp_chunk", type=int, default=1,
                     help="FFN sequence chunking (peak-HBM lever, "
                          "layers.MLP.chunk; identical math)")
@@ -191,7 +197,8 @@ def main():
                 warm_layers=0, warm_calls=0, vae_stride=vae_stride,
                 scan_blocks=args.scan_blocks,
                 dispatch_segments=args.dispatch_segments,
-                group_rows=args.group_rows)
+                group_rows=args.group_rows,
+                plan_row_chunk=args.plan_row_chunk)
             high = mk(params)
             params = high.params        # ONE device copy across modes
             if args.share_tree:
@@ -234,7 +241,8 @@ def main():
                 enable_teacache=True, teacache_thresh=thresh,
                 scan_blocks=args.scan_blocks,
                 dispatch_segments=args.dispatch_segments,
-                group_rows=args.group_rows)
+                group_rows=args.group_rows,
+                plan_row_chunk=args.plan_row_chunk)
             high = mk_t(params)
             pipe = Wan22A14BPipeline(
                 high=high,
@@ -292,7 +300,8 @@ def main():
             warm_layers=0, warm_calls=0, vae_stride=vae_stride,
             scan_blocks=args.scan_blocks,
                 dispatch_segments=args.dispatch_segments,
-                group_rows=args.group_rows)
+                group_rows=args.group_rows,
+                plan_row_chunk=args.plan_row_chunk)
         params = pipe.params   # share ONE device copy across pipelines
         log(f"{mode}: warm-up (compiles)...")
         pipe(text, neg, image_emb=image_emb, condition=condition,
@@ -320,7 +329,8 @@ def main():
             teacache_signal_scale=args.signal_scale,
             scan_blocks=args.scan_blocks,
                 dispatch_segments=args.dispatch_segments,
-                group_rows=args.group_rows)
+                group_rows=args.group_rows,
+                plan_row_chunk=args.plan_row_chunk)
         pipe(text, neg, image_emb=image_emb, condition=condition,
              seed=1, num_steps=1)
         from rectified_spaattn_tpu.cache import teacache as tc_mod
