@@ -115,9 +115,10 @@ def main():
     ap.add_argument("--plan_row_chunk", type=int, default=0,
                     help="row-tile the sparse-plan build + rectification "
                          "apply (SparseConfig.plan_row_chunk) — bounds "
-                         "the fp32 plan temps; the peak-HBM lever that "
-                         "lets the 16.4B conditioned I2V tree fit full "
-                         "depth")
+                         "the fp32 plan temps (peak-HBM lever; the 16.4B "
+                         "conditioned I2V tree still exceeds the "
+                         "single-chip budget at full depth even with it, "
+                         "logs/r4_wani2v_full.log)")
     ap.add_argument("--mlp_chunk", type=int, default=1,
                     help="FFN sequence chunking (peak-HBM lever, "
                          "layers.MLP.chunk; identical math)")
