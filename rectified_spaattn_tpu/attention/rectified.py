@@ -188,15 +188,23 @@ def rectified_sparse_attention(
         chunk = cfg.plan_row_chunk
         ntiles = -(-nq // chunk)
 
-        def body(i, out):
+        def body(i, buf):
+            # IN-PLACE: the carry IS the kernel-output buffer (sparse_out
+            # is dead after the reshape, so the while-loop aliases it and
+            # the fp32/bf16 work stays tile-sized).  A separate zeros
+            # accumulator here was a full output-size HLO temp — 2.64 GB
+            # at 461k tokens, the exact OOM margin of the 512-frame point.
             r0 = jnp.minimum(i * chunk, nq - chunk)
             sl = lambda x, ax: jax.lax.dynamic_slice_in_dim(x, r0, chunk, ax)
-            o_t = _rectify(sl(so_blocks, 2), sl(plan.r_factor, 2),
-                           sl(plan.comp, 2))
-            return jax.lax.dynamic_update_slice_in_dim(out, o_t, r0, axis=2)
+            so_t = sl(buf, 2)
+            o_t = _rectify(so_t, sl(plan.r_factor, 2), sl(plan.comp, 2))
+            # the clamped tail tile overlaps rows a previous tile already
+            # rectified — keep the buffer's (rectified) value there
+            done = (r0 + jnp.arange(chunk, dtype=jnp.int32)) < i * chunk
+            o_t = jnp.where(done[None, None, :, None, None], so_t, o_t)
+            return jax.lax.dynamic_update_slice_in_dim(buf, o_t, r0, axis=2)
 
-        out_vis = jax.lax.fori_loop(
-            0, ntiles, body, jnp.zeros((b, h, nq, bm, d), q.dtype))
+        out_vis = jax.lax.fori_loop(0, ntiles, body, so_blocks)
     else:
         out_vis = _rectify(so_blocks, plan.r_factor, plan.comp)
     out_vis = out_vis.reshape(b, h, sv_pad, d)
