@@ -148,10 +148,15 @@ def main():
                           .astype(jnp.float32)))
         return (time.perf_counter() - t0) / n
 
-    def amortized(f, *arrs, K=6):
+    def amortized(f, *arrs, K=6, reps=1):
         """True device time: K in-jit iterations, one readback.  A scalar
         from iteration i's output perturbs iteration i+1's input (by a
-        denormal-scale epsilon) so XLA cannot hoist or CSE the body."""
+        denormal-scale epsilon) so XLA cannot hoist or CSE the body.
+
+        ``reps`` > 1 repeats the timed loop and returns the list of
+        per-iteration times — the headline takes the MEDIAN (round-4
+        showed tunnel run-to-run variance of ~15-20 ms on a ~450 ms
+        measurement, larger than a round's kernel gain; VERDICT r4 #9)."""
         @jax.jit
         def loop(*xs):
             def body(i, s):
@@ -165,9 +170,12 @@ def main():
                                .astype(jnp.float32))
             return jax.lax.fori_loop(0, K, body, jnp.float32(0.0))
         float(loop(*arrs))                      # compile + warm
-        t0 = time.perf_counter()
-        float(loop(*arrs))
-        return (time.perf_counter() - t0) / K
+        ts = []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            float(loop(*arrs))
+            ts.append((time.perf_counter() - t0) / K)
+        return ts if reps > 1 else ts[0]
 
     def density_of(*arrs):
         plan = plan_fn(*arrs)
@@ -178,9 +186,16 @@ def main():
     t_dense_ours_1 = timed(dense_ours_fn, q, k, v)
     density = density_of(q, k, v)
 
-    # amortised (true device time — see TIMING METHOD in the docstring)
-    t_sparse = amortized(sparse_fn, q, k, v)
-    t_dense_ours = amortized(dense_ours_fn, q, k, v)
+    # amortised (true device time — see TIMING METHOD in the docstring),
+    # median of 3 timed loops (tunnel variance > one round's kernel gain)
+    ts_sparse = amortized(sparse_fn, q, k, v, reps=3)
+    ts_dense_ours = amortized(dense_ours_fn, q, k, v, reps=3)
+    t_sparse = float(np.median(ts_sparse))
+    t_dense_ours = float(np.median(ts_dense_ours))
+    spread_ms = {
+        "sparse": round((max(ts_sparse) - min(ts_sparse)) * 1e3, 1),
+        "dense_ours": round((max(ts_dense_ours) - min(ts_dense_ours)) * 1e3,
+                            1)}
     overhead_ms = ((t_sparse_1 - t_sparse) + (t_dense_ours_1 - t_dense_ours)) / 2 * 1e3
 
     # iid-random regime (round-1 comparability: the r1-r3 single-row
@@ -210,6 +225,8 @@ def main():
             "dense_ours_ms_oneshot": round(t_dense_ours_1 * 1e3, 1),
             "speedup_oneshot": round(t_dense_ours_1 / t_sparse_1, 3),
             "dispatch_readback_overhead_ms": round(overhead_ms, 1),
+            "median_of": 3,
+            "spread_ms": spread_ms,
             "mask_density": round(density, 4),
             "random_inputs": {
                 "speedup_vs_own_dense": round(t_dense_ours_r / t_sparse_r,

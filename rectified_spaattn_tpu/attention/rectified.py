@@ -83,10 +83,12 @@ def rectified_sparse_attention(
     else:
         sv_true = s - cfg.text_len if cfg.layout == "joint" else s
     pad = (-sv_true) % bm
-    assert kv_packed is None or pad == 0, (
-        "kv_packed requires a block-aligned visual region")
-    assert q_text is None or pad == 0, (
-        "q_text requires a block-aligned visual region")
+    # explicit raises (not asserts): these guard silently-wrong numerics
+    # paths and must survive `python -O`
+    if kv_packed is not None and pad != 0:
+        raise ValueError("kv_packed requires a block-aligned visual region")
+    if q_text is not None and pad != 0:
+        raise ValueError("q_text requires a block-aligned visual region")
     if pad:
         # Pad the visual region to a block multiple with zero tokens
         # between visual and text (the reference pads inside the call,
@@ -129,10 +131,15 @@ def rectified_sparse_attention(
     plan = build_sparse_plan(q_vis, k, v, cfg, neighbor_mask=neighbor_mask,
                              text_valid=text_valid, kv_packed=kv_packed,
                              kv_valid=valid if kv_packed is not None else None)
+    if cfg.density_probe:
+        from ..sparse.pipeline import record_density
+        record_density(plan.counts, plan.block_mask.shape[-1])
 
-    assert kv_packed is None or (cfg.group_rows == 1
-                                 and cfg.kv_quant == "none"), \
-        "kv_packed composes with the default single-row bf16 kernel only"
+    if kv_packed is not None and cfg.kv_quant != "none":
+        # validity zeroing of k/v is skipped under kv_packed, and the
+        # quantized path pools from the raw k/v — un-zeroed K/V would be
+        # silently wrong numerics, so fail loudly (survives python -O)
+        raise ValueError("kv_packed does not compose with kv_quant")
     if cfg.group_rows > 1:
         # Grouped-row execution: G query blocks per program over the union
         # of their key sets — wins when adjacent curve blocks select
@@ -152,7 +159,8 @@ def rectified_sparse_attention(
             q_kern, k, v, u_idx, u_counts, rowbits, u_clean, tlen, group=gr,
             visual_len=visual_len, text_start=text_start,
             block_m=bm, block_n=cfg.block_n,
-            chunk_blocks=cfg.kernel_chunk_blocks, interpret=interpret)
+            chunk_blocks=cfg.kernel_chunk_blocks, interpret=interpret,
+            packed_kv=kv_packed)
         if row_pad:
             sparse_out = sparse_out[:, :, :sv_pad]
     else:

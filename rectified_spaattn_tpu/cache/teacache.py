@@ -17,8 +17,9 @@ from __future__ import annotations
 
 import contextlib
 import dataclasses
+import functools
 import json
-from typing import Optional
+from typing import Optional, Sequence
 
 import jax
 import jax.numpy as jnp
@@ -88,6 +89,52 @@ def trace_to(path: Optional[str]):
             json.dump(trace, f)
 
 
+def residual_value(x_out: jax.Array, x_in: jax.Array,
+                   store: str = "bf16"):
+    """In-jit encode of the stack residual for record_residual_value.
+
+    ``store``:
+      * "bf16" — the reference's format (a bf16 transformer's natural
+        residual dtype, main_hunyuan.py:152).
+      * "int8" — per-token-row absmax int8 + fp32 [.., 1] scales: HALVES
+        both the persistent previous_residual and the want_residual
+        output buffer (together ~1.4 GB at 115k tokens — the exact OOM
+        margin of the full-depth organic Hunyuan TeaCache run,
+        RESULTS_r4.md).  Quantization noise is bounded by
+        tests/test_teacache.py::test_int8_residual_tolerance.
+    """
+    r = x_out - x_in
+    if store == "int8":
+        # abs/max reduce in fp32, but the full-size fp32 convert fuses
+        # into the elementwise round chain (no materialised fp32 copy)
+        scale = (jnp.max(jnp.abs(r).astype(jnp.float32), axis=-1,
+                         keepdims=True) / 127.0)
+        q = jnp.round(r.astype(jnp.float32)
+                      / jnp.maximum(scale, 1e-30)).astype(jnp.int8)
+        return (q, scale)
+    if store != "bf16":
+        raise ValueError(f"residual store must be bf16|int8, got {store!r}")
+    return r.astype(jnp.bfloat16)
+
+
+@jax.jit
+def _dequant_add(hidden: jax.Array, q: jax.Array,
+                 scale: jax.Array) -> jax.Array:
+    return (hidden.astype(jnp.float32)
+            + q.astype(jnp.float32) * scale).astype(hidden.dtype)
+
+
+def schedule_from_trace(path: str) -> list:
+    """Load a recorded TeaCache schedule (trace_to JSON) as the per-call
+    compute/skip list for ``TeaCache(forced_schedule=...)`` replay —
+    the calibrated organic schedules (bench_traces/*_calibrated_*.json)
+    can then be EXECUTED and timed in a full-depth run whose random
+    weights would defeat the signal calibration (VERDICT r4 #1b)."""
+    with open(path) as f:
+        records = json.load(f)
+    return [bool(r["compute"]) for r in records if "call" in r]
+
+
 def rel_l1_signal(modulated: jax.Array, previous: jax.Array) -> jax.Array:
     """Device-side raw signal: mean|Δ| / mean|prev|
     (reference: main_hunyuan.py:120).  Returns a scalar array — read it on
@@ -133,6 +180,17 @@ class TeaCache:
         embedding signal lands in the polynomial's realistic domain and
         the organic skip rate matches the published regime
         (cache/calibrate.py; VERDICT r3 next-round #3).
+      forced_schedule: per-call compute/skip list (schedule_from_trace):
+        REPLAY a recorded organic schedule instead of deciding from the
+        signal — lets a full-depth run execute exactly a calibrated
+        published-regime schedule and be timed, when its own weight
+        statistics defeat the signal calibration (VERDICT r4 #1b).
+        Calls past the list's end compute.
+      offload_residual: keep previous_residual on the HOST between steps
+        (one device→host transfer per computed call, one host→device per
+        skipped call) — frees its HBM next to the full-depth working set;
+        at video scale the transfer is noise against a 44 s computed
+        step (VERDICT r4 #1a).
     """
     thresh: float
     num_steps: int
@@ -141,6 +199,8 @@ class TeaCache:
     cutoff_steps: Optional[int] = None
     cfg_streams: int = 1
     signal_scale: float = 1.0
+    forced_schedule: Optional[Sequence[bool]] = None
+    offload_residual: bool = False
 
     def __post_init__(self):
         coeffs = (COEFFICIENTS[self.coefficients]
@@ -155,11 +215,12 @@ class TeaCache:
                 "ret_steps": self.ret_steps,
                 "cutoff_steps": self.cutoff_steps,
                 "cfg_streams": self.cfg_streams,
-                "signal_scale": self.signal_scale}})
+                "signal_scale": self.signal_scale,
+                "replay": self.forced_schedule is not None}})
 
     @property
     def enabled(self) -> bool:
-        return self.thresh > 0
+        return self.thresh > 0 or self.forced_schedule is not None
 
     def reset(self):
         self.states = [TeaCacheState() for _ in range(self.cfg_streams)]
@@ -175,6 +236,23 @@ class TeaCache:
         cnt = self._call_count
         self._call_count += 1
         st = self.states[cnt % self.cfg_streams]
+
+        if self.forced_schedule is not None:
+            # schedule replay: execute the recorded decision verbatim
+            # (no signal math — ``modulated`` is ignored, so replay runs
+            # don't even store previous_modulated)
+            compute = (bool(self.forced_schedule[cnt])
+                       if cnt < len(self.forced_schedule) else True)
+            if compute:
+                st.computed_steps += 1
+            else:
+                st.skipped_steps += 1
+            if TRACE is not None:
+                TRACE.append({"call": cnt,
+                              "stream": cnt % self.cfg_streams,
+                              "raw": None, "compute": compute,
+                              "forced": True})
+            return compute
 
         ret = self.ret_steps if self.ret_steps is not None else self.cfg_streams
         cutoff = (self.cutoff_steps if self.cutoff_steps is not None
@@ -213,7 +291,13 @@ class TeaCache:
     def apply_residual(self, hidden, ctx=None):
         stream = (self._call_count - 1) % self.cfg_streams
         st = self.states[stream]
-        hidden = hidden + st.previous_residual
+        res = st.previous_residual
+        if self.offload_residual:
+            res = jax.tree_util.tree_map(jnp.asarray, res)
+        if isinstance(res, tuple):          # int8 encode (residual_value)
+            hidden = _dequant_add(hidden, *res)
+        else:
+            hidden = hidden + res
         if ctx is not None:
             if st.previous_residual_ctx is not None:
                 ctx = ctx + st.previous_residual_ctx
@@ -230,9 +314,15 @@ class TeaCache:
     def record_residual_value(self, residual, residual_ctx=None):
         """Store an already-computed stack residual (the pipelines compute
         it INSIDE the blocks jit so the pre-blocks activations can be
-        donated — at video scale that buffer is ~0.7 GB)."""
+        donated — at video scale that buffer is ~0.7 GB).  ``residual``
+        may be the bf16 array or the int8 (q, scale) encode from
+        :func:`residual_value`."""
         stream = (self._call_count - 1) % self.cfg_streams
         st = self.states[stream]
+        if self.offload_residual:
+            # device_get blocks until the transfer lands, then the device
+            # buffers' refs drop here — previous_residual holds no HBM
+            residual = jax.device_get(residual)
         st.previous_residual = residual
         if residual_ctx is not None:
             st.previous_residual_ctx = residual_ctx

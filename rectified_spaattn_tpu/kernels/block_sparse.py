@@ -501,8 +501,16 @@ def block_sparse_flash_attention_grouped(
     chunk_blocks: int = 16,
     sm_scale: float | None = None,
     interpret: bool = False,
+    packed_kv: jax.Array | None = None,   # [B,H,S,2D] pre-packed KV
 ) -> jax.Array:
-    """Grouped-row variant: see sparse/ops.py::group_rows."""
+    """Grouped-row variant: see sparse/ops.py::group_rows.
+
+    ``packed_kv``: producer-packed [K|V] stream — the grouped kernel
+    gathers from it directly instead of materialising its own packed
+    copy, exactly like the single-row wrapper (k/v args then only feed
+    shapes).  The kernel window-masks every non-clean block's scores and
+    the clean prefix is clamped to fully-valid visual blocks, so
+    kernel-side validity zeroing is unnecessary."""
     b, h, sq, d = q.shape
     s = k.shape[2]
     ngrp = indices.shape[2]
@@ -513,7 +521,11 @@ def block_sparse_flash_attention_grouped(
 
     bh = b * h
     qf = q.reshape(bh, sq, d)
-    kv = jnp.concatenate([k.reshape(bh, s, d), v.reshape(bh, s, d)], axis=2)
+    if packed_kv is not None:
+        kv = packed_kv.reshape(bh, s, 2 * d)
+    else:
+        kv = jnp.concatenate([k.reshape(bh, s, d), v.reshape(bh, s, d)],
+                             axis=2)
     # Defensively clamp the caller-supplied clean prefix to what the slot
     # data actually supports (all-member ∧ fully inside the visual window
     # ∧ within count), mirroring the single-row wrapper: a bad caller then
@@ -567,7 +579,7 @@ def block_sparse_flash_attention_grouped(
         out_specs=pl.BlockSpec((1, rows, d), lambda i, j: (i, j, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((2, chunk_blocks * block_n, 2 * d), k.dtype),
+            pltpu.VMEM((2, chunk_blocks * block_n, 2 * d), kv.dtype),
             pltpu.SemaphoreType.DMA((2, chunk_blocks)),
         ],
         compiler_params=pltpu.CompilerParams(

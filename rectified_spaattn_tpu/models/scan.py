@@ -57,8 +57,11 @@ def hunyuan_run_blocks_scan(cfg, dual_stack: dict, single_stack: dict,
     params (reference hot loop: scripts/main_hunyuan.py:134-157).  No
     optimization_barrier needed — scan serializes iterations itself, so
     only one block's temporaries are ever live."""
-    dual = DualStreamBlock(cfg.hidden_dim, cfg.heads, cfg.mlp_mult)
-    single = SingleStreamBlock(cfg.hidden_dim, cfg.heads, cfg.mlp_mult)
+    mc = getattr(cfg, "mlp_chunk", 1)
+    dual = DualStreamBlock(cfg.hidden_dim, cfg.heads, cfg.mlp_mult,
+                           mlp_chunk=mc)
+    single = SingleStreamBlock(cfg.hidden_dim, cfg.heads, cfg.mlp_mult,
+                               mlp_chunk=mc)
 
     def dual_body(carry, p):
         cx, cc = carry
@@ -90,9 +93,12 @@ def hunyuan_run_phase_scan(cfg, stack: dict, phase: str, x, ctx, temb,
     (what lax.scan does internally) — slicing the window out of the
     stacked tree up front would materialise half a 13B weight tree as a
     copy (measured RESOURCE_EXHAUSTED at full depth)."""
-    blk = (DualStreamBlock(cfg.hidden_dim, cfg.heads, cfg.mlp_mult)
+    mc = getattr(cfg, "mlp_chunk", 1)
+    blk = (DualStreamBlock(cfg.hidden_dim, cfg.heads, cfg.mlp_mult,
+                           mlp_chunk=mc)
            if phase == "dual" else
-           SingleStreamBlock(cfg.hidden_dim, cfg.heads, cfg.mlp_mult))
+           SingleStreamBlock(cfg.hidden_dim, cfg.heads, cfg.mlp_mult,
+                             mlp_chunk=mc))
 
     def body(i, carry):
         cx, cc = carry
@@ -117,7 +123,8 @@ def wan_run_blocks_scan(cfg, stack: dict, x, ctx, ctx_img, temb6, rope,
     once per DISTINCT attention fn instead of once per layer."""
     blk = CrossAttnBlock(cfg.hidden_dim, cfg.heads,
                          cfg.ffn_dim / cfg.hidden_dim,
-                         image_cross=cfg.image_cross)
+                         image_cross=cfg.image_cross,
+                         mlp_chunk=getattr(cfg, "mlp_chunk", 1))
     for start, end, fn in segments:
         if start >= end:
             continue
@@ -141,7 +148,8 @@ def wan_run_window_scan(cfg, stack: dict, x, ctx, ctx_img, temb6, rope,
     ever materialised."""
     blk = CrossAttnBlock(cfg.hidden_dim, cfg.heads,
                          cfg.ffn_dim / cfg.hidden_dim,
-                         image_cross=cfg.image_cross)
+                         image_cross=cfg.image_cross,
+                         mlp_chunk=getattr(cfg, "mlp_chunk", 1))
 
     def body(i, cx):
         p = jax.tree_util.tree_map(
@@ -168,8 +176,11 @@ def flux_run_blocks_scan(cfg, dual_stack: dict, single_stack: dict,
     holds N samples instead of the L duplicates a stacked expansion
     would materialize."""
     import math
-    dual = DualStreamBlock(cfg.hidden_dim, cfg.heads, cfg.mlp_mult)
-    single = SingleStreamBlock(cfg.hidden_dim, cfg.heads, cfg.mlp_mult)
+    mc = getattr(cfg, "mlp_chunk", 1)
+    dual = DualStreamBlock(cfg.hidden_dim, cfg.heads, cfg.mlp_mult,
+                           mlp_chunk=mc)
+    single = SingleStreamBlock(cfg.hidden_dim, cfg.heads, cfg.mlp_mult,
+                               mlp_chunk=mc)
 
     def run(blk, stack, segments, cn, n_blocks, carry):
         samples = jnp.stack(cn) if cn else None        # [N, B, S, H]

@@ -108,6 +108,21 @@ class HunyuanVideoPipeline:
     # rel-L1 is a mean over 350M elements, so a strided subsample moves
     # it O(1e-3) relative).  1 = full tensor (reference semantics).
     teacache_signal_stride: int = 1
+    # TeaCache residual encode: "bf16" (reference format) or "int8"
+    # (per-row absmax — halves both the persistent previous_residual and
+    # the want_residual output buffer; cache/teacache.py::residual_value).
+    teacache_residual: str = "bf16"
+    # Keep previous_residual on the host between steps (one transfer per
+    # call; frees its HBM next to the full-depth working set).
+    teacache_offload: bool = False
+    # Replay a recorded compute/skip schedule instead of deciding from
+    # the signal (cache/teacache.py::schedule_from_trace) — the measured
+    # full-depth +TeaCache tier at a published regime.
+    teacache_schedule: Optional[list] = None
+    # Emit every sparse call's executed mask density into
+    # sparse.pipeline.DENSITY_SAMPLES (one scalar callback per call) so
+    # benches report density next to s/step.
+    density_probe: bool = False
 
     def __post_init__(self):
         cfg = self.model.cfg
@@ -121,7 +136,8 @@ class HunyuanVideoPipeline:
             p_remain=self.p_remain_rates, layout="joint",
             text_len=self.text_len, plan_row_chunk=self.plan_row_chunk,
             plan_kv_tile=self.plan_kv_tile,
-            group_rows=self.group_rows)
+            group_rows=self.group_rows,
+            density_probe=self.density_probe)
         self.timer = StageTimer()
         m = self.model
 
@@ -193,7 +209,9 @@ class HunyuanVideoPipeline:
             # stack residual computed in-jit (TeaCache) so x can be DONATED
             # — at video scale that input buffer is ~0.7 GB of HBM; gated
             # so non-TeaCache runs don't pay the extra output buffer
-            res = (x2 - x).astype(jnp.bfloat16) if want_residual else None
+            from ..cache.teacache import residual_value
+            res = (residual_value(x2, x, self.teacache_residual)
+                   if want_residual else None)
             return x2, ctx2, res
 
         def blocks_window(params, x, ctx, temb, rope, tlen, win_start,
@@ -230,8 +248,9 @@ class HunyuanVideoPipeline:
         self._blocks_window = jax.jit(
             blocks_window,
             static_argnames=("attn_mode", "phase", "win_size"))
+        from ..cache.teacache import residual_value
         self._resid = jax.jit(
-            lambda a, b: (a - b).astype(jnp.bfloat16))
+            lambda a, b: residual_value(a, b, self.teacache_residual))
         self._head = jax.jit(head)
         self._temb_tr = jax.jit(temb_tr_fn)
 
@@ -255,7 +274,9 @@ class HunyuanVideoPipeline:
         steps = num_steps or self.num_steps
         sched = FlowMatchEulerScheduler(steps, shift=self.flow_shift)
         tea = TeaCache(self.rel_l1_thresh if self.enable_teacache else 0.0,
-                       steps, coefficients="hunyuan-video")
+                       steps, coefficients="hunyuan-video",
+                       forced_schedule=self.teacache_schedule,
+                       offload_residual=self.teacache_offload)
         tlen = jnp.sum(text_mask.astype(jnp.int32), axis=1)
         guidance = jnp.full((latents.shape[0],),
                             self.guidance_scale * 1000.0)

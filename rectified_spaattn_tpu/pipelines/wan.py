@@ -129,6 +129,19 @@ class WanPipeline:
     # blocks per program over the union of their key sets — measured
     # faster than single-row at the Hunyuan point (RESULTS_r4.md).
     group_rows: int = 1
+    # TeaCache residual encode: "bf16" (reference format) or "int8"
+    # (per-row absmax — halves the residual buffers;
+    # cache/teacache.py::residual_value).
+    teacache_residual: str = "bf16"
+    # Keep previous_residual on the host between steps.
+    teacache_offload: bool = False
+    # Replay a recorded compute/skip schedule instead of deciding from
+    # the signal (cache/teacache.py::schedule_from_trace) — executes a
+    # calibrated published-regime schedule at full depth (VERDICT r4 #1b).
+    teacache_schedule: Optional[list] = None
+    # Emit every sparse call's executed mask density into
+    # sparse.pipeline.DENSITY_SAMPLES (one scalar callback per call).
+    density_probe: bool = False
 
     def __post_init__(self):
         cfg = self.model.cfg
@@ -143,7 +156,8 @@ class WanPipeline:
             first_frame_retention=True,
             plan_row_chunk=self.plan_row_chunk,
             plan_kv_tile=self.plan_kv_tile,
-            group_rows=self.group_rows)
+            group_rows=self.group_rows,
+            density_probe=self.density_probe)
         m = self.model
         from .base import param_compute_dtype
         self.compute_dtype = param_compute_dtype(self.params)
@@ -214,7 +228,9 @@ class WanPipeline:
                              cross, fns, method=WanDiT.run_blocks)
             # residual in-jit so x can be donated (TeaCache); gated so
             # non-TeaCache runs don't pay the output buffer
-            res = (x2 - x).astype(jnp.bfloat16) if want_residual else None
+            from ..cache.teacache import residual_value
+            res = (residual_value(x2, x, self.teacache_residual)
+                   if want_residual else None)
             return x2, res
 
         def head(params, x, temb):
@@ -250,14 +266,21 @@ class WanPipeline:
         # pre-blocks x alive across windows)
         self._blocks_window = jax.jit(
             blocks_window, static_argnames=("kind", "win_size"))
-        self._resid = jax.jit(lambda a, b: (a - b).astype(jnp.bfloat16))
+        from ..cache.teacache import residual_value as _rv
+        self._resid = jax.jit(
+            lambda a, b: _rv(a, b, self.teacache_residual))
         self._head = jax.jit(head)
 
     def _exec_blocks(self, x, ctx, ctx_img, temb6, rope, sparse_now: bool,
                      want_residual: bool):
         """One transformer-stack pass: single dispatch, or
         dispatch-windowed (dispatch_segments > 1).  Returns (x, res)."""
-        if self.dispatch_segments <= 1 or not self.scan_blocks:
+        if self.dispatch_segments > 1 and not self.scan_blocks:
+            # match the Hunyuan pipeline's blocks_window assert: a user
+            # splitting dispatches to dodge the ~60 s watchdog must get a
+            # diagnostic, not a silent single dispatch
+            raise ValueError("dispatch_segments > 1 requires scan_blocks")
+        if self.dispatch_segments <= 1:
             return self._blocks(self.params, x, ctx, ctx_img, temb6, rope,
                                 sparse_now, want_residual=want_residual)
         n = self.model.cfg.num_blocks
@@ -327,7 +350,9 @@ class WanPipeline:
             ret_steps=(5 * 2 if self.use_ret_steps else 1 * 2),
             cutoff_steps=(steps * 2 if self.use_ret_steps
                           else steps * 2 - 2),
-            cfg_streams=2, signal_scale=self.teacache_signal_scale)
+            cfg_streams=2, signal_scale=self.teacache_signal_scale,
+            forced_schedule=self.teacache_schedule,
+            offload_residual=self.teacache_offload)
 
         b = latents.shape[0]
         ff_tokens = 0
@@ -433,13 +458,17 @@ class Wan22A14BPipeline:
             high_steps * 2,
             coefficients=self.high.teacache_coefficients or "wan2.2-a14b",
             ret_steps=3 * 2, cfg_streams=2,
-            signal_scale=self.high.teacache_signal_scale)
+            signal_scale=self.high.teacache_signal_scale,
+            forced_schedule=self.high.teacache_schedule,
+            offload_residual=self.high.teacache_offload)
         tea_l = TeaCache(
             self.low.teacache_thresh if self.low.enable_teacache else 0.0,
             (steps - high_steps) * 2,
             coefficients=self.low.teacache_coefficients or "wan2.2-a14b",
             ret_steps=2, cfg_streams=2,
-            signal_scale=self.low.teacache_signal_scale)
+            signal_scale=self.low.teacache_signal_scale,
+            forced_schedule=self.low.teacache_schedule,
+            offload_residual=self.low.teacache_offload)
 
         device_sync()
         t0 = time.perf_counter()

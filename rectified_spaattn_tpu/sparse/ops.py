@@ -265,6 +265,13 @@ def group_rows(mask: jax.Array, group: int, clean_blocks: int = 0):
     # take_along_axis rowbits gather as the cost that erased the grouped
     # kernel's win); the packed key needs group + log2(4*nb) bits
     assert 1 <= group <= 8, group
+    # key-width precondition: catcol reaches ~4*nb and shifts left by
+    # ``group`` bits — int32 overflows once nb exceeds that budget
+    # (~2^21 blocks at group=8; far past current scales, but fail loudly)
+    if nb >= (1 << (31 - group)) // 4:
+        raise ValueError(
+            f"group_rows={group} packed sort key overflows int32 at "
+            f"nb={nb} (needs nb < {(1 << (31 - group)) // 4})")
     mg = mask.reshape(b, h, nq // group, group, nb)
     union = jnp.any(mg, axis=-2)
     allm = jnp.all(mg, axis=-2)

@@ -12,7 +12,7 @@ from rectified_spaattn_tpu.models.wan import WanConfig, WanDiT
 from rectified_spaattn_tpu.pipelines import HunyuanVideoPipeline, WanPipeline
 
 
-def make_hunyuan_pipe(mode="vanilla", teacache=False, steps=3):
+def make_hunyuan_pipe(mode="vanilla", teacache=False, steps=3, **kw):
     cfg = HunyuanVideoConfig.tiny()
     model = HunyuanVideoDiT(cfg)
     height, width, frames = 64, 64, 8     # latent grid 2x4x4 -> tiny
@@ -29,7 +29,7 @@ def make_hunyuan_pipe(mode="vanilla", teacache=False, steps=3):
         frames=frames, num_steps=steps, sa_drop_rate=0.5,
         p_remain_rates=0.5, mode=mode, enable_teacache=teacache,
         rel_l1_thresh=1e9 if teacache else 0.15, text_len=128,
-        interpret=True)
+        interpret=True, **kw)
     return pipe, text, mask
 
 
@@ -69,6 +69,34 @@ def test_hunyuan_teacache_skips_steps():
     assert stats["computed"] == 2
     assert stats["skipped"] == 2
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_hunyuan_teacache_int8_offload_close_to_bf16():
+    """int8 residual encode + host offload (the full-depth HBM levers,
+    VERDICT r4 #1a) must reproduce the bf16-residual TeaCache run within
+    quantization noise — same schedule, same skip counts."""
+    pipe_b, text, mask = make_hunyuan_pipe("vanilla", teacache=True,
+                                           steps=4)
+    pipe_q, _, _ = make_hunyuan_pipe("vanilla", teacache=True, steps=4,
+                                     teacache_residual="int8",
+                                     teacache_offload=True)
+    pipe_q.params = pipe_b.params
+    b = np.asarray(pipe_b(text, mask, seed=1))
+    q = np.asarray(pipe_q(text, mask, seed=1))
+    assert pipe_q.teacache_stats == pipe_b.teacache_stats
+    rel = np.abs(q - b).mean() / (np.abs(b).mean() + 1e-8)
+    assert rel < 0.02, rel
+
+
+def test_hunyuan_teacache_schedule_replay():
+    """teacache_schedule replays a recorded compute/skip list verbatim
+    through the pipeline (the measured-+TeaCache-tier mechanism)."""
+    sched = [True, False, True, False]
+    pipe, text, mask = make_hunyuan_pipe("vanilla", steps=4,
+                                         teacache_schedule=sched)
+    out = pipe(text, mask, seed=1)
+    assert np.isfinite(np.asarray(out)).all()
+    assert pipe.teacache_stats == {"computed": 2, "skipped": 2}
 
 
 def test_flux_pipeline_and_upscale():

@@ -98,6 +98,88 @@ def test_single_block_jit_matches_eager(tiny3):
                                rtol=1e-5, atol=1e-5)
 
 
+def test_scan_paths_thread_mlp_chunk(tiny3, monkeypatch):
+    """cfg.mlp_chunk must reach EVERY scan-path block constructor — it was
+    silently a no-op under scan_blocks (ADVICE r4 medium), which is exactly
+    the full-depth serving mode the peak-HBM lever exists for.  The lever
+    is math-identical, so equality tests cannot catch the drop; this pins
+    the constructor wiring directly, then checks scan output equality with
+    chunking actually engaged."""
+    import dataclasses
+    import rectified_spaattn_tpu.models.scan as scan_mod
+    from rectified_spaattn_tpu.models.wan import WanConfig
+
+    class _Stop(Exception):
+        pass
+
+    seen = {}
+
+    def recorder(name):
+        # records the ctor kwarg, then aborts at first use so the scan
+        # fns can be probed without real params
+        class _Rec:
+            def __init__(self, *a, **k):
+                seen[name] = k.get("mlp_chunk", 1)
+
+            def apply(self, *a, **k):
+                raise _Stop
+        return _Rec
+
+    cfg, model, params, lat, text, mask = tiny3
+    cfg3 = dataclasses.replace(cfg, mlp_chunk=3)
+    wcfg3 = dataclasses.replace(WanConfig.tiny(), mlp_chunk=3)
+
+    for fn, args, names in (
+        (scan_mod.hunyuan_run_blocks_scan,
+         (cfg3, None, None, None, None, None, None, None),
+         ("DualStreamBlock", "SingleStreamBlock")),
+        (scan_mod.hunyuan_run_phase_scan,
+         (cfg3, None, "dual", None, None, None, None, None, 0, 1),
+         ("DualStreamBlock",)),
+        (scan_mod.hunyuan_run_phase_scan,
+         (cfg3, None, "single", None, None, None, None, None, 0, 1),
+         ("SingleStreamBlock",)),
+        (scan_mod.wan_run_blocks_scan,
+         (wcfg3, None, None, None, None, None, None, [], None),
+         ("CrossAttnBlock",)),
+        (scan_mod.wan_run_window_scan,
+         (wcfg3, None, None, None, None, None, None, None, None, 0, 1),
+         ("CrossAttnBlock",)),
+        (scan_mod.flux_run_blocks_scan,
+         (cfg3, None, None, None, None, None, None, [], []),
+         ("DualStreamBlock", "SingleStreamBlock")),
+    ):
+        seen.clear()
+        for n in ("DualStreamBlock", "SingleStreamBlock", "CrossAttnBlock"):
+            monkeypatch.setattr(scan_mod, n, recorder(n))
+        try:
+            fn(*args)
+        except Exception:   # _Stop or scan-over-None — ctors already ran
+            pass
+        for n in names:
+            assert seen.get(n) == 3, (fn.__name__, n, seen)
+    monkeypatch.undo()
+
+    # behavior: the chunked scan still equals the unchunked scan
+    x, ctx, temb, rope = model.apply(
+        params, lat, jnp.array([500.0]), text, mask, jnp.array([6000.0]),
+        None, None, method=HunyuanVideoDiT.embed)
+    from rectified_spaattn_tpu.attention import attention
+    fn = lambda q, k, v: attention(q, k, v, mode="vanilla")
+    inner = dict(params["params"])
+    inner, dual = stack_block_params(inner, "dual_", cfg.num_dual_blocks)
+    inner, single = stack_block_params(inner, "single_",
+                                       cfg.num_single_blocks)
+    x_1, ctx_1 = hunyuan_run_blocks_scan(cfg, dual, single, x, ctx, temb,
+                                         rope, fn)
+    x_3, ctx_3 = hunyuan_run_blocks_scan(cfg3, dual, single, x, ctx, temb,
+                                         rope, fn)
+    np.testing.assert_allclose(np.asarray(x_3), np.asarray(x_1),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(ctx_3), np.asarray(ctx_1),
+                               rtol=1e-5, atol=1e-5)
+
+
 def _mk_pipe(scan, steps=2, quant_bits=None, mode="vanilla", mesh=None,
              dispatch_segments=1, enable_teacache=False):
     from rectified_spaattn_tpu.pipelines import HunyuanVideoPipeline

@@ -69,6 +69,72 @@ def test_residual_roundtrip():
     assert tc.stats() == {"skipped": 1, "computed": 1}
 
 
+def test_forced_schedule_replay():
+    """forced_schedule replays a recorded compute/skip list verbatim —
+    no signal math, calls past the end compute (VERDICT r4 #1b: lets a
+    full-depth run execute a calibrated published-regime schedule)."""
+    import json
+    import tempfile
+    from rectified_spaattn_tpu.cache import schedule_from_trace
+    sched = [True, False, False, True, False]
+    tc = TeaCache(thresh=0.0, num_steps=7, coefficients="identity",
+                  forced_schedule=sched)
+    assert tc.enabled    # replay enables even at thresh 0
+    got = [tc.should_compute(sig(1.0)) for _ in range(7)]
+    assert got == sched + [True, True]
+    assert tc.stats() == {"skipped": 3, "computed": 4}
+    # replay never touches the signal state
+    assert tc.states[0].previous_modulated is None
+
+    # round-trip through the trace JSON format (trace_to writer)
+    records = [{"meta": {"thresh": 0.2}}] + [
+        {"call": i, "stream": 0, "raw": None, "compute": c}
+        for i, c in enumerate(sched)]
+    with tempfile.NamedTemporaryFile("w", suffix=".json",
+                                     delete=False) as f:
+        json.dump(records, f)
+        path = f.name
+    assert schedule_from_trace(path) == sched
+
+
+def test_int8_residual_tolerance():
+    """The int8 residual encode (cache/teacache.py::residual_value) must
+    round-trip within per-row absmax quantization error: |err| <=
+    rowmax/254 elementwise, and small relative error on realistic
+    residual statistics (the gate VERDICT r4 #1a asks for before the
+    full-depth organic run adopts it)."""
+    from rectified_spaattn_tpu.cache import residual_value
+    from rectified_spaattn_tpu.cache.teacache import _dequant_add
+    g = np.random.default_rng(3)
+    x_in = jnp.asarray(g.normal(size=(1, 256, 64)), jnp.bfloat16)
+    x_out = jnp.asarray(
+        np.asarray(x_in, np.float32) + 0.3 * g.normal(size=(1, 256, 64)),
+        jnp.bfloat16)
+    want = np.asarray(x_out, np.float32)                   # x_in + res
+    q, scale = residual_value(x_out, x_in, "int8")
+    assert q.dtype == jnp.int8 and scale.dtype == jnp.float32
+    got = np.asarray(_dequant_add(x_in, q, scale), np.float32)
+    res = want - np.asarray(x_in, np.float32)
+    bound = np.abs(res).max(axis=-1, keepdims=True) / 254.0 + 1e-2
+    err = np.abs(got - want)
+    assert (err <= bound + np.abs(want) * 0.01).all()
+    rel = err.mean() / (np.abs(res).mean() + 1e-9)
+    assert rel < 0.02, rel
+    # bf16 encode stays the old exact path
+    r_b = residual_value(x_out, x_in, "bf16")
+    assert r_b.dtype == jnp.bfloat16
+
+    # and through the controller: tuple encode + host offload round-trip
+    tc = TeaCache(thresh=1e9, num_steps=3, coefficients="identity",
+                  offload_residual=True)
+    assert tc.should_compute(sig(1.0))
+    tc.record_residual_value((q, scale))
+    assert isinstance(tc.states[0].previous_residual[0], np.ndarray)
+    assert not tc.should_compute(sig(1.0))
+    out = np.asarray(tc.apply_residual(x_in), np.float32)
+    np.testing.assert_allclose(out, got, rtol=1e-6, atol=1e-6)
+
+
 def test_rel_l1_signal_value():
     a = jnp.full((4,), 2.0)
     b = jnp.full((4,), 1.0)
