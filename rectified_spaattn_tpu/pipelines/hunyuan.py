@@ -119,9 +119,12 @@ class HunyuanVideoPipeline:
     # the signal (cache/teacache.py::schedule_from_trace) — the measured
     # full-depth +TeaCache tier at a published regime.
     teacache_schedule: Optional[list] = None
-    # Emit every sparse call's executed mask density into
-    # sparse.pipeline.DENSITY_SAMPLES (one scalar callback per call) so
-    # benches report density next to s/step.
+    # Probe the EXECUTED mask density once per denoise step (a sibling
+    # jitted program: embed output -> block-0 attention inputs -> plan
+    # counts; the attention kernel itself DCEs) and append the floats to
+    # ``self.density_samples`` — the axon PJRT rejects host callbacks
+    # inside compiled programs, so the probe is a separate dispatch (one
+    # scalar readback per step, ~30 ms against a 44 s full-depth step).
     density_probe: bool = False
 
     def __post_init__(self):
@@ -136,8 +139,7 @@ class HunyuanVideoPipeline:
             p_remain=self.p_remain_rates, layout="joint",
             text_len=self.text_len, plan_row_chunk=self.plan_row_chunk,
             plan_kv_tile=self.plan_kv_tile,
-            group_rows=self.group_rows,
-            density_probe=self.density_probe)
+            group_rows=self.group_rows)
         self.timer = StageTimer()
         m = self.model
 
@@ -254,6 +256,40 @@ class HunyuanVideoPipeline:
         self._head = jax.jit(head)
         self._temb_tr = jax.jit(temb_tr_fn)
 
+        def density(params, x, ctx, temb, rope, tlen):
+            """Mean executed density of the FIRST sparse layer's plan on
+            this step's real activations: apply block 0 with a probe
+            attn fn that builds the exact plan (rectified_sparse_attention
+            density_only) and returns zeros — everything downstream of
+            the probe DCEs, so the program is embed-output -> norm/qkv ->
+            plan counts."""
+            from ..models.layers import DualStreamBlock, SingleStreamBlock
+            from ..attention.rectified import rectified_sparse_attention
+            site = self.site
+            got = {}
+
+            def attn_probe(qq, kk, vv):
+                got["d"] = rectified_sparse_attention(
+                    qq, kk, vv, site.cfg, site.neighbor_mask,
+                    visual_len=site.visual_len, text_len_rt=tlen,
+                    interpret=self.interpret, density_only=True)
+                return jnp.zeros_like(qq)
+
+            use_dual = cfg.num_dual_blocks > 0
+            if self.scan_blocks:
+                stack = params["scan_dual" if use_dual else "scan_single"]
+                p0 = jax.tree_util.tree_map(lambda a: a[0], stack)
+            else:
+                p0 = params["params"][
+                    "dual_0" if use_dual else "single_0"]
+            blk = (DualStreamBlock if use_dual else SingleStreamBlock)(
+                cfg.hidden_dim, cfg.heads, cfg.mlp_mult)
+            blk.apply({"params": p0}, x, ctx, temb, rope, attn_probe)
+            return got["d"]
+
+        self._density = jax.jit(density)
+        self.density_samples = []
+
     def denoise(self, latents, text_emb, text_mask, rng=None,
                 pooled=None, num_steps: Optional[int] = None,
                 first_frame=None, condition=None):
@@ -273,6 +309,7 @@ class HunyuanVideoPipeline:
         """
         steps = num_steps or self.num_steps
         sched = FlowMatchEulerScheduler(steps, shift=self.flow_shift)
+        self.density_samples = []
         tea = TeaCache(self.rel_l1_thresh if self.enable_teacache else 0.0,
                        steps, coefficients="hunyuan-video",
                        forced_schedule=self.teacache_schedule,
@@ -305,6 +342,9 @@ class HunyuanVideoPipeline:
                 x, ctx, temb, rope, sig = self._embed(
                     self.params, model_in, ts, text_emb, text_mask,
                     guidance, pooled)
+                if self.density_probe:
+                    self.density_samples.append(float(self._density(
+                        self.params, x, ctx, temb, rope, tlen)))
                 if tea.enabled and not tea.should_compute(sig):
                     x = tea.apply_residual(x)
                 elif self.dispatch_segments > 1:

@@ -139,9 +139,17 @@ class WanPipeline:
     # the signal (cache/teacache.py::schedule_from_trace) — executes a
     # calibrated published-regime schedule at full depth (VERDICT r4 #1b).
     teacache_schedule: Optional[list] = None
-    # Emit every sparse call's executed mask density into
-    # sparse.pipeline.DENSITY_SAMPLES (one scalar callback per call).
+    # Probe the EXECUTED mask density once per CFG call (a sibling jitted
+    # program: first sparse block's attn1 inputs -> plan counts; the rest
+    # DCEs) into ``self.density_samples`` — see pipelines/hunyuan.py.
     density_probe: bool = False
+    # Keep the param tree HOST-side (numpy) at construction instead of
+    # device-placing it — for pipelines whose residency a coordinator
+    # manages (Wan22A14BPipeline host_swap: two 14B trees cannot
+    # co-reside in 16 GB, so the low-noise tree transfers once at the
+    # boundary step).  The pipeline must not be called until its params
+    # are materialized.
+    defer_device: bool = False
 
     def __post_init__(self):
         cfg = self.model.cfg
@@ -156,8 +164,7 @@ class WanPipeline:
             first_frame_retention=True,
             plan_row_chunk=self.plan_row_chunk,
             plan_kv_tile=self.plan_kv_tile,
-            group_rows=self.group_rows,
-            density_probe=self.density_probe)
+            group_rows=self.group_rows)
         m = self.model
         from .base import param_compute_dtype
         self.compute_dtype = param_compute_dtype(self.params)
@@ -168,8 +175,12 @@ class WanPipeline:
                 inner, stack = stack_block_params(
                     inner, "block_", cfg.num_blocks)
                 self.params = {"params": inner, "scan_blocks": stack}
-        from .base import finalize_params
-        self.params = finalize_params(self.params, self.mesh)
+        if self.defer_device:
+            assert self.mesh is None, \
+                "defer_device does not compose with a mesh"
+        else:
+            from .base import finalize_params
+            self.params = finalize_params(self.params, self.mesh)
 
         bm = self.site.cfg.block_m
         sv_true = self.site.visual_len
@@ -271,6 +282,39 @@ class WanPipeline:
             lambda a, b: _rv(a, b, self.teacache_residual))
         self._head = jax.jit(head)
 
+        def density(params, x, ctx, ctx_img, temb6, rope):
+            """Mean executed density of the first sparse layer's plan on
+            this call's real activations (see pipelines/hunyuan.py)."""
+            from ..models.layers import CrossAttnBlock
+            from ..attention.rectified import rectified_sparse_attention
+            site = self.site
+            got = {}
+
+            def attn_probe(qq, kk, vv):
+                got["d"] = rectified_sparse_attention(
+                    qq, kk, vv, site.cfg, site.neighbor_mask,
+                    visual_len=site.visual_len,
+                    interpret=self.interpret, density_only=True)
+                return jnp.zeros_like(qq)
+
+            wl = self.warm_layers      # first sparse layer index
+            if self.scan_blocks:
+                p0 = jax.tree_util.tree_map(
+                    lambda a: a[wl], params["scan_blocks"])
+            else:
+                p0 = params["params"][f"block_{wl}"]
+            blk = CrossAttnBlock(cfg.hidden_dim, cfg.heads,
+                                 cfg.ffn_dim / cfg.hidden_dim,
+                                 image_cross=cfg.image_cross)
+            cross = lambda q, k, v: _cross_attention(q, k, v,
+                                                     self.interpret)
+            blk.apply({"params": p0}, x, ctx, temb6, rope, attn_probe,
+                      cross, ctx_img=ctx_img)
+            return got["d"]
+
+        self._density = jax.jit(density)
+        self.density_samples = []
+
     def _exec_blocks(self, x, ctx, ctx_img, temb6, rope, sparse_now: bool,
                      want_residual: bool):
         """One transformer-stack pass: single dispatch, or
@@ -344,6 +388,7 @@ class WanPipeline:
         steps = num_steps or self.num_steps
         sched = self._scheduler(steps)
         use_sparse = self.mode == "sparse"
+        self.density_samples = []
         tea = TeaCache(
             self.teacache_thresh if self.enable_teacache else 0.0,
             steps * 2, coefficients=self.tea_coefficients(),
@@ -381,6 +426,9 @@ class WanPipeline:
             for text in (text_cond, text_uncond):
                 x, ctx, ctx_img, temb, temb6, rope = self._embed(
                     self.params, model_in, ts, text, image_emb)
+                if self.density_probe:
+                    self.density_samples.append(float(self._density(
+                        self.params, x, ctx, ctx_img, temb6, rope)))
                 # reference: timestep_proj if use_ret_steps else temb
                 # (main_wan21t2v.py:103)
                 sig = temb6 if self.use_ret_steps else temb
@@ -439,6 +487,30 @@ class Wan22A14BPipeline:
     low: WanPipeline       # transformer_2 (low noise)
     boundary_ratio: float = 0.875
     num_train_timesteps: int = 1000
+    # Two 14B trees cannot co-reside in 16 GB, but the routing is
+    # SEQUENTIAL (all high-noise steps, then all low-noise): host_swap
+    # keeps both trees in host RAM (construct both pipelines with
+    # defer_device=True), loads the high tree at denoise start and swaps
+    # the low tree in ONCE at the boundary step — a real two-tree serving
+    # configuration instead of the timing-only --share_tree aliasing
+    # (VERDICT r4 #4).  The swap cost is measured (swap_seconds) and
+    # amortizes over the low-noise steps.
+    host_swap: bool = False
+    _high_host: Optional[dict] = None
+    _low_host: Optional[dict] = None
+
+    def _swap_in(self, pipe_in: WanPipeline, host_tree,
+                 pipe_out: WanPipeline):
+        """Free pipe_out's device tree, then device-place host_tree for
+        pipe_in; returns the transfer seconds (sync-bounded)."""
+        import time as _t
+        import jax as _jax
+        import jax.numpy as _jnp
+        pipe_out.params = None                 # refcount → 0 frees HBM
+        t0 = _t.perf_counter()
+        pipe_in.params = _jax.tree_util.tree_map(_jnp.asarray, host_tree)
+        _jax.block_until_ready(pipe_in.params)
+        return _t.perf_counter() - t0
 
     def denoise(self, latents, text_cond, text_uncond, condition=None,
                 num_steps: Optional[int] = None):
@@ -470,10 +542,30 @@ class Wan22A14BPipeline:
             forced_schedule=self.low.teacache_schedule,
             offload_residual=self.low.teacache_offload)
 
+        self.swap_seconds = 0.0
+        swapped = not self.host_swap
+        if self.host_swap:
+            import numpy as _np
+            if self._high_host is None:
+                for x in jax.tree_util.tree_leaves(self.high.params):
+                    assert isinstance(x, _np.ndarray), (
+                        "host_swap: construct both pipelines with "
+                        "defer_device=True (host numpy trees)")
+                self._high_host = self.high.params
+                self._low_host = self.low.params
+            self.load_seconds = self._swap_in(self.high, self._high_host,
+                                              self.low)
+
         device_sync()
         t0 = time.perf_counter()
         for i, t in enumerate(sched.timesteps):
             is_high = t >= boundary
+            if not is_high and not swapped:
+                # one-time boundary swap: high tree out, low tree in
+                device_sync(latents)
+                self.swap_seconds = self._swap_in(
+                    self.low, self._low_host, self.high)
+                swapped = True
             pipe = self.high if is_high else self.low
             tea = tea_h if is_high else tea_l
             use_sparse = use_sparse_h if is_high else use_sparse_l

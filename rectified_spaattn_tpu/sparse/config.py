@@ -79,12 +79,6 @@ class SparseConfig:
     # (same kept set up to sub-float-resolution near-ties); "sort" is the
     # round-1 implementation kept as an oracle.
     topp_impl: str = "bisect"
-    # Emit the EXECUTED mask density (mean selected key blocks / total)
-    # of every sparse call through jax.debug.callback into
-    # sparse.pipeline.DENSITY_SAMPLES — benches log it next to s/step so
-    # headline speedups carry their operating density (VERDICT r4 weak
-    # #1).  One fp32 scalar per call; off by default.
-    density_probe: bool = False
 
     def __post_init__(self):
         if self.layout not in ("joint", "visual"):

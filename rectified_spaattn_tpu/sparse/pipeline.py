@@ -36,25 +36,6 @@ from . import ops
 
 NEG_INF = float(jnp.finfo(jnp.float32).min) * 0.5
 
-# Sink for cfg.density_probe: set to a list and every probed sparse call
-# appends its executed mask density (mean selected key blocks / NB_total,
-# one float per call) at RUN time via jax.debug.callback.  None drops the
-# samples (the callback still fires — enable the probe per-config, the
-# sink per-measurement).
-DENSITY_SAMPLES: Optional[list] = None
-
-
-def _density_cb(x):
-    if DENSITY_SAMPLES is not None:
-        DENSITY_SAMPLES.append(float(x))
-
-
-def record_density(counts: jax.Array, nb_total: int) -> None:
-    """Trace a density-probe callback for one sparse call (counts from
-    the plan; density = mean over batch/heads/rows)."""
-    jax.debug.callback(
-        _density_cb, jnp.mean(counts.astype(jnp.float32)) / nb_total)
-
 
 class SparsePlan(NamedTuple):
     """Everything the sparse kernel + rectification need for one call.

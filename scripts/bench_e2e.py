@@ -176,6 +176,24 @@ def main():
     ap.add_argument("--teacache", action="store_true",
                     help="also time the sparse+TeaCache tier")
     ap.add_argument("--teacache_thresh", type=float, default=0.15)
+    ap.add_argument("--teacache_residual", type=str, default="bf16",
+                    choices=("bf16", "int8"),
+                    help="residual encode (int8 halves both the "
+                         "persistent previous_residual and the "
+                         "want_residual output buffer — the full-depth "
+                         "organic-run HBM lever)")
+    ap.add_argument("--teacache_offload", action="store_true",
+                    help="keep previous_residual on the host between "
+                         "steps (frees its HBM; one transfer per call)")
+    ap.add_argument("--replay_trace", type=str, default=None,
+                    help="REPLAY a recorded TeaCache schedule "
+                         "(cache.schedule_from_trace) instead of "
+                         "deciding from the signal — measures the "
+                         "+TeaCache tier at an exact published regime")
+    ap.add_argument("--density", action="store_true",
+                    help="log the executed mask density of every sparse "
+                         "call (one scalar callback per call; printed "
+                         "next to s/step)")
     ap.add_argument("--tea_steps", type=int, default=0,
                     help="steps for the TeaCache organic run (default "
                          "max(--steps, 6)); lets a 50-step organic "
@@ -253,6 +271,14 @@ def main():
     hh, ww = args.height // 8, args.width // 8
     init_latents = smooth_latents(cfg, t_lat, hh, ww)
 
+    def log_density(pipe, tag):
+        samples = getattr(pipe, "density_samples", [])
+        if samples:
+            a = np.asarray(samples)
+            log(f"{tag}: executed mask density mean {a.mean():.4f} "
+                f"(min {a.min():.4f}, max {a.max():.4f}, "
+                f"{len(a)} probed steps)")
+
     results = {}
     depth = args.dual + args.single
     for mode in [m for m in args.modes.split(",") if m]:
@@ -265,7 +291,8 @@ def main():
             dispatch_segments=args.dispatch_segments,
             plan_row_chunk=args.plan_row_chunk,
             group_rows=args.group_rows,
-            teacache_signal_stride=args.signal_stride)
+            teacache_signal_stride=args.signal_stride,
+            density_probe=args.density and mode == "sparse")
         params = pipe.params   # share ONE device copy across pipelines
         log(f"{mode}: warm-up (compiles)...")
         pipe(text, mask, seed=1, num_steps=1, init_latents=init_latents)
@@ -276,24 +303,42 @@ def main():
         log(f"{mode}: {per_step:.2f}s/step  "
             f"(extrapolated full 60-block 50-step: "
             f"{per_step * 60 / depth * 50:.0f}s)")
+        log_density(pipe, mode)
     if "sparse" in results and "flash" in results:
         log(f"E2E dense->sparse speedup at {args.dual}+{args.single} blocks"
             f" (ratio is depth-invariant): "
             f"{results['flash'] / results['sparse']:.2f}x")
 
-    if args.teacache:
+    if args.teacache or args.replay_trace:
+        schedule = None
+        if args.replay_trace:
+            from rectified_spaattn_tpu.cache import schedule_from_trace
+            schedule = schedule_from_trace(args.replay_trace)
+            log(f"replaying recorded schedule: {sum(schedule)} compute / "
+                f"{len(schedule) - sum(schedule)} skip calls "
+                f"({args.replay_trace})")
         pipe = HunyuanVideoPipeline(
             model=model, params=params, height=args.height,
             width=args.width, frames=args.frame, num_steps=args.steps,
             sa_drop_rate=args.sa_drop_rate,
             p_remain_rates=args.p_remain, mode="sparse",
-            enable_teacache=True, rel_l1_thresh=args.teacache_thresh,
+            enable_teacache=args.teacache,
+            rel_l1_thresh=args.teacache_thresh,
             scan_blocks=args.scan_blocks,
             dispatch_segments=args.dispatch_segments,
             plan_row_chunk=args.plan_row_chunk,
             group_rows=args.group_rows,
-            teacache_signal_stride=args.signal_stride)
-        pipe(text, mask, seed=1, num_steps=1, init_latents=init_latents)
+            teacache_signal_stride=args.signal_stride,
+            teacache_residual=args.teacache_residual,
+            teacache_offload=args.teacache_offload,
+            teacache_schedule=schedule,
+            density_probe=args.density)
+        params = pipe.params
+        # warm-up compiles BOTH branches (compute + apply_residual) so the
+        # timed run's first skip doesn't carry a remote compile
+        pipe.teacache_schedule = [True, False]
+        pipe(text, mask, seed=1, num_steps=2, init_latents=init_latents)
+        pipe.teacache_schedule = schedule
         from rectified_spaattn_tpu.cache import teacache as tc_mod
         steps = args.tea_steps or max(args.steps, 6)
         with tc_mod.trace_to(args.trace_out):  # enabled AFTER the warm-up
@@ -304,9 +349,13 @@ def main():
         per_step = pipe.denoise_seconds / steps
         st = pipe.teacache_stats
         skipped, computed = st["skipped"], st["computed"]
-        log(f"sparse+teacache(thresh={args.teacache_thresh}): "
+        tag = ("replay" if schedule is not None
+               else f"thresh={args.teacache_thresh}")
+        log(f"sparse+teacache({tag}, residual={args.teacache_residual}"
+            f"{', offload' if args.teacache_offload else ''}): "
             f"{per_step:.2f}s/step over {steps} steps "
             f"(skipped {skipped}/{skipped+computed})")
+        log_density(pipe, "teacache")
         if args.dense_ref is not None:
             results.setdefault("flash", args.dense_ref)
         if skipped:

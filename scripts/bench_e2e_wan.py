@@ -93,6 +93,22 @@ def main():
     ap.add_argument("--teacache", action="store_true",
                     help="also time sparse+TeaCache (CFG dual-state, "
                          "use_ret_steps, reference thresh 0.2)")
+    ap.add_argument("--teacache_residual", type=str, default="bf16",
+                    choices=("bf16", "int8"),
+                    help="residual encode (int8 halves the residual "
+                         "buffers; cache/teacache.py::residual_value)")
+    ap.add_argument("--teacache_offload", action="store_true",
+                    help="keep previous_residual on the host between "
+                         "steps (frees its HBM; one transfer per call)")
+    ap.add_argument("--replay_trace", type=str, default=None,
+                    help="REPLAY a recorded TeaCache schedule "
+                         "(cache.schedule_from_trace) instead of deciding "
+                         "from the signal — executes the calibrated "
+                         "published-regime schedule at full depth and "
+                         "times it (VERDICT r4 #1b)")
+    ap.add_argument("--density", action="store_true",
+                    help="log the executed mask density of every sparse "
+                         "call (printed next to s/step)")
     ap.add_argument("--a14b", action="store_true",
                     help="Wan2.2 T2V-A14B dual-transformer routing: two "
                          "full-width models, high/low-noise split by "
@@ -141,8 +157,15 @@ def main():
                     help="A14B: both transformers share ONE device weight "
                          "tree — cost-identical timing (same arch, same "
                          "compute) but output values are not meaningful; "
-                         "the only way the full-depth 14B+14B pipeline "
-                         "fits one 16 GB chip")
+                         "superseded by --host_swap (a real two-tree "
+                         "configuration)")
+    ap.add_argument("--host_swap", action="store_true",
+                    help="A14B: keep BOTH trees in host RAM and swap the "
+                         "low-noise tree onto the chip once at the "
+                         "boundary step (routing is sequential) — a real "
+                         "two-transformer serving configuration; the "
+                         "measured swap seconds amortize over the "
+                         "low-noise steps (VERDICT r4 #4)")
     args = ap.parse_args()
 
     from rectified_spaattn_tpu.models.wan import WanConfig, WanDiT
@@ -188,6 +211,9 @@ def main():
             log("host-init second (low-noise) transformer...")
             params2 = build_params(model, cfg, args.quant,
                                    args.scan_blocks, seed=1)
+        if args.host_swap:
+            log("host_swap: both trees stay in host RAM; the low tree "
+                "transfers once at the boundary step")
         results = {}
         for mode in [m for m in args.modes.split(",") if m]:
             mk = lambda p_: WanPipeline(
@@ -199,12 +225,14 @@ def main():
                 scan_blocks=args.scan_blocks,
                 dispatch_segments=args.dispatch_segments,
                 group_rows=args.group_rows,
-                plan_row_chunk=args.plan_row_chunk)
+                plan_row_chunk=args.plan_row_chunk,
+                defer_device=args.host_swap)
             high = mk(params)
             params = high.params        # ONE device copy across modes
             if args.share_tree:
                 params2 = params        # pre-stacked device tree: no copy
-            pipe = Wan22A14BPipeline(high=high, low=mk(params2))
+            pipe = Wan22A14BPipeline(high=high, low=mk(params2),
+                                     host_swap=args.host_swap)
             params2 = pipe.low.params
             cond = None
             noise_ch = cfg.in_channels
@@ -226,7 +254,16 @@ def main():
             pipe.denoise(lat, text, neg, condition=cond, num_steps=steps)
             per_step = pipe.denoise_seconds / steps
             results[mode] = per_step
-            log(f"{mode}: {per_step:.2f}s/step")
+            if args.host_swap:
+                sw = pipe.swap_seconds
+                log(f"{mode}: boundary tree swap {sw:.2f}s "
+                    f"(initial high-tree load "
+                    f"{getattr(pipe, 'load_seconds', 0):.2f}s); "
+                    f"{per_step:.2f}s/step incl. swap, "
+                    f"{(pipe.denoise_seconds - sw) / steps:.2f}s/step "
+                    f"excl.")
+            else:
+                log(f"{mode}: {per_step:.2f}s/step")
         if "sparse" in results and "flash" in results:
             kind = "I2V" if args.i2v else "T2V"
             log(f"Wan2.2 {kind}-A14B E2E dense->sparse speedup: "
@@ -291,6 +328,14 @@ def main():
             jax.random.fold_in(rng, 3), (1, 20, lt_, lh_, lw_),
             jnp.float32)    # [mask4 | VAE first-frame latents 16]
 
+    def log_density(pipe, tag):
+        samples = getattr(pipe, "density_samples", [])
+        if samples:
+            a = np.asarray(samples)
+            log(f"{tag}: executed mask density mean {a.mean():.4f} "
+                f"(min {a.min():.4f}, max {a.max():.4f}, "
+                f"{len(a)} probed CFG calls)")
+
     results = {}
     for mode in [m for m in args.modes.split(",") if m]:
         pipe = WanPipeline(
@@ -302,7 +347,8 @@ def main():
             scan_blocks=args.scan_blocks,
                 dispatch_segments=args.dispatch_segments,
                 group_rows=args.group_rows,
-                plan_row_chunk=args.plan_row_chunk)
+                plan_row_chunk=args.plan_row_chunk,
+                density_probe=args.density and mode == "sparse")
         params = pipe.params   # share ONE device copy across pipelines
         log(f"{mode}: warm-up (compiles)...")
         pipe(text, neg, image_emb=image_emb, condition=condition,
@@ -311,6 +357,7 @@ def main():
         pipe(text, neg, image_emb=image_emb, condition=condition, seed=1)
         per_step = pipe.denoise_seconds / args.steps
         results[mode] = per_step
+        log_density(pipe, mode)
         full_blocks = 30 if args.ti2v else 40
         log(f"{mode}: {per_step:.2f}s/step  (extrapolated full "
             f"{full_blocks}-block 50-step: "
@@ -319,21 +366,38 @@ def main():
         log(f"Wan E2E dense->sparse speedup at {args.blocks} blocks:"
             f" {results['flash'] / results['sparse']:.2f}x")
 
-    if args.teacache:
+    if args.teacache or args.replay_trace:
+        schedule = None
+        if args.replay_trace:
+            from rectified_spaattn_tpu.cache import schedule_from_trace
+            schedule = schedule_from_trace(args.replay_trace)
+            log(f"replaying recorded schedule: {sum(schedule)} compute / "
+                f"{len(schedule) - sum(schedule)} skip CFG calls "
+                f"({args.replay_trace})")
         pipe = WanPipeline(
             model=model, params=params, height=args.height,
             width=args.width, frames=args.frame, num_steps=args.steps,
             sa_drop_rate=args.sa_drop_rate,
             p_remain_rates=args.p_remain, mode="sparse",
             warm_layers=0, warm_calls=0, vae_stride=vae_stride,
-            enable_teacache=True, teacache_thresh=0.2, use_ret_steps=True,
+            enable_teacache=args.teacache, teacache_thresh=0.2,
+            use_ret_steps=True,
             teacache_signal_scale=args.signal_scale,
             scan_blocks=args.scan_blocks,
                 dispatch_segments=args.dispatch_segments,
                 group_rows=args.group_rows,
-                plan_row_chunk=args.plan_row_chunk)
+                plan_row_chunk=args.plan_row_chunk,
+                teacache_residual=args.teacache_residual,
+                teacache_offload=args.teacache_offload,
+                teacache_schedule=schedule,
+                density_probe=args.density)
+        params = pipe.params
+        # warm-up compiles BOTH branches (compute + apply_residual) so
+        # the timed run's first skip doesn't carry a remote compile
+        pipe.teacache_schedule = [True, True, False, False]
         pipe(text, neg, image_emb=image_emb, condition=condition,
-             seed=1, num_steps=1)
+             seed=1, num_steps=2)
+        pipe.teacache_schedule = schedule
         from rectified_spaattn_tpu.cache import teacache as tc_mod
         steps = args.tea_steps or max(args.steps, 6)
         with tc_mod.trace_to(args.trace_out):  # enabled AFTER the warm-up
@@ -343,9 +407,13 @@ def main():
             log(f"schedule trace -> {args.trace_out}")
         per_step = pipe.denoise_seconds / steps
         st = pipe.teacache_stats
-        log(f"sparse+teacache: {per_step:.2f}s/step over {steps} steps "
+        tag = "replay" if schedule is not None else "thresh=0.2"
+        log(f"sparse+teacache({tag}, residual={args.teacache_residual}"
+            f"{', offload' if args.teacache_offload else ''}): "
+            f"{per_step:.2f}s/step over {steps} steps "
             f"(skipped {st['skipped']}/{st['skipped'] + st['computed']} "
             f"CFG calls)")
+        log_density(pipe, "teacache")
         if "sparse" in results and "flash" in results and st["skipped"]:
             t_call = results["sparse"] / 2          # per CFG call
             tot = pipe.denoise_seconds

@@ -71,6 +71,16 @@ def test_hunyuan_teacache_skips_steps():
     assert np.isfinite(np.asarray(out)).all()
 
 
+def test_hunyuan_density_probe_samples_per_step():
+    """density_probe appends one executed-density float per denoise step
+    (a sibling jitted program over block 0's real activations)."""
+    pipe, text, mask = make_hunyuan_pipe("sparse", steps=2,
+                                         density_probe=True)
+    pipe(text, mask, seed=1)
+    assert len(pipe.density_samples) == 2
+    assert all(0.0 < dv <= 1.0 for dv in pipe.density_samples)
+
+
 def test_hunyuan_teacache_int8_offload_close_to_bf16():
     """int8 residual encode + host offload (the full-depth HBM levers,
     VERDICT r4 #1a) must reproduce the bf16-residual TeaCache run within
@@ -164,12 +174,40 @@ def test_wan22_a14b_dual_transformer_routing():
                            frames=5, num_steps=4, sa_drop_rate=0.5,
                            mode="vanilla", scheduler="euler",
                            interpret=True)
+    # boundary 0.7: flow_shift 5.0 puts the 4-step schedule at
+    # [1000, 937, 833, 625], so the LOW transformer actually executes the
+    # last step (a 0.5 boundary never crossed — routing was untested)
     pipe = Wan22A14BPipeline(high=mk(params_h), low=mk(params_l),
-                             boundary_ratio=0.5)
+                             boundary_ratio=0.7)
     lat = jax.random.normal(rng, (1, cfg.in_channels, *pipe.high.grid))
     out = pipe.denoise(lat, text_c, text_u, num_steps=4)
     assert np.isfinite(np.asarray(out)).all()
     assert pipe.denoise_seconds > 0
+    # prove the boundary was crossed: the low tree (different init) must
+    # change the output vs routing every step to HIGH
+    pipe_hh = Wan22A14BPipeline(high=mk(params_h), low=mk(params_h),
+                                boundary_ratio=0.7)
+    out_hh = pipe_hh.denoise(lat, text_c, text_u, num_steps=4)
+    assert np.abs(np.asarray(out_hh) - np.asarray(out)).max() > 0
+
+    # host_swap (VERDICT r4 #4): both trees host-resident, the low tree
+    # device-placed once at the boundary — must be value-identical to
+    # the co-resident run, twice in a row (the second denoise re-loads
+    # the high tree after the previous boundary swap)
+    def mk_host(params):
+        return WanPipeline(model=model, params=jax.device_get(params),
+                           height=64, width=64,
+                           frames=5, num_steps=4, sa_drop_rate=0.5,
+                           mode="vanilla", scheduler="euler",
+                           interpret=True, defer_device=True)
+    pipe_hs = Wan22A14BPipeline(high=mk_host(params_h),
+                                low=mk_host(params_l),
+                                boundary_ratio=0.7, host_swap=True)
+    for _ in range(2):
+        out_hs = pipe_hs.denoise(lat, text_c, text_u, num_steps=4)
+        np.testing.assert_allclose(np.asarray(out_hs), np.asarray(out),
+                                   rtol=1e-6, atol=1e-6)
+    assert pipe_hs.swap_seconds > 0
 
 
 def test_wan_pipeline_cfg_runs():
