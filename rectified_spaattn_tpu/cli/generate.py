@@ -114,6 +114,21 @@ def parse_args(argv=None):
     p.add_argument("--image", type=str, default=None,
                    help="conditioning image for I2V/TI2V models (png/jpg; "
                         "npy accepted for headless runs)")
+    p.add_argument("--teacache_residual", choices=("bf16", "int8"),
+                   default="bf16",
+                   help="TeaCache residual encode: int8 (per-row absmax) "
+                        "halves both residual buffers — the full-depth "
+                        "organic-run HBM lever (Hunyuan/Wan families)")
+    p.add_argument("--teacache_offload", action="store_true",
+                   help="keep the TeaCache previous_residual in host RAM "
+                        "between steps (frees its HBM; one transfer per "
+                        "call)")
+    p.add_argument("--replay_trace", type=str, default=None,
+                   help="REPLAY a recorded TeaCache schedule (a trace_out "
+                        "JSON) instead of deciding from the signal")
+    p.add_argument("--density", action="store_true",
+                   help="probe the executed mask density once per step "
+                        "(reported in the output JSON)")
     return p.parse_args(argv)
 
 
@@ -713,10 +728,12 @@ def main(argv=None):
     else:
         path = stem + ".npy"
         np.save(path, arr)
+    dens = getattr(pipe, "density_samples", None)
     print(json.dumps({
         "output": path,
         "denoise_seconds": round(pipe.denoise_seconds, 2),
         "teacache": getattr(pipe, "teacache_stats", None),
+        "density": (round(float(np.mean(dens)), 4) if dens else None),
     }))
 
 
@@ -728,13 +745,32 @@ def _set_signal_scale(pipe, args):
             p.teacache_signal_scale = args.teacache_signal_scale
 
 
+def _set_teacache_opts(pipe, args):
+    """Propagate the TeaCache residual/offload/replay + density-probe
+    options (set post-construction: all are read at first call, not in
+    __post_init__)."""
+    schedule = None
+    if args.replay_trace:
+        from ..cache import schedule_from_trace
+        schedule = schedule_from_trace(args.replay_trace)
+    for p in ((pipe.high, pipe.low) if hasattr(pipe, "high") else (pipe,)):
+        if hasattr(p, "teacache_residual"):
+            p.teacache_residual = args.teacache_residual
+            p.teacache_offload = args.teacache_offload
+            p.teacache_schedule = schedule
+        if hasattr(p, "density_probe"):
+            p.density_probe = args.density
+
+
 def _generate(args):
     if args.model.startswith("hunyuan"):
         pipe, inputs, extra = build_hunyuan(args)
+        _set_teacache_opts(pipe, args)
         latents = pipe(*inputs, seed=args.seed, **extra)
     elif args.model.startswith("wan"):
         pipe, inputs, extra = build_wan(args)
         _set_signal_scale(pipe, args)
+        _set_teacache_opts(pipe, args)
         if hasattr(pipe, "high"):   # A14B dual transformer
             import jax, jax.numpy as jnp
             cfgm = pipe.high.model.cfg

@@ -95,7 +95,7 @@ def amortized(f, *arrs, K=4):
 
 def run_point(frames, heads=24, d=128, text_len=256, drop=0.8,
               p_remain=0.3, plan_chunk=0, kv_tile=0, skip_dense=False,
-              packed=False, dense_only=False, k_iters=4):
+              packed=False, dense_only=False, k_iters=4, group_rows=1):
     import jax
     import jax.numpy as jnp
     from rectified_spaattn_tpu.attention import rectified_sparse_attention
@@ -117,7 +117,8 @@ def run_point(frames, heads=24, d=128, text_len=256, drop=0.8,
     cfg = SparseConfig(
         top_k_floor=max(1, select_block_num(drop, sv // 128)),
         p_remain=p_remain, layout="joint", text_len=text_len,
-        plan_row_chunk=plan_chunk, plan_kv_tile=kv_tile)
+        plan_row_chunk=plan_chunk, plan_kv_tile=kv_tile,
+        group_rows=group_rows)
 
     lin = np.asarray(h2l)
     tt, hh, ww = np.unravel_index(lin, (lt, lh, lw))
@@ -224,12 +225,17 @@ def main():
     ap.add_argument("--packed", action="store_true",
                     help="producer-packed KV + split q (sparse only) — "
                          "the memory-lean mode for the max-context points")
+    ap.add_argument("--group_rows", type=int, default=1,
+                    help="grouped-row kernel execution — composes with "
+                         "--packed since round 5 (the plan share grows "
+                         "with NB, so the union build amortizes at long "
+                         "context)")
     args = ap.parse_args()
 
     kw = dict(heads=args.heads, plan_chunk=args.plan_chunk,
               kv_tile=args.kv_tile, skip_dense=args.skip_dense,
               packed=args.packed, dense_only=args.dense_only,
-              k_iters=args.k_iters)
+              k_iters=args.k_iters, group_rows=args.group_rows)
     results = [run_point(args.frames, **kw)]
     if args.also:
         results.append(run_point(args.also, **kw))

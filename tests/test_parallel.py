@@ -205,7 +205,10 @@ def test_ring_composes_with_packed_kv_and_row_chunk(mesh):
     got = np.asarray(ring_rectified_sparse_attention(
         ring_mesh, q, kv[..., :d], kv[..., d:], cfg, neighbors,
         interpret=True, kv_packed=kv))
-    np.testing.assert_array_equal(got, want)
+    # row-tiled softmax fusion can reorder fp32 reductions by 1 ulp
+    # (measured 5.96e-08 on the joint path) — tight allclose, not
+    # bit-equality
+    np.testing.assert_allclose(got, want, rtol=0, atol=1e-6)
 
     # joint layout: same composition through the visual ring + text passes
     tlen_pad = 128
@@ -223,8 +226,10 @@ def test_ring_composes_with_packed_kv_and_row_chunk(mesh):
         ring_mesh, q, kv[..., :d], kv[..., d:], cfgj, neighbors,
         interpret=True, q_text=qt, k_text=kt, v_text=vt,
         text_len_rt=tlen, kv_packed=kv)
-    np.testing.assert_array_equal(np.asarray(got_v), np.asarray(want_v))
-    np.testing.assert_array_equal(np.asarray(got_t), np.asarray(want_t))
+    np.testing.assert_allclose(np.asarray(got_v), np.asarray(want_v),
+                               rtol=0, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(got_t), np.asarray(want_t),
+                               rtol=0, atol=1e-6)
 
 
 def test_graft_dryrun_multichip():
