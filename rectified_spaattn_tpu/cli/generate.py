@@ -129,6 +129,11 @@ def parse_args(argv=None):
     p.add_argument("--density", action="store_true",
                    help="probe the executed mask density once per step "
                         "(reported in the output JSON)")
+    p.add_argument("--host_swap", action="store_true",
+                   help="A14B (wan22-t2v/i2v): keep both transformer "
+                        "trees in host RAM and swap the low-noise tree "
+                        "onto the chip once at the boundary step — two "
+                        "full 14B trees cannot co-reside in 16 GB")
     return p.parse_args(argv)
 
 
@@ -393,6 +398,7 @@ def build_wan(args):
         (text, _), (neg, _) = _encode_prompt(encoders, args.prompt,
                                              cfg.text_dim, 512)
         params, sv = _serving(args, params)
+        a14b = args.model in ("wan22-t2v", "wan22-i2v")
         pipe = WanPipeline(
             model=model, params=params, height=args.height,
             width=args.width, frames=args.frame, num_steps=args.num_steps,
@@ -406,7 +412,8 @@ def build_wan(args):
             warm_last_layers=2 if args.model in ("wan22-t2v", "wan22-i2v")
             else 0,
             scheduler="euler" if is_22 else "unipc", vae_decode=vae_decode,
-            mesh=_tp_mesh(args.tp), **sv)
+            mesh=_tp_mesh(args.tp),
+            defer_device=args.host_swap and a14b, **sv)
         extra = {}
         if args.image is not None and vae_encode is not None and (
                 is_i2v or args.model == "wan22-ti2v"):
@@ -435,7 +442,11 @@ def build_wan(args):
                     "wan", args.ckpt_dir + "/transformer_2")
                 params2, _ = _serving(args, params2)
                 low = _dc.replace(pipe, model=WanDiT(cfg2), params=params2)
-            return Wan22A14BPipeline(high=pipe, low=low), (text, neg), extra
+            # host_swap with a shared tree (no transformer_2 on disk) is
+            # meaningless — both pipes would swap the same params
+            swap = args.host_swap and low is not pipe
+            return Wan22A14BPipeline(high=pipe, low=low, host_swap=swap), \
+                (text, neg), extra
         return pipe, (text, neg), extra
 
     cfg = WanConfig(
@@ -464,6 +475,10 @@ def build_wan(args):
         img_emb0 = (jnp.zeros((1, 257, cfg.image_dim))
                     if cfg.image_cross else None)
         params = model.init(jax.random.PRNGKey(0), lat, t0, text, img_emb0)
+        a14b = args.model in ("wan22-t2v", "wan22-i2v")
+        defer = args.host_swap and a14b
+        if defer:
+            params = jax.device_get(params)   # host trees for host_swap
         params, sv = _serving(args, params)
         return WanPipeline(
             model=model, params=params, height=args.height,
@@ -478,7 +493,7 @@ def build_wan(args):
             warm_last_layers=2 if args.model in ("wan22-t2v", "wan22-i2v")
             else 0,
             scheduler="euler" if is_22 else "unipc",
-            mesh=_tp_mesh(args.tp), **sv)
+            mesh=_tp_mesh(args.tp), defer_device=defer, **sv)
 
     extra = {}
     pipe0 = make_pipe()
@@ -506,7 +521,8 @@ def build_wan(args):
         if cfg.image_cross and "image_emb" not in extra:
             extra["image_emb"] = jnp.zeros((1, 257, cfg.image_dim))
     if args.model in ("wan22-t2v", "wan22-i2v"):
-        pipe = Wan22A14BPipeline(high=pipe0, low=make_pipe())
+        pipe = Wan22A14BPipeline(high=pipe0, low=make_pipe(),
+                                 host_swap=args.host_swap)
         extra.pop("image_emb", None)
         return pipe, (text, neg), extra
     return pipe0, (text, neg), extra
