@@ -74,6 +74,15 @@ class SparseConfig:
     # bounds the row side — at 345k tokens the one-shot fp32 converts of
     # full-length K/V were the OOM dump's three largest allocations.
     plan_kv_tile: int = 0
+    # Pack K|V into one [B,H,S,2D] stream at the top of the attention
+    # call (attention/rectified.py): XLA fuses the producers into the
+    # packed buffer, the separate k/v buffers DCE, and the kernel gathers
+    # from the stream instead of materialising its OWN packed copy — at
+    # video scale that copy is ~1.5 GB (Wan 75.6k tokens), at 400k+ it is
+    # ~5 GB.  Requires a block-aligned visual region (the pipelines pad
+    # the token stream at the embed seam) and excludes kv_quant (which
+    # carries its own packed payload).
+    kv_pack: bool = False
     # top-p/top-k selection implementation: "bisect" replaces the plan
     # build's dominant [B,H,NQ,NK] value sort with threshold bisection
     # (same kept set up to sub-float-resolution near-ties); "sort" is the
@@ -95,6 +104,10 @@ class SparseConfig:
                 f"kv_quant must be none|int8|mxu8, got {self.kv_quant!r}")
         if self.kv_quant != "none" and self.group_rows > 1:
             raise ValueError("kv_quant is not implemented for grouped rows")
+        if self.kv_pack and self.kv_quant != "none":
+            raise ValueError("kv_pack does not compose with kv_quant "
+                             "(the quantized path carries its own packed "
+                             "payload and pools from raw k/v)")
 
     @property
     def kernel_chunk_blocks(self) -> int:

@@ -268,23 +268,42 @@ def main():
             kind = "I2V" if args.i2v else "T2V"
             log(f"Wan2.2 {kind}-A14B E2E dense->sparse speedup: "
                 f"{results['flash'] / results['sparse']:.2f}x")
-        if args.teacache:
+        if args.teacache or args.replay_trace:
             thresh = 0.3 if args.i2v else 0.2
+            schedule = None
+            tea_steps = max(args.tea_steps or args.steps, 8)
+            if args.replay_trace:
+                # A14B traces are JOINT: both transformers' CFG calls in
+                # chronological order (routing is sequential), so the
+                # first high_steps*2 entries belong to the high-noise
+                # TeaCache stream and the rest to the low-noise one
+                from rectified_spaattn_tpu.cache import schedule_from_trace
+                schedule = schedule_from_trace(args.replay_trace)
+                tea_steps = len(schedule) // 2
+                log(f"replaying recorded A14B schedule: {sum(schedule)} "
+                    f"compute / {len(schedule) - sum(schedule)} skip CFG "
+                    f"calls over {tea_steps} steps ({args.replay_trace})")
             mk_t = lambda p_: WanPipeline(
                 model=model, params=p_, height=args.height,
                 width=args.width, frames=args.frame, num_steps=args.steps,
                 sa_drop_rate=args.sa_drop_rate,
                 p_remain_rates=args.p_remain, mode="sparse",
                 warm_layers=0, warm_calls=0, vae_stride=vae_stride,
-                enable_teacache=True, teacache_thresh=thresh,
+                enable_teacache=args.teacache, teacache_thresh=thresh,
                 scan_blocks=args.scan_blocks,
                 dispatch_segments=args.dispatch_segments,
                 group_rows=args.group_rows,
-                plan_row_chunk=args.plan_row_chunk)
+                plan_row_chunk=args.plan_row_chunk,
+                teacache_residual=args.teacache_residual,
+                teacache_offload=args.teacache_offload,
+                defer_device=args.host_swap)
             high = mk_t(params)
+            if not args.host_swap:
+                params = high.params
             pipe = Wan22A14BPipeline(
                 high=high,
-                low=mk_t(high.params if args.share_tree else params2))
+                low=mk_t(high.params if args.share_tree else params2),
+                host_swap=args.host_swap)
             cond = None
             noise_ch = cfg.in_channels
             if args.i2v:
@@ -295,22 +314,55 @@ def main():
             lat = jax.random.normal(
                 jax.random.PRNGKey(1),
                 (1, noise_ch, *pipe.high.grid), jnp.float32)
-            steps = max(args.steps, 8)
+            if schedule is not None:
+                # split the joint schedule at the boundary step
+                sched_obj = pipe.high._scheduler(tea_steps)
+                boundary = pipe.boundary_ratio * pipe.num_train_timesteps
+                high_steps = int(np.sum(
+                    np.asarray(sched_obj.timesteps) >= boundary))
+                log(f"boundary split: {high_steps} high-noise steps "
+                    f"({sum(schedule[:high_steps * 2])} computed) / "
+                    f"{tea_steps - high_steps} low-noise "
+                    f"({sum(schedule[high_steps * 2:])} computed)")
+            # warm-up compiles BOTH transformers' compute branches and
+            # the skip (apply_residual) branch; 8 steps puts >=1 step on
+            # the high-noise side at boundary 0.875
+            warm_steps = min(tea_steps, 8)
+            pipe.high.teacache_schedule = [True, True]
+            pipe.low.teacache_schedule = [True, True, False, False]
             log("teacache: warm-up (compiles both transformers)...")
-            pipe.denoise(lat, text, neg, condition=cond, num_steps=steps)
+            pipe.denoise(lat, text, neg, condition=cond,
+                         num_steps=warm_steps)
+            if schedule is not None:
+                pipe.high.teacache_schedule = schedule[:high_steps * 2]
+                pipe.low.teacache_schedule = schedule[high_steps * 2:]
+            else:
+                pipe.high.teacache_schedule = None
+                pipe.low.teacache_schedule = None
             from rectified_spaattn_tpu.cache import teacache as tc_mod
             with tc_mod.trace_to(args.trace_out) as trace:
                 pipe.denoise(lat, text, neg, condition=cond,
-                             num_steps=steps)
-            per_step = pipe.denoise_seconds / steps
+                             num_steps=tea_steps)
+            per_step = pipe.denoise_seconds / tea_steps
             if trace is not None:
                 calls = [r for r in trace if "call" in r]
                 skipped = sum(not r["compute"] for r in calls)
                 log(f"schedule trace -> {args.trace_out} "
                     f"(skipped {skipped}/{len(calls)} CFG calls across "
                     f"both transformers)")
-            log(f"sparse+teacache (A14B dual streams x2): "
-                f"{per_step:.2f}s/step over {steps} steps")
+            st = pipe.teacache_stats
+            tag = "replay" if schedule is not None else f"thresh={thresh}"
+            skipped = (st["high"]["skipped"] + st["low"]["skipped"])
+            computed = (st["high"]["computed"] + st["low"]["computed"])
+            extra = ""
+            if args.host_swap:
+                extra = (f"; boundary swap {pipe.swap_seconds:.2f}s, "
+                         f"excl. {(pipe.denoise_seconds - pipe.swap_seconds) / tea_steps:.2f}s/step")
+            log(f"sparse+teacache({tag}, residual="
+                f"{args.teacache_residual}, A14B dual streams x2): "
+                f"{per_step:.2f}s/step over {tea_steps} steps "
+                f"(skipped {skipped}/{skipped + computed} CFG calls"
+                f"{extra})")
         return
 
     image_emb = None
