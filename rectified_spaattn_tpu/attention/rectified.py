@@ -115,6 +115,19 @@ def rectified_sparse_attention(
     tlen = (text_len_rt.astype(jnp.int32) if text_len_rt is not None
             else jnp.zeros((b,), jnp.int32))
 
+    if kv_packed is None and cfg.kv_pack and cfg.kv_quant == "none":
+        # cfg-driven producer pack (SparseConfig.kv_pack): concatenate
+        # K|V here so XLA fuses the qkv/rope producers straight into the
+        # packed [B,H,S,2D] buffer and the separate k/v DCE (the slices
+        # below feed only pooled stats, which fuse into reductions) —
+        # the kernel then gathers from the stream instead of
+        # materialising its OWN packed copy (~1.5 GB at Wan 75.6k
+        # tokens, ~5 GB at 400k).  Packing happens AFTER the pad insert,
+        # so non-block-aligned visual regions compose (the explicit
+        # kv_packed arg is the caller-packed-pre-pad path and keeps its
+        # alignment requirement above).
+        kv_packed = jnp.concatenate([k, v], axis=-1)
+        k, v = kv_packed[..., :d], kv_packed[..., d:]
     valid = kv_validity(b, s, visual_len, text_start, tlen)
     if kv_packed is None:
         # Zero K/V outside the valid windows (feeds pooled stats + kernel).

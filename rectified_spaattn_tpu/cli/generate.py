@@ -102,6 +102,11 @@ def parse_args(argv=None):
                    help="row-tile the sparse-plan build into chunks of N "
                         "query rows — bounds the fp32 plan temporaries "
                         "(a peak-HBM lever for runs at the 16 GB ceiling)")
+    p.add_argument("--kv_pack", action="store_true",
+                   help="pack K|V into one producer stream so the kernel "
+                        "gathers from it instead of materialising its own "
+                        "packed copy (SparseConfig.kv_pack; ~1.5 GB lower "
+                        "peak HBM at video scale)")
     p.add_argument("--plan_kv_tile", type=int, default=0,
                    help="tile the plan's column stats (pooled K/V, GAPR "
                         "deviations) over N key blocks — the K/V-side "
@@ -208,6 +213,8 @@ def _serving(args, params, supports_scan=True):
         kw["plan_row_chunk"] = args.plan_row_chunk
     if getattr(args, "plan_kv_tile", 0) > 0:
         kw["plan_kv_tile"] = args.plan_kv_tile
+    if getattr(args, "kv_pack", False):
+        kw["kv_pack"] = True
     return params, kw
 
 

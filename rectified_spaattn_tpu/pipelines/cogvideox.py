@@ -78,6 +78,8 @@ class CogVideoXPipeline:
     # blocks per program over the union of their key sets — measured
     # faster than single-row at the Hunyuan point (RESULTS_r4.md).
     group_rows: int = 1
+    # Producer-packed KV (SparseConfig.kv_pack) — peak-HBM lever.
+    kv_pack: bool = False
 
     def __post_init__(self):
         cfg = self.model.cfg
@@ -92,7 +94,7 @@ class CogVideoXPipeline:
             p_remain=self.p_remain_rates, layout="joint",
             text_len=self.text_len, plan_row_chunk=self.plan_row_chunk,
             plan_kv_tile=self.plan_kv_tile,
-            group_rows=self.group_rows)
+            group_rows=self.group_rows, kv_pack=self.kv_pack)
         m = self.model
         from .base import param_compute_dtype
         self.compute_dtype = param_compute_dtype(self.params)

@@ -78,6 +78,8 @@ class FluxPipeline:
     # blocks per program over the union of their key sets — measured
     # faster than single-row at the Hunyuan point (RESULTS_r4.md).
     group_rows: int = 1
+    # Producer-packed KV (SparseConfig.kv_pack) — peak-HBM lever.
+    kv_pack: bool = False
 
     def __post_init__(self):
         # latent grid: 2x2-packed 16ch latents → h/16 x w/16 tokens
@@ -88,7 +90,7 @@ class FluxPipeline:
             p_remain=self.p_remain_rates, layout="joint",
             text_len=self.text_len, plan_row_chunk=self.plan_row_chunk,
             plan_kv_tile=self.plan_kv_tile,
-            group_rows=self.group_rows)
+            group_rows=self.group_rows, kv_pack=self.kv_pack)
         m = self.model
         n_dual = m.cfg.num_dual_blocks
         from .base import param_compute_dtype

@@ -103,6 +103,9 @@ class HunyuanVideoPipeline:
     # blocks per program over the union of their key sets — measured
     # faster than single-row at the Hunyuan point (RESULTS_r4.md).
     group_rows: int = 1
+    # Producer-packed KV (SparseConfig.kv_pack): kills the kernel's own
+    # packed [K|V] copy (~1.5 GB at the 115k video point).
+    kv_pack: bool = False
     # Keep every k-th token of the TeaCache modulated signal (the stored
     # previous_modulated at video scale is a ~0.7 GB bf16 tensor; the
     # rel-L1 is a mean over 350M elements, so a strided subsample moves
@@ -139,7 +142,7 @@ class HunyuanVideoPipeline:
             p_remain=self.p_remain_rates, layout="joint",
             text_len=self.text_len, plan_row_chunk=self.plan_row_chunk,
             plan_kv_tile=self.plan_kv_tile,
-            group_rows=self.group_rows)
+            group_rows=self.group_rows, kv_pack=self.kv_pack)
         self.timer = StageTimer()
         m = self.model
 

@@ -129,6 +129,10 @@ class WanPipeline:
     # blocks per program over the union of their key sets — measured
     # faster than single-row at the Hunyuan point (RESULTS_r4.md).
     group_rows: int = 1
+    # Producer-packed KV (SparseConfig.kv_pack): kills the kernel's own
+    # packed [K|V] copy (~1.5 GB at Wan 75.6k tokens) — the memory lever
+    # that fits the 16.4B I2V tree at full depth.
+    kv_pack: bool = False
     # TeaCache residual encode: "bf16" (reference format) or "int8"
     # (per-row absmax — halves the residual buffers;
     # cache/teacache.py::residual_value).
@@ -164,7 +168,7 @@ class WanPipeline:
             first_frame_retention=True,
             plan_row_chunk=self.plan_row_chunk,
             plan_kv_tile=self.plan_kv_tile,
-            group_rows=self.group_rows)
+            group_rows=self.group_rows, kv_pack=self.kv_pack)
         m = self.model
         from .base import param_compute_dtype
         self.compute_dtype = param_compute_dtype(self.params)

@@ -219,6 +219,10 @@ def main():
                     help="grouped-row kernel execution "
                          "(SparseConfig.group_rows; 2 measured faster "
                          "than single-row at the Hunyuan point)")
+    ap.add_argument("--kv_pack", action="store_true",
+                    help="producer-packed KV (SparseConfig.kv_pack): "
+                         "kills the kernel's own packed [K|V] copy "
+                         "(~1.5 GB at the 115k point) — peak-HBM lever")
     ap.add_argument("--plan_row_chunk", type=int, default=0,
                     help="row-tile the plan build (memory lever)")
     ap.add_argument("--signal_stride", type=int, default=1,
@@ -290,6 +294,7 @@ def main():
             scan_blocks=args.scan_blocks,
             dispatch_segments=args.dispatch_segments,
             plan_row_chunk=args.plan_row_chunk,
+            kv_pack=args.kv_pack,
             group_rows=args.group_rows,
             teacache_signal_stride=args.signal_stride,
             density_probe=args.density and mode == "sparse")
@@ -327,6 +332,7 @@ def main():
             scan_blocks=args.scan_blocks,
             dispatch_segments=args.dispatch_segments,
             plan_row_chunk=args.plan_row_chunk,
+            kv_pack=args.kv_pack,
             group_rows=args.group_rows,
             teacache_signal_stride=args.signal_stride,
             teacache_residual=args.teacache_residual,

@@ -135,6 +135,10 @@ def main():
                          "conditioned I2V tree still exceeds the "
                          "single-chip budget at full depth even with it, "
                          "logs/r4_wani2v_full.log)")
+    ap.add_argument("--kv_pack", action="store_true",
+                    help="producer-packed KV (SparseConfig.kv_pack): "
+                         "kills the kernel's own packed [K|V] copy "
+                         "(~1.5 GB at 75.6k tokens) — peak-HBM lever")
     ap.add_argument("--mlp_chunk", type=int, default=1,
                     help="FFN sequence chunking (peak-HBM lever, "
                          "layers.MLP.chunk; identical math)")
@@ -226,6 +230,7 @@ def main():
                 dispatch_segments=args.dispatch_segments,
                 group_rows=args.group_rows,
                 plan_row_chunk=args.plan_row_chunk,
+                kv_pack=args.kv_pack,
                 defer_device=args.host_swap)
             high = mk(params)
             params = high.params        # ONE device copy across modes
@@ -294,6 +299,7 @@ def main():
                 dispatch_segments=args.dispatch_segments,
                 group_rows=args.group_rows,
                 plan_row_chunk=args.plan_row_chunk,
+                kv_pack=args.kv_pack,
                 teacache_residual=args.teacache_residual,
                 teacache_offload=args.teacache_offload,
                 defer_device=args.host_swap)
@@ -400,6 +406,7 @@ def main():
                 dispatch_segments=args.dispatch_segments,
                 group_rows=args.group_rows,
                 plan_row_chunk=args.plan_row_chunk,
+                kv_pack=args.kv_pack,
                 density_probe=args.density and mode == "sparse")
         params = pipe.params   # share ONE device copy across pipelines
         log(f"{mode}: warm-up (compiles)...")
@@ -439,6 +446,7 @@ def main():
                 dispatch_segments=args.dispatch_segments,
                 group_rows=args.group_rows,
                 plan_row_chunk=args.plan_row_chunk,
+                kv_pack=args.kv_pack,
                 teacache_residual=args.teacache_residual,
                 teacache_offload=args.teacache_offload,
                 teacache_schedule=schedule,

@@ -284,3 +284,59 @@ def test_row_chunked_rectified_equals_oneshot():
         *args, cfg, jnp.asarray(neighbors), visual_len=sv,
         text_len_rt=tlen, interpret=True))
     np.testing.assert_array_equal(got, want)
+
+def test_cfg_kv_pack_is_equal_including_unaligned_visual():
+    """SparseConfig.kv_pack (cfg-driven producer pack inside the call)
+    equals the unpacked path bit-for-bit — including a NON-block-aligned
+    visual region (the pack happens after the pad insert, so the
+    alignment requirement of the explicit kv_packed arg does not apply)
+    and composed with group_rows=2.  This is the lever the pipelines
+    thread for full-depth 16.4B I2V (kills the kernel's own packed copy,
+    VERDICT r4 #3/#5)."""
+    b, h, d = 1, 2, 64
+    text_blocks = 1
+    for sv, gr in ((4 * BM, 1), (3 * BM + 40, 1), (4 * BM, 2)):
+        nq = -(-sv // BM)
+        base = dict(top_k_floor=1, p_remain=0.3, layout="joint",
+                    text_len=text_blocks * BM, group_rows=gr)
+        s = nq * BM + base["text_len"]
+        q, k, v = make(11, b, h, s, d)
+        # the true visual tokens occupy [:sv]; the pipelines hand the
+        # padded stream to the call, which re-inserts pad between
+        # visual and text when sv is not block-aligned
+        qq = np.concatenate([q[:, :, :sv], q[:, :, nq * BM:]], axis=2)
+        kk = np.concatenate([k[:, :, :sv], k[:, :, nq * BM:]], axis=2)
+        vv = np.concatenate([v[:, :, :sv], v[:, :, nq * BM:]], axis=2)
+        neighbors = np.eye(nq, dtype=bool)
+        tlen = jnp.asarray(np.array([90]), jnp.int32)
+        want = np.asarray(rectified_sparse_attention(
+            jnp.asarray(qq), jnp.asarray(kk), jnp.asarray(vv),
+            SparseConfig(**base), jnp.asarray(neighbors), visual_len=sv,
+            text_len_rt=tlen, interpret=True))
+        got = np.asarray(rectified_sparse_attention(
+            jnp.asarray(qq), jnp.asarray(kk), jnp.asarray(vv),
+            SparseConfig(**base, kv_pack=True), jnp.asarray(neighbors),
+            visual_len=sv, text_len_rt=tlen, interpret=True))
+        np.testing.assert_array_equal(got, want)
+
+
+def test_cfg_kv_pack_visual_layout_is_equal():
+    """kv_pack under the visual layout (Wan family: no text in the
+    self-attn stream) — the path the full-depth I2V runs use."""
+    b, h, d = 1, 2, 64
+    nq = 4
+    sv = nq * BM - 30          # unaligned ragged tail
+    s = nq * BM
+    q, k, v = make(13, b, h, s, d)
+    q[:, :, sv:] = 0; k[:, :, sv:] = 0; v[:, :, sv:] = 0
+    neighbors = np.eye(nq, dtype=bool)
+    base = dict(top_k_floor=1, p_remain=0.3, layout="visual")
+    want = np.asarray(rectified_sparse_attention(
+        jnp.asarray(q[:, :, :sv]), jnp.asarray(k[:, :, :sv]),
+        jnp.asarray(v[:, :, :sv]), SparseConfig(**base),
+        jnp.asarray(neighbors), visual_len=sv, interpret=True))
+    got = np.asarray(rectified_sparse_attention(
+        jnp.asarray(q[:, :, :sv]), jnp.asarray(k[:, :, :sv]),
+        jnp.asarray(v[:, :, :sv]), SparseConfig(**base, kv_pack=True),
+        jnp.asarray(neighbors), visual_len=sv, interpret=True))
+    np.testing.assert_array_equal(got, want)
