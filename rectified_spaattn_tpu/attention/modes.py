@@ -89,6 +89,31 @@ def attention(
             q, k, v, cfg, neighbor_mask, visual_len=visual_len,
             text_len_rt=text_len_rt, interpret=interpret)
     if mode in DENSE_MODES:
+        hc = cfg.head_chunk if cfg is not None else 0
+        if hc and 0 < hc < q.shape[1]:
+            # Head-tiled dense execution — the same peak-HBM lever as
+            # the sparse path's head_chunk (rectified.py::_head_chunked):
+            # the windowed gather is per-head independent, so tiling
+            # divides its q/kv/out temporaries at identical math.  Keeps
+            # the dense denominator runnable next to trees that leave no
+            # full-head headroom (16.4B Wan2.1-I2V at full depth).
+            import dataclasses
+            b, h, s, d = q.shape
+            if h % hc:
+                raise ValueError(f"head_chunk ({hc}) must divide the "
+                                 f"head count ({h})")
+            sub = dataclasses.replace(cfg, head_chunk=0)
+
+            def body(i, buf):
+                sl = lambda x: jax.lax.dynamic_slice_in_dim(x, i * hc, hc, 1)
+                o = attention(sl(q), sl(k), sl(v), mode, cfg=sub,
+                              neighbor_mask=neighbor_mask,
+                              visual_len=visual_len,
+                              text_len_rt=text_len_rt, interpret=interpret)
+                return jax.lax.dynamic_update_slice_in_dim(buf, o, i * hc,
+                                                           axis=1)
+            return jax.lax.fori_loop(0, h // hc, body,
+                                     jnp.zeros(q.shape, q.dtype))
         b, _, s, _ = q.shape
         text_start = None
         tlen = jnp.zeros((b,), jnp.int32)

@@ -45,6 +45,47 @@ def kv_validity(batch: int, seq_len: int, visual_len: int,
     return jnp.broadcast_to(valid, (batch, seq_len))
 
 
+def _head_chunked(q, k, v, cfg, neighbor_mask, *, visual_len, text_len_rt,
+                  interpret, kv_packed, q_text, density_only):
+    """Head-tiled execution of the full rectified site (SparseConfig.
+    head_chunk): every stage is per-head independent, so running
+    H/head_chunk tiles through a fori_loop divides all attention-path
+    temporaries by the tile count at identical math (the loop body can
+    fuse differently from the one-shot program, so outputs may move in
+    the last fp32 ulp) — the
+    peak-HBM lever for trees too large to leave full-head headroom
+    (Wan2.1-I2V 16.4B at full depth).  The loop carry aliases the output
+    buffer, so the only full-head allocation is the output itself."""
+    import dataclasses
+    b, h, s, d = q.shape
+    hc = cfg.head_chunk
+    if h % hc:
+        raise ValueError(f"head_chunk ({hc}) must divide the head "
+                         f"count ({h})")
+    sub = dataclasses.replace(cfg, head_chunk=0)
+    ntiles = h // hc
+
+    def call(i):
+        sl = lambda x: (None if x is None
+                        else jax.lax.dynamic_slice_in_dim(x, i * hc, hc, 1))
+        return rectified_sparse_attention(
+            sl(q), sl(k), sl(v), sub, neighbor_mask,
+            visual_len=visual_len, text_len_rt=text_len_rt,
+            interpret=interpret, kv_packed=sl(kv_packed),
+            q_text=sl(q_text), density_only=density_only)
+
+    if density_only:
+        # mean density over equal-size head tiles = the global mean
+        acc = jax.lax.fori_loop(
+            0, ntiles, lambda i, a: a + call(i), jnp.float32(0.0))
+        return acc / ntiles
+    out_s = s + cfg.text_len if q_text is not None else s
+    out0 = jnp.zeros((b, h, out_s, d), q.dtype)
+    body = lambda i, buf: jax.lax.dynamic_update_slice_in_dim(
+        buf, call(i), i * hc, axis=1)
+    return jax.lax.fori_loop(0, ntiles, body, out0)
+
+
 def rectified_sparse_attention(
     q: jax.Array,                       # [B, H, S, D] (visual[+text], padded)
     k: jax.Array,
@@ -77,6 +118,11 @@ def rectified_sparse_attention(
     copy the split would otherwise cost disappears (the visual prefix of
     an interior axis is not a bitcast)."""
     b, h, s, d = q.shape
+    if cfg.head_chunk and 0 < cfg.head_chunk < h:
+        return _head_chunked(q, k, v, cfg, neighbor_mask,
+                             visual_len=visual_len, text_len_rt=text_len_rt,
+                             interpret=interpret, kv_packed=kv_packed,
+                             q_text=q_text, density_only=density_only)
     bm = cfg.block_m
     if q_text is not None:
         assert cfg.layout == "joint", "q_text is a joint-layout split"

@@ -102,6 +102,12 @@ def parse_args(argv=None):
                    help="row-tile the sparse-plan build into chunks of N "
                         "query rows — bounds the fp32 plan temporaries "
                         "(a peak-HBM lever for runs at the 16 GB ceiling)")
+    p.add_argument("--head_chunk", type=int, default=0,
+                   help="run the attention site in tiles of N heads "
+                        "(SparseConfig.head_chunk): divides all "
+                        "attention-path temporaries by H/N at identical "
+                        "math — the peak-HBM lever for trees too large "
+                        "to leave full-head headroom (Wan2.1-I2V 16.4B)")
     p.add_argument("--kv_pack", action="store_true",
                    help="pack K|V into one producer stream so the kernel "
                         "gathers from it instead of materialising its own "
@@ -215,6 +221,8 @@ def _serving(args, params, supports_scan=True):
         kw["plan_kv_tile"] = args.plan_kv_tile
     if getattr(args, "kv_pack", False):
         kw["kv_pack"] = True
+    if getattr(args, "head_chunk", 0) > 0:
+        kw["head_chunk"] = args.head_chunk
     return params, kw
 
 

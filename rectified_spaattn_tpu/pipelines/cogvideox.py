@@ -80,6 +80,8 @@ class CogVideoXPipeline:
     group_rows: int = 1
     # Producer-packed KV (SparseConfig.kv_pack) — peak-HBM lever.
     kv_pack: bool = False
+    # Head-tiled attention execution (SparseConfig.head_chunk) — peak-HBM lever.
+    head_chunk: int = 0
 
     def __post_init__(self):
         cfg = self.model.cfg
@@ -94,7 +96,8 @@ class CogVideoXPipeline:
             p_remain=self.p_remain_rates, layout="joint",
             text_len=self.text_len, plan_row_chunk=self.plan_row_chunk,
             plan_kv_tile=self.plan_kv_tile,
-            group_rows=self.group_rows, kv_pack=self.kv_pack)
+            group_rows=self.group_rows, kv_pack=self.kv_pack,
+            head_chunk=self.head_chunk)
         m = self.model
         from .base import param_compute_dtype
         self.compute_dtype = param_compute_dtype(self.params)

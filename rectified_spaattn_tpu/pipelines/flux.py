@@ -80,6 +80,8 @@ class FluxPipeline:
     group_rows: int = 1
     # Producer-packed KV (SparseConfig.kv_pack) — peak-HBM lever.
     kv_pack: bool = False
+    # Head-tiled attention execution (SparseConfig.head_chunk) — peak-HBM lever.
+    head_chunk: int = 0
 
     def __post_init__(self):
         # latent grid: 2x2-packed 16ch latents → h/16 x w/16 tokens
@@ -90,7 +92,8 @@ class FluxPipeline:
             p_remain=self.p_remain_rates, layout="joint",
             text_len=self.text_len, plan_row_chunk=self.plan_row_chunk,
             plan_kv_tile=self.plan_kv_tile,
-            group_rows=self.group_rows, kv_pack=self.kv_pack)
+            group_rows=self.group_rows, kv_pack=self.kv_pack,
+            head_chunk=self.head_chunk)
         m = self.model
         n_dual = m.cfg.num_dual_blocks
         from .base import param_compute_dtype

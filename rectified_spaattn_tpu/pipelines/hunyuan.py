@@ -106,6 +106,8 @@ class HunyuanVideoPipeline:
     # Producer-packed KV (SparseConfig.kv_pack): kills the kernel's own
     # packed [K|V] copy (~1.5 GB at the 115k video point).
     kv_pack: bool = False
+    # Head-tiled attention execution (SparseConfig.head_chunk) — peak-HBM lever.
+    head_chunk: int = 0
     # Keep every k-th token of the TeaCache modulated signal (the stored
     # previous_modulated at video scale is a ~0.7 GB bf16 tensor; the
     # rel-L1 is a mean over 350M elements, so a strided subsample moves
@@ -142,7 +144,8 @@ class HunyuanVideoPipeline:
             p_remain=self.p_remain_rates, layout="joint",
             text_len=self.text_len, plan_row_chunk=self.plan_row_chunk,
             plan_kv_tile=self.plan_kv_tile,
-            group_rows=self.group_rows, kv_pack=self.kv_pack)
+            group_rows=self.group_rows, kv_pack=self.kv_pack,
+            head_chunk=self.head_chunk)
         self.timer = StageTimer()
         m = self.model
 

@@ -133,6 +133,9 @@ class WanPipeline:
     # packed [K|V] copy (~1.5 GB at Wan 75.6k tokens) — the memory lever
     # that fits the 16.4B I2V tree at full depth.
     kv_pack: bool = False
+    # Head-tiled attention execution (SparseConfig.head_chunk) — the
+    # second peak-HBM lever for the 16.4B I2V tree at full depth.
+    head_chunk: int = 0
     # TeaCache residual encode: "bf16" (reference format) or "int8"
     # (per-row absmax — halves the residual buffers;
     # cache/teacache.py::residual_value).
@@ -168,7 +171,8 @@ class WanPipeline:
             first_frame_retention=True,
             plan_row_chunk=self.plan_row_chunk,
             plan_kv_tile=self.plan_kv_tile,
-            group_rows=self.group_rows, kv_pack=self.kv_pack)
+            group_rows=self.group_rows, kv_pack=self.kv_pack,
+            head_chunk=self.head_chunk)
         m = self.model
         from .base import param_compute_dtype
         self.compute_dtype = param_compute_dtype(self.params)

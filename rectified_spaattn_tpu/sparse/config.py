@@ -83,6 +83,15 @@ class SparseConfig:
     # the token stream at the embed seam) and excludes kv_quant (which
     # carries its own packed payload).
     kv_pack: bool = False
+    # Run the attention site in tiles of this many heads (0 = all heads
+    # in one pass).  Every stage — plan build, kernel, rectification,
+    # text rows — is head-separable, so head tiling divides ALL
+    # attention-path temporaries (q/kv/out copies, fp32 plan and
+    # rectify temps) by H/head_chunk at zero numerics cost; the peak-HBM
+    # lever that fits the 16.4B Wan2.1-I2V tree at full depth next to
+    # 75.6k-token activations.  Serializes tiles inside one jit (a
+    # fori_loop); must divide the head count.
+    head_chunk: int = 0
     # top-p/top-k selection implementation: "bisect" replaces the plan
     # build's dominant [B,H,NQ,NK] value sort with threshold bisection
     # (same kept set up to sub-float-resolution near-ties); "sort" is the
@@ -108,6 +117,8 @@ class SparseConfig:
             raise ValueError("kv_pack does not compose with kv_quant "
                              "(the quantized path carries its own packed "
                              "payload and pools from raw k/v)")
+        if self.head_chunk < 0:
+            raise ValueError("head_chunk must be >= 0")
 
     @property
     def kernel_chunk_blocks(self) -> int:

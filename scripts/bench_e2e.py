@@ -219,6 +219,9 @@ def main():
                     help="grouped-row kernel execution "
                          "(SparseConfig.group_rows; 2 measured faster "
                          "than single-row at the Hunyuan point)")
+    ap.add_argument("--head_chunk", type=int, default=0,
+                    help="head-tiled attention execution "
+                         "(SparseConfig.head_chunk) — peak-HBM lever")
     ap.add_argument("--kv_pack", action="store_true",
                     help="producer-packed KV (SparseConfig.kv_pack): "
                          "kills the kernel's own packed [K|V] copy "
@@ -295,6 +298,7 @@ def main():
             dispatch_segments=args.dispatch_segments,
             plan_row_chunk=args.plan_row_chunk,
             kv_pack=args.kv_pack,
+                head_chunk=args.head_chunk,
             group_rows=args.group_rows,
             teacache_signal_stride=args.signal_stride,
             density_probe=args.density and mode == "sparse")
@@ -333,6 +337,7 @@ def main():
             dispatch_segments=args.dispatch_segments,
             plan_row_chunk=args.plan_row_chunk,
             kv_pack=args.kv_pack,
+                head_chunk=args.head_chunk,
             group_rows=args.group_rows,
             teacache_signal_stride=args.signal_stride,
             teacache_residual=args.teacache_residual,

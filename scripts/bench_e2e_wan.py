@@ -135,6 +135,9 @@ def main():
                          "conditioned I2V tree still exceeds the "
                          "single-chip budget at full depth even with it, "
                          "logs/r4_wani2v_full.log)")
+    ap.add_argument("--head_chunk", type=int, default=0,
+                    help="head-tiled attention execution "
+                         "(SparseConfig.head_chunk) — peak-HBM lever")
     ap.add_argument("--kv_pack", action="store_true",
                     help="producer-packed KV (SparseConfig.kv_pack): "
                          "kills the kernel's own packed [K|V] copy "
@@ -231,6 +234,7 @@ def main():
                 group_rows=args.group_rows,
                 plan_row_chunk=args.plan_row_chunk,
                 kv_pack=args.kv_pack,
+                head_chunk=args.head_chunk,
                 defer_device=args.host_swap)
             high = mk(params)
             params = high.params        # ONE device copy across modes
@@ -300,6 +304,7 @@ def main():
                 group_rows=args.group_rows,
                 plan_row_chunk=args.plan_row_chunk,
                 kv_pack=args.kv_pack,
+                head_chunk=args.head_chunk,
                 teacache_residual=args.teacache_residual,
                 teacache_offload=args.teacache_offload,
                 defer_device=args.host_swap)
@@ -407,6 +412,7 @@ def main():
                 group_rows=args.group_rows,
                 plan_row_chunk=args.plan_row_chunk,
                 kv_pack=args.kv_pack,
+                head_chunk=args.head_chunk,
                 density_probe=args.density and mode == "sparse")
         params = pipe.params   # share ONE device copy across pipelines
         log(f"{mode}: warm-up (compiles)...")
@@ -447,6 +453,7 @@ def main():
                 group_rows=args.group_rows,
                 plan_row_chunk=args.plan_row_chunk,
                 kv_pack=args.kv_pack,
+                head_chunk=args.head_chunk,
                 teacache_residual=args.teacache_residual,
                 teacache_offload=args.teacache_offload,
                 teacache_schedule=schedule,

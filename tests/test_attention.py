@@ -340,3 +340,86 @@ def test_cfg_kv_pack_visual_layout_is_equal():
         jnp.asarray(v[:, :, :sv]), SparseConfig(**base, kv_pack=True),
         jnp.asarray(neighbors), visual_len=sv, interpret=True))
     np.testing.assert_array_equal(got, want)
+
+def test_head_chunk_is_equal_to_full_heads():
+    """SparseConfig.head_chunk (head-tiled fori_loop execution) is
+    bit-identical to the one-pass path — including composed with
+    kv_pack and group_rows, under both layouts, and for the
+    density_only probe (mean over equal head tiles = global mean).
+    This is the second peak-HBM lever for full-depth 16.4B I2V.
+
+    Tolerance: the fori_loop body fuses differently from the one-shot
+    program (XLA reassociates the softmax/rectify reductions per tile),
+    so outputs can differ in the last fp32 ulp — same 1-2 ulp band as
+    the row-tiled ring composition test."""
+    b, h, d = 1, 4, 64
+    nq = 4
+    text_blocks = 1
+    base = dict(top_k_floor=1, p_remain=0.3, layout="joint",
+                text_len=text_blocks * BM)
+    s = nq * BM + base["text_len"]
+    q, k, v = make(17, b, h, s, d)
+    neighbors = np.eye(nq, dtype=bool)
+    tlen = jnp.asarray(np.array([90]), jnp.int32)
+    args = (jnp.asarray(q), jnp.asarray(k), jnp.asarray(v))
+    want = np.asarray(rectified_sparse_attention(
+        *args, SparseConfig(**base), jnp.asarray(neighbors),
+        visual_len=nq * BM, text_len_rt=tlen, interpret=True))
+    for extra in ({}, {"kv_pack": True}, {"group_rows": 2},
+                  {"kv_pack": True, "group_rows": 2}):
+        for hc in (1, 2):
+            got = np.asarray(rectified_sparse_attention(
+                *args, SparseConfig(**base, head_chunk=hc, **extra),
+                jnp.asarray(neighbors), visual_len=nq * BM,
+                text_len_rt=tlen, interpret=True))
+            np.testing.assert_allclose(got, want, atol=2e-6, rtol=0)
+    # density probe equality
+    dw = float(rectified_sparse_attention(
+        *args, SparseConfig(**base), jnp.asarray(neighbors),
+        visual_len=nq * BM, text_len_rt=tlen, interpret=True,
+        density_only=True))
+    dg = float(rectified_sparse_attention(
+        *args, SparseConfig(**base, head_chunk=2), jnp.asarray(neighbors),
+        visual_len=nq * BM, text_len_rt=tlen, interpret=True,
+        density_only=True))
+    np.testing.assert_allclose(dg, dw, rtol=1e-6)
+
+
+def test_head_chunk_visual_layout_unaligned():
+    """head_chunk under the visual layout with a ragged visual tail
+    (the Wan I2V configuration) — pad insert happens per head tile."""
+    b, h, d = 1, 4, 64
+    nq = 4
+    sv = nq * BM - 30
+    q, k, v = make(19, b, h, sv, d)
+    neighbors = np.eye(nq, dtype=bool)
+    base = dict(top_k_floor=1, p_remain=0.3, layout="visual")
+    args = (jnp.asarray(q), jnp.asarray(k), jnp.asarray(v))
+    want = np.asarray(rectified_sparse_attention(
+        *args, SparseConfig(**base), jnp.asarray(neighbors),
+        visual_len=sv, interpret=True))
+    got = np.asarray(rectified_sparse_attention(
+        *args, SparseConfig(**base, head_chunk=2, kv_pack=True),
+        jnp.asarray(neighbors), visual_len=sv, interpret=True))
+    np.testing.assert_array_equal(got, want)
+
+
+def test_head_chunk_dense_mode_is_equal():
+    """head_chunk in the DENSE branch of attention() (the full-depth
+    denominator next to the 16.4B tree) — identical output."""
+    from rectified_spaattn_tpu.attention import attention
+    b, h, d = 1, 4, 64
+    nq = 3
+    base = dict(top_k_floor=1, p_remain=0.3, layout="joint",
+                text_len=BM)
+    s = nq * BM + BM
+    q, k, v = make(23, b, h, s, d)
+    tlen = jnp.asarray(np.array([70]), jnp.int32)
+    args = (jnp.asarray(q), jnp.asarray(k), jnp.asarray(v))
+    want = np.asarray(attention(
+        *args, mode="vanilla", cfg=SparseConfig(**base),
+        visual_len=nq * BM, text_len_rt=tlen, interpret=True))
+    got = np.asarray(attention(
+        *args, mode="vanilla", cfg=SparseConfig(**base, head_chunk=2),
+        visual_len=nq * BM, text_len_rt=tlen, interpret=True))
+    np.testing.assert_array_equal(got, want)
